@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from signalk_parquet_spark import registry  # noqa: E402
+from signalk_parquet_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("signalk-parquet-spark-bench")
+
+    qs = registry.queries()
+    # JVM + parquet-footer warmup so per-query numbers measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,412 @@
+"""Core History-API operator queries over the `events` table (SURVEY §2.3-§2.6).
+
+`events(event_id, ts, user_id, event_type, value, props)` stands in for the
+reference's raw tier: `user_id` ~ context (vessel), `event_type` ~ SignalK
+path, `value` ~ observation. Each query maps one SURVEY §2 operator row and
+has a DuckDB oracle with identical column names and rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.angular import weighted_mean
+from .functions.time import bucket_iso, bucket_start_ms, iso_utc
+from .operators.aggregate import bucketed_stats
+from .operators.align import align_pivot
+from .operators.episodes import episodes
+from .operators.federation import priority_dedup
+from .operators.smoothing import ema, sma
+from .registry import dd_bucket, load, register
+
+H = 3600_000  # 1 hour in ms
+M5 = 300_000  # 5 minutes
+S5 = 5_000  # 5 seconds (the reference's finest rollup tier)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- A1/A2: tumbling time-bucket average -----------------------------------
+@register(
+    "bucket_avg_1h",
+    f"""
+    SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+           round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def bucket_avg_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A1+A2 (reference src/HistoryAPI.ts:1776-1777, 2392-2411)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- A3: min/max ------------------------------------------------------------
+@register(
+    "bucket_minmax_1h",
+    f"""
+    SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def bucket_minmax_1h(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.min("value").alias("min_value"), F.max("value").alias("max_value")
+    )
+
+
+# --- A4: first/last (deterministic min_by/max_by on ts) ----------------------
+@register(
+    "bucket_first_last_1h",
+    f"""
+    SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+           arg_min(value, ts) AS first_value, arg_max(value, ts) AS last_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def bucket_first_last_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A4 — FIRST/LAST made deterministic via min_by/max_by(value, ts)
+    (the reference relies on file arrival order; SURVEY §7 'hard parts')."""
+    e = load(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    return e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.min_by("value", ts).alias("first_value"),
+        F.max_by("value", ts).alias("last_value"),
+    )
+
+
+# --- A5: median --------------------------------------------------------------
+@register(
+    "bucket_median_1h",
+    f"""
+    SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+           round(median(value), 6) AS med_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def bucket_median_1h(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.round(F.median("value"), 6).alias("med_value")
+    )
+
+
+# --- A6: middle_index (exact middle element by ts order) ---------------------
+@register(
+    "bucket_middle_index_1h",
+    f"""
+    WITH g AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+             list(value ORDER BY ts) AS vs
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_ts, vs[CAST(floor(len(vs)/2) AS BIGINT) + 1] AS mid_value
+    FROM g
+    """,
+)
+def bucket_middle_index_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A6 — documented middle-by-index semantics (the reference TODO-
+    falls-back to FIRST at src/HistoryAPI.ts:2537-2541; we implement it)."""
+    e = load(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    arr = F.sort_array(F.collect_list(F.struct(ts.alias("o"), F.col("value").alias("v"))))
+    return e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.element_at(arr, (F.floor(F.size(arr) / 2) + 1).cast("int"))["v"].alias("mid_value")
+    )
+
+
+# --- A7: angular vector average ----------------------------------------------
+@register(
+    "angular_avg",
+    """
+    SELECT event_type,
+           round(atan2(avg(sin(radians(value))), avg(cos(radians(value)))), 6) AS vec_avg_rad
+    FROM events GROUP BY 1
+    """,
+)
+def angular_avg_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A7 — ATAN2(AVG(SIN),AVG(COS)) (src/HistoryAPI.ts:2543-2551),
+    treating `value` as degrees."""
+    e = load(spark, sf, "events")
+    v = F.radians(F.col("value"))
+    return e.groupBy("event_type").agg(
+        F.round(F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))), 6).alias("vec_avg_rad")
+    )
+
+
+# --- A8/A9: lossless weighted re-aggregation from a finer tier ----------------
+@register(
+    "weighted_reagg_1h",
+    f"""
+    WITH t5 AS (
+      SELECT CAST(floor(epoch_ms(ts)/{M5})*{M5} AS BIGINT) AS b5,
+             avg(value) AS value_avg, count(*) AS sample_count
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(epoch_ms(CAST(floor(b5/{H})*{H} AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS bucket_ts,
+           round(sum(value_avg * sample_count) / sum(sample_count), 6) AS wavg,
+           CAST(sum(sample_count) AS BIGINT) AS n
+    FROM t5 GROUP BY 1
+    """,
+)
+def weighted_reagg_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A8/A9 — tier->tier weighted mean, SUM(avg*n)/SUM(n)
+    (src/HistoryAPI.ts:2479, src/services/aggregation-service.ts:448)."""
+    e = load(spark, sf, "events")
+    t5 = e.groupBy(bucket_start_ms("ts", M5).alias("b5")).agg(
+        F.avg("value").alias("value_avg"), F.count(F.lit(1)).alias("sample_count")
+    )
+    b1h = F.timestamp_millis((F.floor(F.col("b5") / H) * H).cast("long"))
+    return t5.groupBy(F.date_format(b1h, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts")).agg(
+        F.round(weighted_mean("value_avg", "sample_count"), 6).alias("wavg"),
+        F.sum("sample_count").alias("n"),
+    )
+
+
+# --- A10: rollup tier materialization (5s stats) -------------------------------
+@register(
+    "tier_rollup_stats_5m",
+    f"""
+    SELECT event_type, {dd_bucket(M5)} AS bucket_ts,
+           round(avg(value), 6) AS value_avg, min(value) AS value_min,
+           max(value) AS value_max, count(value) AS sample_count,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_timestamp,
+           strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_timestamp
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tier_rollup_stats_5m(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A10 — the tier rollup stat set (aggregation-service.ts:423-439)."""
+    e = load(spark, sf, "events")
+    out = bucketed_stats(e, "ts", "value", M5, group_cols=["event_type"])
+    return out.withColumn("value_avg", F.round("value_avg", 6))
+
+
+# --- J1/W1: hot/cold federation with priority dedup ---------------------------
+@register(
+    "priority_dedup_1h",
+    f"""
+    WITH cold AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 1 AS priority
+      FROM events GROUP BY 1, 2
+    ), hot AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 2 AS priority
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ), u AS (
+      SELECT * FROM cold UNION ALL SELECT * FROM hot
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY priority DESC) AS rn
+      FROM u
+    )
+    SELECT event_type, bucket_ts, round(v, 6) AS avg_value FROM r WHERE rn = 1
+    """,
+)
+def priority_dedup_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY J1 — per-source aggregate, UNION ALL, ROW_NUMBER priority pick
+    (src/HistoryAPI.ts:1683-1693,1829-1836). 'hot' simulates the buffer."""
+    e = load(spark, sf, "events")
+    b = bucket_iso("ts", H).alias("bucket_ts")
+    cold = e.groupBy("event_type", b).agg(F.avg("value").alias("v"))
+    hot = e.filter(F.col("user_id") < 5).groupBy("event_type", b).agg(F.avg("value").alias("v"))
+    picked = priority_dedup([(cold, 1), (hot, 2)], ["event_type", "bucket_ts"])
+    return picked.select("event_type", "bucket_ts", F.round("v", 6).alias("avg_value"))
+
+
+# --- J2: multi-series time alignment (pivot) -----------------------------------
+@register(
+    "align_pivot_1h",
+    f"""
+    SELECT {dd_bucket(H)} AS bucket_ts,
+           round(avg(value) FILTER (event_type = 'click'), 6) AS click,
+           round(avg(value) FILTER (event_type = 'error'), 6) AS error,
+           round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+           round(avg(value) FILTER (event_type = 'signup'), 6) AS signup,
+           round(avg(value) FILTER (event_type = 'view'), 6) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def align_pivot_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY J2 — the reference's JS k-way merge (src/HistoryAPI.ts:1992-2013)
+    re-expressed as a distributed pivot; series list passed explicitly so no
+    extra distinct job runs."""
+    e = load(spark, sf, "events")
+    agged = e.groupBy(bucket_iso("ts", H).alias("bucket_ts"), "event_type").agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    return align_pivot(agged, "bucket_ts", "event_type", "v", EVENT_TYPES)
+
+
+# --- J3/W3: episode detection ---------------------------------------------------
+@register(
+    "episodes_error",
+    """
+    WITH f AS (
+      SELECT user_id, ts, (event_type = 'error') AS state FROM events
+    ), l AS (
+      SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM f
+    ), t AS (
+      SELECT * FROM l
+      WHERE (state AND NOT coalesce(prev, false)) OR (NOT state AND coalesce(prev, false))
+    ), p AS (
+      SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts FROM t
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS start_ts,
+           strftime(next_ts, '%Y-%m-%dT%H:%M:%SZ') AS end_ts,
+           epoch_ms(next_ts) - epoch_ms(ts) AS duration_ms
+    FROM p WHERE state AND next_ts IS NOT NULL
+    """,
+)
+def episodes_error(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY J3/W3 — lag-transition episodes, lead-paired (the Spark form
+    replaces the reference's correlated subquery, claude-analyzer.ts:3206-3259)."""
+    e = load(spark, sf, "events")
+    return episodes(e, "ts", F.col("event_type") == "error", partition_cols=["user_id"])
+
+
+# --- W6: trailing SMA over bucket series ----------------------------------------
+@register(
+    "sma_1h_w5",
+    f"""
+    WITH a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value,
+             CAST(round(round(avg(value), 6) * 1000000, 0) AS BIGINT) AS iv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_ts, avg_value,
+           CAST(round(avg(iv) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 0) AS BIGINT) / 1000000.0 AS sma5
+    FROM a
+    """,
+)
+def sma_1h_w5(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY W6 — the reference's JS SMA (src/HistoryAPI.ts:2162-2170) as a
+    rows-frame window aggregate. The SMA runs over micro-integerized values
+    (x1e6 bigint) so the windowed sum is exact on both engines — float window
+    sums are order-dependent and DuckDB's segment tree sums differently."""
+    e = load(spark, sf, "events")
+    a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    ).withColumn("iv", F.round(F.col("avg_value") * 1000000, 0).cast("long"))
+    out = sma(a, "bucket_ts", "iv", 5, partition_cols=["event_type"], out_col="sma5")
+    return out.withColumn(
+        "sma5", F.round("sma5", 0).cast("long") / F.lit(1000000.0)
+    ).drop("iv")
+
+
+# --- W7: EMA (sequential recurrence via applyInPandas) ---------------------------
+_EMA_ALPHA = 0.2
+@register(
+    "ema_1h_a02",
+    f"""
+    WITH RECURSIVE a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM a
+    ), e AS (
+      SELECT event_type, bucket_ts, avg_value, rn, avg_value AS ema
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.bucket_ts, s.avg_value, s.rn,
+             {_EMA_ALPHA!r} * s.avg_value + {1.0 - _EMA_ALPHA!r} * e.ema
+      FROM s JOIN e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    )
+    SELECT event_type, bucket_ts, avg_value, round(ema, 6) AS ema FROM e
+    """,
+)
+def ema_1h_a02(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY W7 — the reference's recursive JS EMA (src/HistoryAPI.ts:2081-2090)
+    as a per-series grouped pandas UDF; oracle is a recursive CTE."""
+    e = load(spark, sf, "events")
+    a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    out = ema(a, "bucket_ts", "avg_value", alpha=_EMA_ALPHA, partition_cols=["event_type"], out_col="ema")
+    return out.withColumn("ema", F.round("ema", 6))
+
+
+# --- O3: top-k ----------------------------------------------------------------
+@register(
+    "topk_values",
+    """
+    SELECT event_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso, value
+    FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def topk_values(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY O3 — ORDER BY ... LIMIT k (TakeOrderedAndProject, no full sort)."""
+    e = load(spark, sf, "events")
+    return (
+        e.orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+        .select("event_id", "event_type", iso_utc("ts").alias("ts_iso"), "value")
+    )
+
+
+# --- A15: DISTINCT -------------------------------------------------------------
+@register("distinct_users", "SELECT DISTINCT user_id FROM events")
+def distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A15 — SELECT DISTINCT context (context-discovery.ts:250-256)."""
+    return load(spark, sf, "events").select("user_id").distinct()
+
+
+# --- A14: counts ----------------------------------------------------------------
+@register(
+    "count_by_type",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def count_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# --- O4: union of heterogeneous sources (schema merge) ---------------------------
+@register(
+    "union_by_name",
+    """
+    SELECT event_id, value, NULL AS user_id FROM events WHERE event_type = 'click'
+    UNION ALL BY NAME
+    SELECT event_id, value, user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY O4 — unionByName(allowMissingColumns) replaces DuckDB
+    union_by_name=true (used at every reference read site)."""
+    e = load(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "click").select("event_id", "value")
+    b = e.filter(F.col("event_type") == "error").select("event_id", "value", "user_id")
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "event_id", "value", F.col("user_id").cast("long").alias("user_id")
+    )
+
+
+# --- O5/J7: anti-join set difference ----------------------------------------------
+@register(
+    "anti_join_users",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'signup')
+    """,
+)
+def anti_join_users(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY O5/J7 — the reference's JS Set difference (cloud sync compare,
+    data-handler.ts:887-906) as a distributed left_anti join."""
+    e = load(spark, sf, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    signups = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return clickers.join(signups, "user_id", "left_anti")

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the local[32] test box but configured the
+way a 1000-executor cluster job would be (AQE on, sane shuffle partitioning,
+UTC timestamps, Arrow for the pandas-UDF slow path).
+
+The reference pins a singleton DuckDB pool with a 512 MB cap
+(reference: src/utils/duckdb-pool.ts:34-63); our equivalent is one
+SparkSession with AQE doing the runtime re-planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "signalk-parquet-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_query_confs(spark: SparkSession) -> None:
+    """Runtime confs every query in this engine assumes.
+
+    Safe to call on a session we did not create (the driver passes its own):
+    these are all runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the testdata parquet stores TIMESTAMP(NANOS) which Spark rejects unless
+    # read as long; registry.load() converts the affected columns back
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
