@@ -1,0 +1,76 @@
+"""Text-analysis column expressions for the LLM-data-pipeline operator set
+(BASELINE north star: dedup / quality / language-ID / token counting over the
+`documents` table). All built-in-function compositions — no Python UDFs in
+the hot path; shingling and hashing stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny function-word list used by the ratio heuristics (public knowledge)
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when the doc is shorter
+    than n tokens. Stays JVM-side via higher-order functions."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def distinct_shingles(text: Column | str, n: int = 3) -> Column:
+    return F.array_distinct(shingles(tokens(text), n))
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are function words — the quality/language
+    heuristic (exact integer ratio, engine-portable)."""
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def type_token_ratio(toks: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens."""
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def mean_token_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set — the
+    canonical-form fingerprint used for near-canonical dedup."""
+    toks = tokens(text)
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))))
+
+
+def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
+    """MinHash signature as k min-of-md5-hex strings over the shingle set.
+    String-min is engine-portable (no integer hash needed) and order-free,
+    so it parallelizes as a plain aggregate."""
+    return [
+        F.array_min(F.transform(shingle_arr, lambda s, i=i: F.md5(F.concat(F.lit(f"mh{i}|"), s))))
+        for i in range(k)
+    ]
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string-array set columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union

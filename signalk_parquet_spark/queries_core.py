@@ -399,14 +399,18 @@ def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "anti_join_users",
     """
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-      AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'signup')
+    SELECT DISTINCT user_id FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00' AND event_type = 'click'
+      AND user_id NOT IN (SELECT user_id FROM events
+                          WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+                            AND event_type = 'purchase')
     """,
 )
 def anti_join_users(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY O5/J7 — the reference's JS Set difference (cloud sync compare,
-    data-handler.ts:887-906) as a distributed left_anti join."""
-    e = load(spark, sf, "events")
+    data-handler.ts:887-906) as a distributed left_anti join: week-1 clickers
+    who made no week-1 purchase."""
+    e = load(spark, sf, "events").filter(F.col("ts").cast("timestamp") < "2024-01-08")
     clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
-    signups = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
-    return clickers.join(signups, "user_id", "left_anti")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.join(buyers, "user_id", "left_anti")

@@ -1,0 +1,216 @@
+"""Deduplication operators over `documents` (BASELINE extension set):
+exact (hash-groupBy), n-gram Jaccard with length blocking, MinHash+LSH
+(shingle → signature → band → bucket-join → verify), and SimHash.
+
+Scale design: every variant avoids the naive O(n^2) cross join —
+candidates come from equality joins on blocking keys (content hash, length
+bucket, LSH band, simhash value), which shuffle-partition cleanly at 100 TB.
+Hashes are md5-hex strings (engine-portable); Jaccard is an exact integer
+ratio, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import distinct_shingles, jaccard, minhash_signature
+from .registry import load, register
+
+_SHINGLES_DD = "list_distinct(list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
+
+
+# --- exact dedup ----------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id."""
+    d = load(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+# --- n-gram Jaccard with length blocking -------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 20) AS BIGINT) AS len_bucket,
+             {_SHINGLES_DD} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup via word-3-gram Jaccard; candidates blocked on
+    (lang, length-bucket) equality so the join is an equi-join, not a cross."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.length("text") / 20).alias("len_bucket"),
+        distinct_shingles("text").alias("sh"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("jac")
+    ).filter(F.col("jac") >= 0.5)
+
+
+# --- MinHash + LSH -------------------------------------------------------------------
+_K = 8  # signature length
+_BANDS = 4  # bands of 2 rows each
+
+
+def _dd_minhash_sql() -> str:
+    mh = ",\n           ".join(f"min(md5('mh{i}|' || s)) AS mh{i}" for i in range(_K))
+    bands = ", ".join(
+        f"md5(mh{2 * j} || '|' || mh{2 * j + 1}) AS band{j}" for j in range(_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, band{j} AS band_val FROM sig" for j in range(_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES_DD} AS sh FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(sh) AS s FROM docs
+    ), sigraw AS (
+      SELECT doc_id, {mh} FROM tok GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {bands} FROM sigraw
+    ), bandrows AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(da.sh, db.sh))) AS jac
+    FROM cand c
+    JOIN docs da ON da.doc_id = c.doc_a
+    JOIN docs db ON db.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.6
+    """
+
+
+@register("dedup_minhash_lsh", _dd_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → k-min-hash signature → band keys →
+    bucket equi-join for candidates → exact-Jaccard verify.
+
+    Spark-side the signature is computed with JVM higher-order functions
+    (transform + array_min) — no explode, no Python. The band join is the
+    only shuffle; at 100 TB the band-key space is huge so it stays balanced.
+    """
+    d = load(spark, sf, "documents")
+    docs = d.select("doc_id", distinct_shingles("text").alias("sh"))
+    sig = docs.select("doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))])
+    for j in range(_BANDS):
+        sig = sig.withColumn(
+            f"band{j}", F.md5(F.concat(F.col(f"mh{2 * j}"), F.lit("|"), F.col(f"mh{2 * j + 1}")))
+        )
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_val"))
+                for j in range(_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.6)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+
+def _dd_simhash_sql() -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1) & {1 << (b % 4)}) > 0 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES_DD} AS sh FROM documents
+    ), tok AS (
+      SELECT doc_id, md5(unnest(sh)) AS h FROM docs
+    ), acc AS (
+      SELECT doc_id, {sums} FROM tok GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM acc
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_simhash", _dd_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 16-bit sign-of-weighted-sum fingerprint over shingle
+    md5 bits; candidate pairs share the exact fingerprint (an equality join —
+    a Hamming-ball join would add rotations of the same pattern)."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(distinct_shingles("text")).alias("s")
+    ).withColumn("h", F.md5("s"))
+    aggs = []
+    for b in range(_SIMHASH_BITS):
+        digit = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+        bit_set = digit.bitwiseAND(F.lit(1 << (b % 4))) > 0
+        aggs.append(F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"s{b}"))
+    acc = tok.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sh = acc.select("doc_id", simhash.cast("long").alias("simhash"))
+    a, b2 = sh.alias("a"), sh.alias("b")
+    return a.join(
+        b2, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash"))

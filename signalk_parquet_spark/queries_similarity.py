@@ -1,0 +1,140 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim):
+brute-force cosine top-k as the exact baseline, and an LSH-bucketed ANN
+variant as the scale path (BASELINE extension set).
+
+Scale notes: brute-force is a broadcast of the (small) query set against the
+full collection — a map-only scan, no shuffle of the big side. The ANN
+variant replaces the scan with an equality join on hyperplane buckets.
+Cosine scores are rounded to 4 decimals before ranking with a vec_id
+tie-break, so ranking is deterministic across engines (float sums are
+order-dependent at ~1e-15; 1e-4 rounding absorbs that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vectors import as_double, cosine, hyperplane_bits, make_planes
+from .registry import load, register
+
+_NQ = 20  # query set: vec_id < 20
+_TOPK = 5
+
+_DD_COS = (
+    "list_dot_product(ea, eb) / sqrt(list_dot_product(ea, ea) * list_dot_product(eb, eb))"
+)
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, emb AS ea FROM e WHERE vec_id < {_NQ}),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DD_COS.replace("eb", "e.emb")} , 4) AS cos4
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos4, rank FROM r WHERE rank <= {_TOPK}
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, scan the collection once,
+    rank per query. The big side never shuffles."""
+    e = load(spark, sf, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
+
+
+_PLANES = make_planes(8, 64)
+_DD_PLANES = ", ".join(
+    "[" + ", ".join(f"{x}.0" for x in p) + "]" for p in _PLANES
+)
+
+
+def _dd_ann_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, planes[{j + 1}]) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             [{_DD_PLANES}]::DOUBLE[][] AS planes
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, emb, CAST({bits} AS BIGINT) AS bucket FROM e
+    ), q AS (SELECT vec_id AS query_id, emb AS ea, bucket FROM b WHERE vec_id < {_NQ}),
+    pairs AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             round({_DD_COS.replace("eb", "b.emb")}, 4) AS cos4
+      FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos4, rank FROM r WHERE rank <= {_TOPK}
+    """
+
+
+@register("ann_lsh_bucketed", _dd_ann_sql())
+def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 integer-weight hyperplanes → 256
+    buckets → candidates share the query's bucket (equality join replaces the
+    full scan) → exact cosine re-rank. Integer plane weights make every
+    bucket bit an exact-arithmetic sign test — deterministic across engines."""
+    e = load(spark, sf, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    b = e.withColumn("bucket", hyperplane_bits(F.col("emb"), _PLANES))
+    q = b.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("bucket")
+    )
+    pairs = b.join(F.broadcast(q), ["bucket"]).filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label = b.label AS same_label,
+           round({_DD_COS.replace("ea", "a.emb").replace("eb", "b.emb")}, 4) AS cos4
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DD_COS.replace("ea", "a.emb").replace("eb", "b.emb")} >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (candidates share the
+    cluster label; at scale the blocking key would be an LSH bucket)."""
+    e = load(spark, sf, "embeddings").select("vec_id", "label", as_double("embedding").alias("emb"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            F.round(cos, 4).alias("cos4"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Spatial operators (SURVEY §2.2 P5-P7, §2.4 J5, §2.5 W5) — bbox with
+antimeridian wraparound, haversine radius, two-phase spatial correlation
+semi-join, distance traveled, and the GPS-glitch speed rule.
+
+The `events` table has no coordinates, so each query derives deterministic
+synthetic lat/lon from event_id (pure integer arithmetic — identical in both
+engines). Engine code paths operate on real value_latitude/value_longitude
+columns (operators/spatial.py); these queries exercise the same expressions.
+
+Float caveat: libm sin/cos differ by ~1 ulp across engines, so oracles only
+compare threshold MEMBERSHIP (safe: values live on a continuum) and
+coarse-rounded sums — never finely-rounded trig outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.geo import bbox_predicate, haversine_m, radius_predicate
+from .functions.time import bucket_iso
+from .registry import dd_bucket, load, register
+
+H = 3600_000
+
+# deterministic synthetic coordinates from event_id (lazy: Columns need a session)
+def _lat():
+    return (F.col("event_id") * 7919 % 18000) / 100.0 - 90.0
+
+
+def _lon():
+    return (F.col("event_id") * 104729 % 36000) / 100.0 - 180.0
+_DD_LAT = "((event_id * 7919) % 18000) / 100.0 - 90.0"
+_DD_LON = "((event_id * 104729) % 36000) / 100.0 - 180.0"
+
+_DD_HAV = (
+    "2 * 6371000.0 * asin(sqrt("
+    "pow(sin(radians({lat2} - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * pow(sin(radians({lon2} - ({lon1})) / 2), 2)))"
+)
+
+
+# --- P5: bbox with 180-meridian wraparound ------------------------------------
+@register(
+    "spatial_bbox_meridian",
+    f"""
+    WITH p AS (SELECT event_id, {_DD_LAT} AS lat, {_DD_LON} AS lon FROM events)
+    SELECT event_id, lat, lon FROM p
+    WHERE lat >= 40.0 AND lat <= 60.0 AND (lon >= 170.0 OR lon <= -170.0)
+    """,
+)
+def spatial_bbox_meridian(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY P5 — bbox containment where west>east crosses the antimeridian
+    and the longitude test flips to OR (spatial-queries.ts:145-152)."""
+    e = load(spark, sf, "events").select("event_id", _lat().alias("lat"), _lon().alias("lon"))
+    return e.filter(bbox_predicate(F.col("lat"), F.col("lon"), 40.0, 60.0, 170.0, -170.0))
+
+
+# --- P6: radius (haversine) ------------------------------------------------------
+@register(
+    "spatial_radius",
+    f"""
+    WITH p AS (SELECT event_id, {_DD_LAT} AS lat, {_DD_LON} AS lon FROM events)
+    SELECT event_id, lat, lon FROM p
+    WHERE {_DD_HAV.format(lat1="50.0", lon1="10.0", lat2="lat", lon2="lon")} <= 500000.0
+    """,
+)
+def spatial_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY P6 — haversine radius filter (the reference's own SQL haversine
+    form, aggregation-service.ts:549-561; no spatial extension needed)."""
+    e = load(spark, sf, "events").select("event_id", _lat().alias("lat"), _lon().alias("lon"))
+    # NB: the engine-path radius_predicate adds a bbox prefilter; the oracle
+    # compares pure haversine membership, so use the exact test here.
+    return e.filter(haversine_m(F.col("lat"), F.col("lon"), F.lit(50.0), F.lit(10.0)) <= 500000.0)
+
+
+# --- J5: two-phase spatial correlation semi-join -----------------------------------
+@register(
+    "spatial_semi_join",
+    f"""
+    WITH p AS (SELECT *, {_DD_LAT} AS lat, {_DD_LON} AS lon FROM events),
+    in_area_buckets AS (
+      SELECT DISTINCT {dd_bucket(H)} AS bucket_ts FROM p
+      WHERE lat >= 40.0 AND lat <= 60.0 AND lon >= 0.0 AND lon <= 30.0
+    )
+    SELECT {dd_bucket(H)} AS bucket_ts, count(*) AS n_purchases,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND {dd_bucket(H)} IN (SELECT bucket_ts FROM in_area_buckets)
+    GROUP BY 1
+    """,
+)
+def spatial_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY J5 — the reference's two-phase spatial correlation: a cheap
+    position pre-pass finds in-area bucket timestamps, then other series are
+    semi-joined on bucket (HistoryAPI.ts:788-941,1925-1946 — there it's a JS
+    Set; here a true left_semi join that stays distributed)."""
+    e = load(spark, sf, "events")
+    p = e.select("event_id", "ts", _lat().alias("lat"), _lon().alias("lon"))
+    buckets = (
+        p.filter(bbox_predicate(F.col("lat"), F.col("lon"), 40.0, 60.0, 0.0, 30.0))
+        .select(bucket_iso("ts", H).alias("bucket_ts"))
+        .distinct()
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").withColumn(
+        "bucket_ts", bucket_iso("ts", H)
+    )
+    return (
+        purchases.join(buckets, "bucket_ts", "left_semi")
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_purchases"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --- W5: distance traveled (lag + haversine) ----------------------------------------
+@register(
+    "dist_traveled_km",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts, {_DD_LAT} AS lat, {_DD_LON} AS lon FROM events
+    ), legs AS (
+      SELECT user_id,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS plat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS plon,
+             lat, lon
+      FROM p
+    )
+    SELECT user_id,
+           CAST(round(sum({_DD_HAV.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")}) / 1000.0, 0) AS BIGINT) AS dist_km,
+           count(plat) AS n_legs
+    FROM legs WHERE plat IS NOT NULL GROUP BY user_id
+    """,
+)
+def dist_traveled_km(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY W5 — LAG(position) + haversine, summed per context
+    (README.md:670-699's distance-traveled pattern)."""
+    e = load(spark, sf, "events").select("user_id", "ts", _lat().alias("lat"), _lon().alias("lon"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"))
+    legs = e.select(
+        "user_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        "lat",
+        "lon",
+    ).filter(F.col("plat").isNotNull())
+    leg = haversine_m(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    return legs.groupBy("user_id").agg(
+        F.round(F.sum(leg) / 1000.0, 0).cast("long").alias("dist_km"),
+        F.count("plat").alias("n_legs"),
+    )
+
+
+# --- A12's glitch rule: implied-speed outlier count -----------------------------------
+@register(
+    "glitch_speed_legs",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts, {_DD_LAT} AS lat, {_DD_LON} AS lon FROM events
+    ), legs AS (
+      SELECT user_id, ts,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS plat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS plon,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+             lat, lon
+      FROM p
+    )
+    SELECT user_id,
+           count(*) FILTER (
+             {_DD_HAV.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")}
+               / (CAST(epoch_ms(ts) - epoch_ms(pts) AS DOUBLE) / 1000.0) > 25.0
+           ) AS n_glitch_legs,
+           count(plat) AS n_legs
+    FROM legs WHERE plat IS NOT NULL GROUP BY user_id
+    """,
+)
+def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A12's outlier rule — implied speed vs previous point > 25 m/s
+    (POSITION_MAX_SPEED_MPS, reference src/constants.ts:17) counted per
+    context via lag windows."""
+    e = load(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), _lat().alias("lat"), _lon().alias("lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    legs = e.select(
+        "user_id",
+        "ts",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("ts").over(w).alias("pts"),
+        "lat",
+        "lon",
+    ).filter(F.col("plat").isNotNull())
+    dist = haversine_m(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    dt_s = (F.unix_millis(F.col("ts")) - F.unix_millis(F.col("pts"))).cast("double") / 1000.0
+    return legs.groupBy("user_id").agg(
+        F.count(F.when(dist / dt_s > 25.0, 1)).alias("n_glitch_legs"),
+        F.count("plat").alias("n_legs"),
+    )

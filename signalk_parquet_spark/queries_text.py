@@ -1,0 +1,159 @@
+"""Text-analysis queries over `documents` (BASELINE extension operators:
+token counting, quality scoring, language-ID heuristic, fingerprinting).
+All ratios are exact integer divisions, so Spark and DuckDB produce
+bit-identical doubles with no rounding games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    EN_STOPWORDS,
+    fingerprint,
+    mean_token_len,
+    stopword_ratio,
+    tokens,
+    type_token_ratio,
+)
+from .registry import load, register
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# --- token counting -----------------------------------------------------------
+@register(
+    "text_token_stats",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS nch
+               FROM documents)
+    SELECT doc_id, lang, nch AS n_chars_actual,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — per-doc token and vocab size."""
+    d = load(spark, sf, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+# --- quality scoring ------------------------------------------------------------
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) AS stop_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_tok_len,
+           (CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks))
+             * 0.5 + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: stopword ratio, type-token ratio, mean token length,
+    and a composite score (the reference has no text ops; this is the
+    BASELINE-mandated LLM-pipeline extension)."""
+    d = load(spark, sf, "documents")
+    toks = tokens("text")
+    sr = stopword_ratio(toks)
+    ttr = type_token_ratio(toks)
+    return d.select(
+        "doc_id",
+        sr.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        mean_token_len(toks).alias("mean_tok_len"),
+        (sr * F.lit(0.5) + ttr * F.lit(0.5)).alias("quality_score"),
+    )
+
+
+# --- language-ID heuristic --------------------------------------------------------
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) AS en_score,
+           CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_SW}))) AS DOUBLE) / len(toks) >= 0.05
+                THEN 'en' ELSE 'unk' END AS predicted_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID n-gram/function-word heuristic: score vs a function-word
+    inventory, thresholded. (The synthetic corpus shares one vocabulary, so
+    the interesting part is the operator, not the accuracy.)"""
+    d = load(spark, sf, "documents")
+    score = stopword_ratio(tokens("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score.alias("en_score"),
+        F.when(score >= 0.05, "en").otherwise("unk").alias("predicted_lang"),
+    )
+
+
+# --- fingerprinting ----------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint (md5 over the sorted distinct token set)."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --- token frequency top-k -----------------------------------------------------------
+@register(
+    "text_top_tokens",
+    """
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY 1 ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token histogram top-k (explode → count → TakeOrdered)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+# --- JSON prop extraction (events.props) ----------------------------------------------
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.7 JSON functions — get_json_object over the value_json-style
+    sidecar column (reference stores objects as JSON strings,
+    src/data-handler.ts:681-694)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
