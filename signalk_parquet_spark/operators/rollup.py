@@ -1,0 +1,173 @@
+"""Tier rollup materialization (SURVEY §2.3 A10-A12) — raw → 5s/60s/1h
+pre-aggregates with partial-aggregate state for lossless re-aggregation.
+
+Tier schema (reference README.md:548-562): bucket_time, context, path,
+value_avg, value_min, value_max, sample_count, value_sin_avg/value_cos_avg
+(angular), value_latitude/value_longitude (position), first/last_timestamp.
+
+Scale: one hash-aggregate per tier keyed on (context, path, bucket) — high
+cardinality, uniform; map-side partial aggregation shrinks raw rows by the
+bucket width before any shuffle. Position tiers add two window passes
+partitioned by the same key, so no extra shuffle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import haversine_m
+from ..functions.time import bucket_ts
+
+#: GPS outlier cap — implied speed vs neighbor (reference src/constants.ts:17)
+POSITION_MAX_SPEED_MPS = 25.0
+
+TIER_MS = {"5s": 5_000, "60s": 60_000, "1h": 3_600_000}
+
+
+def _bucketed(df: DataFrame, tier: str, ts_col: str) -> DataFrame:
+    return df.withColumn("bucket_time", bucket_ts(ts_col, TIER_MS[tier]))
+
+
+def rollup_scalar(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") -> DataFrame:
+    """A10 — scalar tier rollup (aggregation-service.ts:423-439)."""
+    v = F.col("value").cast("double")
+    return (
+        _bucketed(df, tier, ts_col)
+        .groupBy("context", "path", "bucket_time")
+        .agg(
+            F.avg(v).alias("value_avg"),
+            F.min(v).alias("value_min"),
+            F.max(v).alias("value_max"),
+            F.count(v).alias("sample_count"),
+            F.min(ts_col).alias("first_timestamp"),
+            F.max(ts_col).alias("last_timestamp"),
+        )
+    )
+
+
+def rollup_angular(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") -> DataFrame:
+    """A11 — angular rollup with persisted sin/cos partial state; min/max are
+    meaningless for circular data and stay NULL (aggregation-service.ts:468-528)."""
+    v = F.col("value").cast("double")
+    return (
+        _bucketed(df, tier, ts_col)
+        .groupBy("context", "path", "bucket_time")
+        .agg(
+            F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))).alias("value_avg"),
+            F.lit(None).cast("double").alias("value_min"),
+            F.lit(None).cast("double").alias("value_max"),
+            F.count(v).alias("sample_count"),
+            F.avg(F.sin(v)).alias("value_sin_avg"),
+            F.avg(F.cos(v)).alias("value_cos_avg"),
+            F.min(ts_col).alias("first_timestamp"),
+            F.max(ts_col).alias("last_timestamp"),
+        )
+    )
+
+
+def rollup_position(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") -> DataFrame:
+    """A12 — representative-point-per-bucket with GPS-glitch rejection
+    (aggregation-service.ts:543-668):
+
+    1. lag/lead neighbors per (context, path) ordered by ts;
+    2. glitch score = count of neighbor legs implying speed > 25 m/s;
+    3. representative point = ROW_NUMBER()=1 ordering by (score asc,
+       |ts - bucket midpoint|) — cleanest point nearest the midpoint;
+    4. joined with per-bucket sample stats.
+
+    Spark form: two windows over the SAME partitioning key, then an
+    aggregate — one shuffle total (the reference runs this as one DuckDB
+    query per (context, path, day)).
+    """
+    ms = TIER_MS[tier]
+    base = _bucketed(df, tier, ts_col).select(
+        "context",
+        "path",
+        "bucket_time",
+        F.col(ts_col).alias("ts"),
+        F.col("value_latitude").cast("double").alias("lat"),
+        F.col("value_longitude").cast("double").alias("lon"),
+    ).filter(
+        F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0)
+    )
+
+    w = Window.partitionBy("context", "path").orderBy("ts")
+    with_nbrs = (
+        base.withColumn("prev_lat", F.lag("lat").over(w))
+        .withColumn("prev_lon", F.lag("lon").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("next_lat", F.lead("lat").over(w))
+        .withColumn("next_lon", F.lead("lon").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+    )
+
+    def speed_to(lat2, lon2, ts2):
+        dist = haversine_m(F.col("lat"), F.col("lon"), lat2, lon2)
+        dt = F.abs(F.unix_millis(ts2) - F.unix_millis(F.col("ts"))).cast("double") / 1000.0
+        return F.when(dt > 0, dist / dt)
+
+    glitch_prev = (
+        speed_to(F.col("prev_lat"), F.col("prev_lon"), F.col("prev_ts")) > POSITION_MAX_SPEED_MPS
+    )
+    glitch_next = (
+        speed_to(F.col("next_lat"), F.col("next_lon"), F.col("next_ts")) > POSITION_MAX_SPEED_MPS
+    )
+    scored = with_nbrs.withColumn(
+        "glitch_score",
+        F.coalesce(glitch_prev.cast("int"), F.lit(0)) + F.coalesce(glitch_next.cast("int"), F.lit(0)),
+    ).withColumn(
+        "mid_dist_ms",
+        F.abs(F.unix_millis(F.col("ts")) - (F.unix_millis(F.col("bucket_time")) + F.lit(ms // 2))),
+    )
+
+    pick = Window.partitionBy("context", "path", "bucket_time").orderBy(
+        F.col("glitch_score"), F.col("mid_dist_ms"), F.col("ts")
+    )
+    rep = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "context", "path", "bucket_time",
+            F.col("lat").alias("value_latitude"),
+            F.col("lon").alias("value_longitude"),
+        )
+    )
+    stats = base.groupBy("context", "path", "bucket_time").agg(
+        F.count(F.lit(1)).alias("sample_count"),
+        F.min("ts").alias("first_timestamp"),
+        F.max("ts").alias("last_timestamp"),
+    )
+    return rep.join(stats, ["context", "path", "bucket_time"])
+
+
+def reaggregate_scalar(tier_df: DataFrame, resolution_ms: int) -> DataFrame:
+    """A9 — lossless tier→coarser read: SUM(avg*n)/SUM(n)
+    (HistoryAPI.ts:2479)."""
+    return (
+        tier_df.withColumn("bucket", bucket_ts("bucket_time", resolution_ms))
+        .groupBy("context", "path", "bucket")
+        .agg(
+            (F.sum(F.col("value_avg") * F.col("sample_count")) / F.sum("sample_count")).alias("value"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+            F.sum("sample_count").alias("sample_count"),
+        )
+    )
+
+
+def reaggregate_angular(tier_df: DataFrame, resolution_ms: int) -> DataFrame:
+    """A8 — ATAN2(SUM(sin*n)/SUM(n), SUM(cos*n)/SUM(n)), with the reference's
+    COALESCE fallback to SIN(value_avg) for pre-migration tier files that
+    lack the partials (HistoryAPI.ts:2461-2468)."""
+    sin_p = F.coalesce(F.col("value_sin_avg"), F.sin("value_avg"))
+    cos_p = F.coalesce(F.col("value_cos_avg"), F.cos("value_avg"))
+    n = F.col("sample_count")
+    return (
+        tier_df.withColumn("bucket", bucket_ts("bucket_time", resolution_ms))
+        .groupBy("context", "path", "bucket")
+        .agg(
+            F.atan2(F.sum(sin_p * n) / F.sum(n), F.sum(cos_p * n) / F.sum(n)).alias("value"),
+            F.sum("sample_count").alias("sample_count"),
+        )
+    )

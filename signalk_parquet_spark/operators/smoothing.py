@@ -34,11 +34,12 @@ def sma(
 ) -> DataFrame:
     """Trailing simple moving average over the last ``window_size`` rows."""
     w = (
-        Window.partitionBy(*partition_cols)
-        .orderBy(order_col)
+        Window.partitionBy(*[F.col(f"`{c}`") for c in partition_cols])
+        .orderBy(F.col(f"`{order_col}`"))
         .rowsBetween(-(window_size - 1), 0)
     )
-    return df.withColumn(out_col, F.avg(F.col(value_col)).over(w))
+    # column names may contain dots/colons (History API path specs) — quote
+    return df.withColumn(out_col, F.avg(F.col(f"`{value_col}`")).over(w))
 
 
 def ema(
@@ -55,22 +56,34 @@ def ema(
     then ema_i = alpha*v_i + (1-alpha)*ema_{i-1}; null values carry the
     previous ema forward (src/HistoryAPI.ts:2081-2090,2153-2160).
     """
-    part = list(partition_cols) or ["__all"]
-    work = df if partition_cols else df.withColumn("__all", F.lit(1))
-    schema_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in work.schema.fields)
-    out_schema = f"{schema_fields}, `{out_col}` double"
+    # PySpark's applyInPandas resolves df[col] with dot-parsing, so History
+    # path-spec column names ("navigation.speedOverGround:ema5") break it —
+    # work under positional aliases and restore names afterwards.
+    orig = df.columns
+    safe = {c: f"_c{i}" for i, c in enumerate(orig)}
+    work = df.select(*[F.col(f"`{c}`").alias(safe[c]) for c in orig])
+    part = [safe[c] for c in partition_cols] or ["__all"]
+    if not partition_cols:
+        work = work.withColumn("__all", F.lit(1))
+    s_order, s_value = safe[order_col], safe[value_col]
+    schema_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in work.schema.fields)
+    out_schema = f"{schema_fields}, _ema_out double"
 
     def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf = pdf.sort_values(s_order).reset_index(drop=True)
         out, prev = [], None
-        for v in pdf[value_col]:
+        for v in pdf[s_value]:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 out.append(prev)
                 continue
             prev = float(v) if prev is None else alpha * float(v) + (1.0 - alpha) * prev
             out.append(prev)
-        pdf[out_col] = out
+        pdf["_ema_out"] = out
         return pdf
 
     res = work.groupBy(*part).applyInPandas(_ema, schema=out_schema)
-    return res.drop("__all") if not partition_cols else res
+    if not partition_cols:
+        res = res.drop("__all")
+    return res.select(
+        *[F.col(safe[c]).alias(c) for c in orig], F.col("_ema_out").alias(out_col)
+    )

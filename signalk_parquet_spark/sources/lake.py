@@ -1,0 +1,162 @@
+"""The Parquet lake: partitioned write + pruned, schema-merged read.
+
+Replaces the reference's glob-construction machinery (S1-S4 in SURVEY §2.1)
+with native Spark partition handling:
+  - write: df.write.partitionBy("tier","context","path","year","day")
+    — atomic via the job commit protocol (replaces temp-file+rename,
+    parquet-writer.ts:131-306)
+  - read: spark.read.option("mergeSchema").parquet(base) + ordinary filters
+    on the partition columns; Catalyst prunes partitions (replaces
+    hive-path-builder.ts:232-393's explicit day globs)
+  - multi-root federation (local ∪ S3): pass several base paths —
+    spark.read.parquet(*roots) (replaces HistoryAPI.ts:1461-1467's UNION ALL)
+
+At 100 TB: year/day partition pruning bounds every query to its time range;
+context/path partitioning keeps per-series scans file-local. Partition count
+stays sane because tier/context/path are low-cardinality (thousands) and
+year/day add ~366/year.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .hive_paths import (
+    EXCLUDED_SUBDIRS,
+    days_in_range,
+    sanitize_context,
+    sanitize_path,
+)
+
+PARTITION_COLS = ("tier", "context", "path", "year", "day")
+
+
+class Lake:
+    """One Hive-partitioned Parquet store (optionally several roots, e.g.
+    local + s3a:// for the cloud supplement)."""
+
+    def __init__(self, spark: SparkSession, *roots: str):
+        if not roots:
+            raise ValueError("at least one lake root required")
+        self.spark = spark
+        self.roots = roots
+
+    # --- write -----------------------------------------------------------
+    def write_records(self, df: DataFrame, tier: str = "raw", mode: str = "append") -> None:
+        """Append DataRecords, deriving partition columns from the data.
+        Idempotent day re-export = mode='overwrite' with dynamic partition
+        overwrite (replaces the buffer's `exported` flag semantics)."""
+        out = (
+            df.withColumn("tier", F.lit(tier))
+            .withColumn("context", _sanitize_context_col(F.col("context")))
+            .withColumn("path", _sanitize_path_col(F.col("path")))
+            .withColumn("year", F.year("signalk_timestamp"))
+            .withColumn("day", F.lpad(F.dayofyear("signalk_timestamp").cast("string"), 3, "0"))
+        )
+        writer = out.write.mode(mode).partitionBy(*PARTITION_COLS)
+        if mode == "overwrite":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(self.roots[0])
+
+    def write_rollup(self, df: DataFrame, tier: str, mode: str = "overwrite") -> None:
+        """Write a rollup tier (bucket_time-partitioned by year/day)."""
+        out = (
+            df.withColumn("tier", F.lit(tier))
+            .withColumn("context", _sanitize_context_col(F.col("context")))
+            .withColumn("path", _sanitize_path_col(F.col("path")))
+            .withColumn("year", F.year("bucket_time"))
+            .withColumn("day", F.lpad(F.dayofyear("bucket_time").cast("string"), 3, "0"))
+        )
+        (
+            out.write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(self.roots[0])
+        )
+
+    # --- read ------------------------------------------------------------
+    def read(
+        self,
+        tier: str | None = None,
+        context: str | None = None,
+        path: str | None = None,
+        from_ts: datetime | None = None,
+        to_ts: datetime | None = None,
+    ) -> DataFrame:
+        """Partition-pruned, schema-merged scan across all roots.
+
+        Every filter lands on a partition column, so Catalyst prunes
+        directories before listing files (check `.explain()` for
+        PartitionFilters). Excluded maintenance subdirs are dropped the way
+        the reference does by filename (HistoryAPI.ts:1452).
+        """
+        dfs = []
+        for root in self.roots:
+            try:
+                dfs.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", root)
+                    .parquet(root)
+                )
+            except Exception:
+                continue  # reference behavior: missing/failed root -> skip (hybrid->local fallback)
+        if not dfs:
+            raise FileNotFoundError(f"no readable lake roots among {self.roots}")
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+
+        excl = "|".join(EXCLUDED_SUBDIRS)
+        df = df.filter(~F.input_file_name().rlike(f"/({excl})/"))
+        if tier:
+            df = df.filter(F.col("tier") == tier)
+        if context:
+            df = df.filter(F.col("context") == sanitize_context(context))
+        if path:
+            df = df.filter(F.col("path") == sanitize_path(path))
+        if from_ts and to_ts:
+            days = days_in_range(from_ts, to_ts)
+            years = sorted({y for y, _ in days})
+            df = df.filter(F.col("year").isin(years))
+            if len(days) <= 62:  # bounded day-list pruning, else year-only
+                df = df.filter(
+                    F.concat_ws("-", F.col("year"), F.col("day")).isin(
+                        [f"{y}-{d:03d}" for y, d in days]
+                    )
+                )
+        ts_col = "signalk_timestamp" if tier in (None, "raw") else "bucket_time"
+        if from_ts:
+            df = df.filter(F.col(ts_col) >= F.lit(from_ts))
+        if to_ts:
+            df = df.filter(F.col(ts_col) < F.lit(to_ts))  # half-open [from, to)
+        return df
+
+    def schema_probe(self, tier: str = "raw") -> list[str]:
+        """Column inventory (replaces parquet_schema() probing, S6)."""
+        return self.read(tier=tier).columns
+
+    def discover_contexts(self) -> list[str]:
+        """DISTINCT context from partition metadata only — no file scan
+        (context-discovery.ts:250-256)."""
+        rows = self.read().select("context").distinct().collect()
+        from .hive_paths import unsanitize_context
+
+        return sorted(unsanitize_context(r[0]) for r in rows)
+
+    def discover_paths(self, context: str | None = None) -> list[str]:
+        df = self.read(context=context)
+        rows = df.select("path").distinct().collect()
+        from .hive_paths import unsanitize_path
+
+        return sorted(unsanitize_path(r[0]) for r in rows)
+
+
+def _sanitize_context_col(c):
+    return F.regexp_replace(F.regexp_replace(c, r"\.", "__"), ":", "-")
+
+
+def _sanitize_path_col(c):
+    return F.regexp_replace(c, r"\.", "__")
