@@ -1,0 +1,124 @@
+"""Streaming ingest — the reference's delta subscription pipeline
+(src/data-handler.ts:417-588) as Structured Streaming.
+
+Reference behavior → Spark mapping:
+  - per-path streambundle subscription with debounce(1s)   → readStream +
+    dropDuplicatesWithinWatermark on (context, path, second)
+  - context/source/MMSI filters (:471-518)                 → df.filter chain
+  - buffer insert per event, flush 1000 rows / 30 s        → foreachBatch
+    append to the hot staging dir, trigger(processingTime=...)
+  - 48 h buffer retention bounds late data (README.md:1338-1363)
+    → withWatermark("signalk_timestamp", "48 hours")
+
+The file-source form below is what local tests drive (availableNow); on a
+real deployment the source line becomes Kafka/socket and nothing else
+changes — that separation is the point of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.buffer import HotBuffer
+
+
+def ingest_filters(
+    df: DataFrame,
+    context_filter: str | None = None,
+    exclude_mmsi_substring: str | None = None,
+    source_filter: str | None = None,
+) -> DataFrame:
+    """The reference's ingest-side filters (data-handler.ts:471-518):
+    context equality or vessels.* wildcard, MMSI-substring exclusion,
+    source filter; meta-only deltas are skipped."""
+    out = df
+    if context_filter:
+        if context_filter.endswith(".*"):
+            out = out.filter(F.col("context").startswith(context_filter[:-2] + "."))
+        else:
+            out = out.filter(F.col("context") == context_filter)
+    if exclude_mmsi_substring:
+        out = out.filter(~F.coalesce(F.col("context"), F.lit("")).contains(exclude_mmsi_substring))
+    if source_filter:
+        out = out.filter(F.col("source_label") == source_filter)
+    # meta-delta skip: a record with no value at all is metadata-only
+    return out.filter(
+        F.col("value").isNotNull()
+        | F.col("value_text").isNotNull()
+        | F.col("value_bool").isNotNull()
+        | F.col("value_json").isNotNull()
+    )
+
+
+def debounce(df: DataFrame, seconds: int = 1) -> DataFrame:
+    """The per-path debounceImmediate(1000) (data-handler.ts:537-587):
+    keep at most one record per (context, path, debounce-window)."""
+    return df.withColumn(
+        "__debounce_bucket",
+        (F.unix_millis(F.col("signalk_timestamp")) / F.lit(seconds * 1000)).cast("long"),
+    ).dropDuplicates(["context", "path", "__debounce_bucket"]).drop("__debounce_bucket")
+
+
+def start_file_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    buffer: HotBuffer,
+    schema,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **filter_kw,
+) -> StreamingQuery:
+    """readStream(files) → filters → debounce → foreachBatch append to the
+    hot buffer. availableNow=True drains everything then stops (test mode);
+    otherwise it micro-batches forever like the reference's 30 s save loop."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = ingest_filters(stream, **filter_kw)
+    stream = stream.withWatermark("signalk_timestamp", "48 hours")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        buffer.append(debounce(batch_df))
+
+    writer = stream.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="30 seconds").start()
+
+
+def streaming_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    tier_seconds: int = 5,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming tier rollup: windowed aggregate with watermark — the
+    declarative form of the reference's batch raw→5s job + its 48 h lateness
+    bound (SURVEY §2.8). Returns the streaming DataFrame for the caller to
+    sink (tests use format('memory') + availableNow)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    v = F.col("value").cast("double")
+    return (
+        stream.withWatermark("signalk_timestamp", watermark)
+        .groupBy(
+            F.window("signalk_timestamp", f"{tier_seconds} seconds").alias("w"),
+            "context",
+            "path",
+        )
+        .agg(
+            F.avg(v).alias("value_avg"),
+            F.min(v).alias("value_min"),
+            F.max(v).alias("value_max"),
+            F.count(v).alias("sample_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_time"),
+            "context",
+            "path",
+            "value_avg",
+            "value_min",
+            "value_max",
+            "sample_count",
+        )
+    )

@@ -1,0 +1,78 @@
+"""Structured Streaming ingest + rollup (SURVEY §2.8) driven with
+availableNow triggers — the reference's delta-ingestion.test.ts shape."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from signalk_parquet_spark.schema import record_schema
+from signalk_parquet_spark.sources.buffer import HotBuffer
+from signalk_parquet_spark.streaming.ingest import (
+    debounce,
+    ingest_filters,
+    start_file_ingest,
+    streaming_rollup,
+)
+from tests.records import T0, make_record, records_df, scalar_series
+
+
+def _write_source(spark, tmp_path, rows):
+    src = str(tmp_path / "stream_src")
+    records_df(spark, rows).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_streaming_ingest_to_buffer(spark, tmp_path):
+    rows = scalar_series(T0, [1.0, 2.0, 3.0, 4.0], step_s=2)
+    rows += scalar_series(T0, [9.0], context="vessels.other")
+    src = _write_source(spark, tmp_path, rows)
+    buf = HotBuffer(spark, str(tmp_path / "hot"))
+    q = start_file_ingest(
+        spark,
+        src,
+        buf,
+        records_df(spark, rows).schema,
+        str(tmp_path / "ckpt"),
+        context_filter="vessels.test-self",
+    )
+    q.awaitTermination(120)
+    got = buf.read()
+    assert got.count() == 4  # other-vessel row filtered out
+    assert got.filter(F.col("context") != "vessels.test-self").count() == 0
+
+
+def test_debounce_keeps_one_per_window(spark):
+    # 5 records in the same second -> 1 survives; next second -> 1 more
+    rows = scalar_series(T0, [1, 2, 3, 4, 5], step_s=0.1)
+    rows += scalar_series(T0 + timedelta(seconds=1), [6.0])
+    out = debounce(records_df(spark, rows), seconds=1)
+    assert out.count() == 2
+
+
+def test_ingest_filters_mmsi_and_meta(spark):
+    rows = scalar_series(T0, [1.0])
+    rows += scalar_series(T0, [2.0], context="vessels.urn:mrn:imo:mmsi:368000000")
+    meta_only = make_record(T0, "navigation.speedOverGround", None)
+    rows.append(meta_only)
+    df = records_df(spark, rows)
+    out = ingest_filters(df, exclude_mmsi_substring="mmsi:368")
+    assert out.count() == 1  # mmsi excluded, meta-only delta skipped
+
+
+def test_streaming_rollup_windowed(spark, tmp_path):
+    rows = scalar_series(T0, [float(i) for i in range(10)])  # 10 s of 1 Hz
+    src = _write_source(spark, tmp_path, rows)
+    agg = streaming_rollup(spark, src, records_df(spark, rows).schema, tier_seconds=5)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["bucket_time"].second: r for r in spark.sql("SELECT * FROM rollup_out").collect()}
+    assert got[0]["sample_count"] == 5 and got[0]["value_avg"] == 2.0
+    assert got[5]["sample_count"] == 5 and got[5]["value_avg"] == 7.0

@@ -1,0 +1,164 @@
+"""Threshold operators + hysteresis, retention-rule specificity, compaction,
+SQL passthrough guard, GPX import, multimodal plumbing."""
+
+from __future__ import annotations
+
+import glob
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from signalk_parquet_spark.operators.lifecycle import (
+    RetentionRule,
+    compact_partition,
+    effective_retention_days,
+    retention_cleanup,
+)
+from signalk_parquet_spark.operators.thresholds import (
+    threshold_predicate,
+    threshold_transitions,
+)
+from signalk_parquet_spark.plans.sql_passthrough import run_readonly_sql, validate_readonly_sql
+from signalk_parquet_spark.sources.lake import Lake
+from tests.records import T0, records_df, scalar_series
+
+UTC = timezone.utc
+
+
+# --- thresholds -------------------------------------------------------------
+def test_threshold_operators(spark):
+    df = records_df(spark, scalar_series(T0, [1.0, 30.0, 2.0]))
+    gt = threshold_predicate("gt", F.col("value"), {"value": 25.0})
+    assert df.filter(gt).count() == 1
+    rng = threshold_predicate("range", F.col("value"), {"low": 1.5, "high": 25.0})
+    assert df.filter(rng).count() == 1
+    sw = threshold_predicate("startsWith", F.col("source_label"), {"value": "gps"})
+    assert df.filter(sw).count() == 3
+    with pytest.raises(ValueError):
+        threshold_predicate("bogus", F.col("value"), {})
+
+
+def test_threshold_hysteresis_transitions(spark):
+    # values cross threshold 5: under, over, over, under, over
+    df = records_df(spark, scalar_series(T0, [1.0, 9.0, 8.0, 2.0, 7.0]))
+    cond = F.col("value") > 5.0
+    out = threshold_transitions(df, "signalk_timestamp", cond).orderBy("signalk_timestamp")
+    events = [r["event"] for r in out.collect()]
+    # the repeated 'over' (8.0) is suppressed
+    assert events == ["activated", "deactivated", "activated"]
+
+
+# --- retention ---------------------------------------------------------------
+def test_retention_specificity():
+    rules = [
+        RetentionRule("*", 3),
+        RetentionRule("navigation.*", 10),
+        RetentionRule("navigation.position", 30),
+    ]
+    assert effective_retention_days("environment.depth", "raw", 7, rules) == 3
+    assert effective_retention_days("navigation.speedOverGround", "raw", 7, rules) == 10
+    assert effective_retention_days("navigation.position", "raw", 7, rules) == 30
+    # tier multipliers (x2 for 5s, x12 for 1h)
+    assert effective_retention_days("navigation.position", "5s", 7, rules) == 60
+    assert effective_retention_days("a.b", "1h", 7, None) == 84
+
+
+def test_retention_cleanup_drops_old_partitions(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    old_day = datetime(2024, 1, 1, 12, 0, tzinfo=UTC)
+    new_day = datetime(2024, 6, 1, 12, 0, tzinfo=UTC)
+    lake.write_records(records_df(spark, scalar_series(old_day, [1.0])), tier="raw")
+    lake.write_records(records_df(spark, scalar_series(new_day, [2.0])), tier="raw")
+    now = datetime(2024, 6, 3, tzinfo=UTC)
+    removed = retention_cleanup(lake, now, base_days=7, dry_run=True)
+    assert len(removed) == 1 and "day=001" in removed[0]
+    retention_cleanup(lake, now, base_days=7)
+    assert lake.read(tier="raw").count() == 1
+
+
+# --- compaction ----------------------------------------------------------------
+def test_compaction_merges_files(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    # several separate appends -> several files in one day partition
+    for v in range(4):
+        lake.write_records(records_df(spark, scalar_series(T0, [float(v)])), tier="raw")
+    part_glob = f"{lake.roots[0]}/tier=raw/context=*/path=*/year=2024/day=153/*.parquet"
+    assert len(glob.glob(part_glob)) >= 4
+    n = compact_partition(lake, "raw", "vessels__test-self", "navigation__speedOverGround", 2024)
+    assert n == 4
+    assert len(glob.glob(part_glob)) == 1  # one file now
+    assert lake.read(tier="raw").count() == 4  # no data lost
+
+
+# --- SQL passthrough --------------------------------------------------------------
+def test_sql_passthrough_guard():
+    validate_readonly_sql("SELECT 1")
+    validate_readonly_sql("WITH x AS (SELECT 1) SELECT * FROM x")
+    for bad in ["DROP TABLE t", "SELECT 1; SELECT 2", "INSERT INTO t VALUES (1)",
+                "SELECT * FROM t WHERE x = 1 OR (SELECT count(*) FROM u) > 0; DELETE FROM t"]:
+        with pytest.raises(ValueError):
+            validate_readonly_sql(bad)
+
+
+def test_sql_passthrough_runs(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [4, 5, 6, 7, 8])), tier="raw")
+    df = run_readonly_sql(
+        lake,
+        'SELECT avg(value) AS a FROM "navigation.speedOverGround"',
+        ["navigation.speedOverGround"],
+    )
+    assert df.collect()[0]["a"] == 6.0
+
+
+# --- GPX import ---------------------------------------------------------------------
+GPX = b"""<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+ <trk><trkseg>
+  <trkpt lat="47.5" lon="8.7"><time>2024-06-01T12:00:00Z</time></trkpt>
+  <trkpt lat="47.501" lon="8.7"><time>2024-06-01T12:00:10Z</time></trkpt>
+ </trkseg></trk>
+</gpx>"""
+
+
+def test_gpx_import(spark, tmp_path):
+    from signalk_parquet_spark.sources.gpx import import_gpx_files, parse_gpx_bytes
+
+    p = tmp_path / "track.gpx"
+    p.write_bytes(GPX)
+    rows = parse_gpx_bytes(GPX)
+    # 2 positions + 1 speed + 1 course
+    assert [r["path"] for r in rows].count("navigation.position") == 2
+    assert [r["path"] for r in rows].count("navigation.speedOverGround") == 1
+    df = import_gpx_files(spark, [str(p)])
+    got = df.collect()
+    assert len(got) == 4
+    sog = [r for r in got if r["path"] == "navigation.speedOverGround"][0]
+    assert sog["value"] == pytest.approx(11.12, abs=0.1)  # ~111m in 10s
+
+
+# --- multimodal plumbing ---------------------------------------------------------------
+def test_multimodal_stub_pipeline(spark):
+    from signalk_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        frame_sample_plan,
+        media_stats,
+    )
+
+    rows = [
+        (1, "image", "image/png", b"\x89PNGfake", 640, 480, None, "{}"),
+        (2, "video", "video/mp4", b"\x00mp4fake", 1920, 1080, 3.5, "{}"),
+        (3, "audio", "audio/wav", b"RIFFfake", None, None, 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_features(df).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic: same payload -> same features
+    again = decode_features(df).collect()
+    assert [r["features"] for r in feats] == [r["features"] for r in again]
+    stats = {r["modality"]: r for r in media_stats(df).collect()}
+    assert stats["image"]["n"] == 1
+    frames = frame_sample_plan(df, every_s=1.0).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2]
