@@ -35,6 +35,20 @@ def distinct_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(shingles(tokens(text), n))
 
 
+def hashed_shingles(shingle_arr: Column) -> Column:
+    """Shingle set as 48-bit integer hashes (md5 prefix) — pairwise
+    intersection on longs is several times cheaper than on strings, which is
+    the inner loop of every pairwise-verify dedup join. Collision odds at 48
+    bits are negligible for per-doc set sizes, and both engines derive the
+    same values so differential parity is exact."""
+    return F.array_distinct(
+        F.transform(
+            shingle_arr,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+        )
+    )
+
+
 def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Fraction of tokens that are function words — the quality/language
     heuristic (exact integer ratio, engine-portable)."""
@@ -70,7 +84,9 @@ def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two string-array set columns."""
+    """Exact Jaccard similarity of two string-array SET columns (arrays must
+    be distinct). |A∪B| is derived as |A|+|B|-|A∩B| so only ONE hash-set
+    build runs per pair — array_union would build a second one, doubling the
+    inner-loop cost of every pairwise dedup join."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return inter.cast("double") / union
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)

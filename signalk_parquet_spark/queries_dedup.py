@@ -14,10 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.text import distinct_shingles, jaccard, minhash_signature
+from .functions.text import distinct_shingles, hashed_shingles, jaccard, minhash_signature
 from .registry import load, register
 
 _SHINGLES_DD = "list_distinct(list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
+#: 48-bit integer-hashed shingle set (functions.text.hashed_shingles twin)
+_HSHINGLES_DD = f"list_distinct(list_transform({_SHINGLES_DD}, s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)))"
 
 
 # --- exact dedup ----------------------------------------------------------------
@@ -44,16 +46,16 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH d AS (
       SELECT doc_id, lang, CAST(floor(length(text) / 20) AS BIGINT) AS len_bucket,
-             {_SHINGLES_DD} AS sh
+             {_HSHINGLES_DD} AS sh
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -63,8 +65,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "lang",
         F.floor(F.length("text") / 20).alias("len_bucket"),
-        distinct_shingles("text").alias("sh"),
-    )
+        hashed_shingles(distinct_shingles("text")).alias("sh"),
+    ).persist()  # both self-join branches reuse the shingled form
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
@@ -93,7 +95,7 @@ def _dd_minhash_sql() -> str:
     )
     return f"""
     WITH docs AS (
-      SELECT doc_id, {_SHINGLES_DD} AS sh FROM documents
+      SELECT doc_id, {_SHINGLES_DD} AS sh, {_HSHINGLES_DD} AS shl FROM documents
     ), tok AS (
       SELECT doc_id, unnest(sh) AS s FROM docs
     ), sigraw AS (
@@ -107,13 +109,13 @@ def _dd_minhash_sql() -> str:
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(da.sh, db.sh))) AS jac
+           CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
+             / (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl))) AS jac
     FROM cand c
     JOIN docs da ON da.doc_id = c.doc_a
     JOIN docs db ON db.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.6
+    WHERE CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
+             / (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl))) >= 0.6
     """
 
 
@@ -127,7 +129,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     only shuffle; at 100 TB the band-key space is huge so it stays balanced.
     """
     d = load(spark, sf, "documents")
-    docs = d.select("doc_id", distinct_shingles("text").alias("sh"))
+    docs = (
+        d.select("doc_id", distinct_shingles("text").alias("sh"))
+        .withColumn("shl", hashed_shingles(F.col("sh")))  # derive, don't re-shingle
+        .persist()  # sig + 2 verify joins
+    )
     sig = docs.select("doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))])
     for j in range(_BANDS):
         sig = sig.withColumn(
@@ -153,8 +159,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shl").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shl").alias("sh_b"))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
         cand.join(da, "doc_a")
@@ -209,7 +215,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     for b in range(_SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    sh = acc.select("doc_id", simhash.cast("long").alias("simhash"))
+    sh = acc.select("doc_id", simhash.cast("long").alias("simhash")).persist()
     a, b2 = sh.alias("a"), sh.alias("b")
     return a.join(
         b2, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.vectors import as_double, cosine, hyperplane_bits, make_planes
+from .functions.vectors import as_double, cosine, dot, hyperplane_bits, make_planes, norm_sq
 from .registry import load, register
 
 _NQ = 20  # query set: vec_id < 20
@@ -45,15 +45,21 @@ _DD_COS = (
 )
 def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, scan the collection once,
-    rank per query. The big side never shuffles."""
-    e = load(spark, sf, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    rank per query. The big side never shuffles. Norms are precomputed per
+    ROW before the join — computing them per PAIR would triple the inner-loop
+    work (the value is identical, so oracle parity is unaffected)."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("n2", norm_sq(F.col("emb")))
     q = e.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
     )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos4"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb")) / F.sqrt(F.col("qn2") * F.col("n2")), 4
+        ).alias("cos4"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
@@ -96,15 +102,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     buckets → candidates share the query's bucket (equality join replaces the
     full scan) → exact cosine re-rank. Integer plane weights make every
     bucket bit an exact-arithmetic sign test — deterministic across engines."""
-    e = load(spark, sf, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    ).withColumn("n2", norm_sq(F.col("emb")))
     b = e.withColumn("bucket", hyperplane_bits(F.col("emb"), _PLANES))
     q = b.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("bucket")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("n2").alias("qn2"), F.col("bucket"),
     )
     pairs = b.join(F.broadcast(q), ["bucket"]).filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos4"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb")) / F.sqrt(F.col("qn2") * F.col("n2")), 4
+        ).alias("cos4"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
@@ -125,9 +136,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (candidates share the
     cluster label; at scale the blocking key would be an LSH bucket)."""
-    e = load(spark, sf, "embeddings").select("vec_id", "label", as_double("embedding").alias("emb"))
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    ).withColumn("n2", norm_sq(F.col("emb")))
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(cos >= 0.3)

@@ -39,10 +39,12 @@ from .registry import load, register
     """,
 )
 def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
+    # <= '1998-09-02' == < next microsecond; stated in the loader's ts_range
+    # so it pushes into the parquet scan (see registry.load docstring)
+    li = load(spark, sf, "lineitem", ts_range=("l_shipdate", None, "1998-09-02T00:00:00.000001Z"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast(li.schema["l_shipdate"].dataType))
+        li
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -78,8 +80,8 @@ def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
 )
 def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    orders = load(spark, sf, "orders", ts_range=("o_orderdate", None, "1998-01-01T00:00:00Z"))
+    li = load(spark, sf, "lineitem", ts_range=("l_shipdate", "1998-01-01T00:00:00.000001Z", None))
     # customer is a dimension — broadcast it; lineitem⋈orders shuffles on the
     # order key (the natural co-partitioning at scale).
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
@@ -150,14 +152,12 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
+    li = load(
+        spark, sf, "lineitem",
+        ts_range=("l_shipdate", "1997-01-01T00:00:00Z", "1998-01-01T00:00:00Z"),
+    )
     return (
-        li.filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-            & F.col("l_discount").between(0.03, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
+        li.filter(F.col("l_discount").between(0.03, 0.07) & (F.col("l_quantity") < 24))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n"),

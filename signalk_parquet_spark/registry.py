@@ -44,15 +44,48 @@ def _nano_timestamp_cols(path: str) -> list[str]:
     return _NANO_COLS_CACHE[path]
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    ts_range: tuple[str, str | None, str | None] | None = None,
+) -> DataFrame:
+    """Read one testdata table, converting TIMESTAMP(NANOS) columns (stored
+    as long under nanosAsLong) to real timestamps.
+
+    ``ts_range=(col, from_iso, to_iso)`` applies the half-open time filter
+    IN RAW NANO SPACE, BEFORE the conversion — Catalyst cannot push a
+    predicate through timestamp_micros(ns DIV 1000), so filtering on the
+    converted column would reach the parquet scan as no filter at all
+    (verified: PushedFilters goes empty). The raw-long filter pushes into
+    row-group pruning. Our own lake stores real TimestampType, so this
+    workaround is only for the driver-generated bench tables.
+    """
     from pyspark.sql import functions as F
 
+    from .functions.time import parse_iso
     from .session import ensure_query_confs
 
     ensure_query_confs(spark)
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
-    for c in _nano_timestamp_cols(path):
+    nano_cols = _nano_timestamp_cols(path)
+    if ts_range is not None:
+        col, lo, hi = ts_range
+        is_nano = col in nano_cols
+        def _bound(iso: str):
+            dt = parse_iso(iso)
+            if is_nano:
+                return F.lit(int(dt.timestamp() * 1_000_000) * 1000)
+            # string literal implicit-casts to the column's own timestamp
+            # flavor (NTZ or LTZ) and still pushes into the parquet scan
+            return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f"))
+
+        if lo is not None:
+            df = df.filter(F.col(col) >= _bound(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) < _bound(hi))
+    for c in nano_cols:
         # integer ns -> µs truncation, matching DuckDB's ns->µs read behavior
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
@@ -80,7 +113,13 @@ def oracle_sql() -> dict[str, str]:
 def _import_all() -> None:
     from . import queries_core, queries_tpch  # noqa: F401
 
-    for mod in ("queries_spatial", "queries_text", "queries_similarity", "queries_dedup"):
+    for mod in (
+        "queries_spatial",
+        "queries_text",
+        "queries_similarity",
+        "queries_dedup",
+        "queries_advanced",
+    ):
         try:
             __import__(f"{__package__}.{mod}")
         except ImportError:
