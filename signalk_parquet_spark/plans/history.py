@@ -45,6 +45,7 @@ class HistoryPlanner:
         self.buffer = buffer
         self.units_by_path = units_by_path or {}
         self._tiers_cache: set[str] | None = None
+        self._comp_cache: dict[tuple[str | None, str], list[str]] = {}
 
     # ------------------------------------------------------------------
     def available_tiers(self) -> set[str]:
@@ -55,6 +56,26 @@ class HistoryPlanner:
 
     def _is_angular(self, path: str) -> bool:
         return self.units_by_path.get(path) == "rad"
+
+    def _object_components(self, path: str, context: str | None) -> list[str]:
+        """Discover a path's flattened value_* component columns — the
+        reference's schema probe (union of value_* columns across the path's
+        files, cached 30 min; schema-cache.ts:46-173). Ingest batches can
+        union schemas across paths, so presence isn't enough: a component
+        counts only if it carries ANY non-null data for this path."""
+        key = (context, path)
+        if key not in self._comp_cache:
+            raw = self.lake.read(tier="raw", context=context, path=path)
+            cand = [
+                c for c in raw.columns
+                if c.startswith("value_") and c not in ("value_text", "value_bool", "value_json")
+            ]
+            if cand:
+                counts = raw.select([F.count(c).alias(c) for c in cand]).first()
+                self._comp_cache[key] = sorted(c for c in cand if counts[c] > 0)
+            else:
+                self._comp_cache[key] = []
+        return self._comp_cache[key]
 
     # ------------------------------------------------------------------
     def get_values(
@@ -91,7 +112,9 @@ class HistoryPlanner:
         self, spec: PathSpec, rng: TimeRange, res_ms: int, context: str | None
     ) -> DataFrame:
         angular = self._is_angular(spec.path)
-        tier = route_tier(spec, res_ms, self.available_tiers())
+        comp_cols = self._object_components(spec.path, context)
+        is_obj = bool(comp_cols) and not is_string_path(spec.path)
+        tier = route_tier(spec, res_ms, self.available_tiers(), is_object_path=is_obj)
         sources: list[tuple[DataFrame, int]] = []
 
         cold = self.lake.read(
@@ -103,7 +126,7 @@ class HistoryPlanner:
                 cold = cold.filter(F.col("source_label") == spec.source_ref)
             else:
                 cold = cold.limit(0)
-        sources.append((self._aggregate(cold, spec, res_ms, tier, angular), 1))
+        sources.append((self._aggregate(cold, spec, res_ms, tier, angular, comp_cols if is_obj else None), 1))
 
         if self.buffer is not None:
             hot = self.buffer.read(
@@ -112,7 +135,7 @@ class HistoryPlanner:
             if "signalk_timestamp" in hot.columns:
                 if spec.source_ref is not None and "source_label" in hot.columns:
                     hot = hot.filter(F.col("source_label") == spec.source_ref)
-                sources.append((self._aggregate(hot, spec, res_ms, "raw", angular), 2))
+                sources.append((self._aggregate(hot, spec, res_ms, "raw", angular, comp_cols if is_obj else None), 2))
 
         if len(sources) == 1:
             return sources[0][0]
@@ -120,8 +143,16 @@ class HistoryPlanner:
         return priority_dedup(sources, ["bucket_ts"])
 
     def _aggregate(
-        self, df: DataFrame, spec: PathSpec, res_ms: int, tier: str, angular: bool
+        self,
+        df: DataFrame,
+        spec: PathSpec,
+        res_ms: int,
+        tier: str,
+        angular: bool,
+        comp_cols: list[str] | None = None,
     ) -> DataFrame:
+        if comp_cols:
+            return self._aggregate_object(df, spec, res_ms, comp_cols)
         if tier == "raw":
             value_col = "value_text" if is_string_path(spec.path) else "value"
             method = spec.method
@@ -149,6 +180,29 @@ class HistoryPlanner:
             F.date_format("bucket", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts"),
             value.alias("value"),
         )
+
+    def _aggregate_object(
+        self, df: DataFrame, spec: PathSpec, res_ms: int, comp_cols: list[str]
+    ) -> DataFrame:
+        """SURVEY A13 — object paths aggregate per flattened value_* component
+        (requested method for numeric components, FIRST for strings), then the
+        object is reconstructed from the aggregated components
+        (HistoryAPI.ts:1578-1717,2560-2577)."""
+        from pyspark.sql import types as T
+
+        from ..operators.aggregate import method_agg
+
+        ts = F.col("signalk_timestamp").cast("timestamp")
+        aggs = []
+        for c in comp_cols:
+            numeric = isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType))
+            method = spec.method if numeric else "first"
+            aggs.append(method_agg(method, F.col(c), ts).alias(c))
+        agged = df.groupBy(bucket_iso("signalk_timestamp", res_ms).alias("bucket_ts")).agg(*aggs)
+        obj = F.to_json(
+            F.struct(*[F.col(c).alias(c[len("value_"):]) for c in comp_cols])
+        )
+        return agged.select("bucket_ts", obj.alias("value"))
 
     # ------------------------------------------------------------------
     def _spatial_prepass(

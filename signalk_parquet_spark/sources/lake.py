@@ -95,16 +95,37 @@ class Lake:
         """
         dfs = []
         for root in self.roots:
+            # narrow the physical read to the partition subtree so mergeSchema
+            # unions only THIS path's footers — a lake-wide union would make
+            # every path appear to carry every other path's value_* columns
+            # (the reference scopes its globs per path the same way,
+            # schema-cache.ts:46-173)
+            sub = f"{root}/tier={tier}" if tier else f"{root}/tier=*"
+            if context:
+                sub += f"/context={sanitize_context(context)}"
+            elif path:
+                sub += "/context=*"
+            if path:
+                sub += f"/path={sanitize_path(path)}"
             try:
                 dfs.append(
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", root)
-                    .parquet(root)
+                    .parquet(sub)
                 )
             except Exception:
                 continue  # reference behavior: missing/failed root -> skip (hybrid->local fallback)
         if not dfs:
-            raise FileNotFoundError(f"no readable lake roots among {self.roots}")
+            # nothing on disk for this (tier, context, path): empty relation
+            # with the base record shape (reference: parquet side contributes
+            # nothing and the buffer answers, HistoryAPI.ts:1865-1919)
+            from ..schema import record_schema
+
+            empty = self.spark.createDataFrame([], record_schema())
+            for c, t in (("tier", "string"), ("context", "string"), ("path", "string"),
+                         ("year", "int"), ("day", "string")):
+                empty = empty.withColumn(c, F.lit(None).cast(t))
+            return empty
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other, allowMissingColumns=True)

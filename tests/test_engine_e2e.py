@@ -167,3 +167,37 @@ def test_spatial_prepass_filters_buckets(spark, tmp_path):
     )
     rows_out = df.collect()
     assert len(rows_out) == 1 and rows_out[0]["navigation.speedOverGround"] == 5.0
+
+
+def test_object_path_component_aggregation(spark, lake):
+    # SURVEY A13 through the planner: position aggregates per component and
+    # reconstructs the object JSON
+    import json
+
+    planner = HistoryPlanner(lake)
+    df = planner.get_values("navigation.position", FROM, TO, resolution_s=60)
+    val = json.loads(df.collect()[0]["navigation.position"])
+    assert val["longitude"] == 8.7
+    assert val["latitude"] == pytest.approx(47.502)  # avg of 47.5..47.504
+
+
+def test_api_facade_dataresult_shape(spark, lake):
+    from signalk_parquet_spark.api import discovery_response, get_values_response
+
+    planner = HistoryPlanner(lake)
+    resp = get_values_response(
+        planner,
+        "navigation.speedOverGround:average,navigation.speedOverGround:max",
+        FROM,
+        TO,
+        resolution_s=60,
+    )
+    assert resp["columns"][0] == "bucket_ts"
+    assert [v["method"] for v in resp["values"]] == ["average", "max"]
+    assert resp["data"] == [["2024-06-01T12:00:00Z", 6.0, 8.0]]
+
+    disc = discovery_response(planner)
+    # reference-faithful lossiness: sanitize maps ':'->'-', so unsanitize
+    # reads literal '-' back as ':' (hive-path-builder.ts:184-195)
+    assert "vessels.test:self" in disc["contexts"]
+    assert "navigation.speedOverGround" in disc["paths"]

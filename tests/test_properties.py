@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the pure-Python planner layer —
+the reference relies on mutation testing for its utils (stryker.conf.json);
+randomized properties are our equivalent rigor."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from signalk_parquet_spark.functions.time import parse_duration_ms, parse_iso
+from signalk_parquet_spark.operators.aggregate import METHODS
+from signalk_parquet_spark.plans.pathspec import parse_path_spec
+from signalk_parquet_spark.plans.tiers import TIER_SECONDS, ideal_tier, route_tier
+from signalk_parquet_spark.sources.hive_paths import (
+    day_of_year,
+    sanitize_context,
+    sanitize_path,
+    unsanitize_context,
+    unsanitize_path,
+)
+
+UTC = timezone.utc
+
+# contexts/paths without the characters the reference's scheme is lossy on
+ctx_chars = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789.:"), min_size=1, max_size=40
+).filter(lambda s: "-" not in s and "__" not in s and "." not in s.replace("..", ""))
+path_chars = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789."), min_size=1, max_size=40
+).filter(lambda s: "__" not in s)
+
+
+@given(st.lists(st.sampled_from(["vessels", "urn:mrn", "signalk", "uuid", "abc123"]), min_size=1, max_size=5))
+def test_sanitize_context_roundtrip(parts):
+    ctx = ".".join(parts)
+    assert unsanitize_context(sanitize_context(ctx)) == ctx
+
+
+@given(st.lists(st.sampled_from(["navigation", "speedOverGround", "a1", "wind", "x"]), min_size=1, max_size=6))
+def test_sanitize_path_roundtrip(parts):
+    p = ".".join(parts)
+    assert unsanitize_path(sanitize_path(p)) == p
+
+
+@given(st.datetimes(min_value=datetime(1990, 1, 1), max_value=datetime(2100, 12, 31)))
+def test_day_of_year_range(dt):
+    d = int(day_of_year(dt))
+    assert 1 <= d <= 366
+    # consistent with ISO ordinal
+    assert d == dt.timetuple().tm_yday
+
+
+@given(st.integers(min_value=0, max_value=10**7))
+def test_duration_seconds_identity(s):
+    assert parse_duration_ms(s) == s * 1000
+    assert parse_duration_ms(str(s)) == s * 1000
+    assert parse_duration_ms(f"{s}s") == s * 1000
+    assert parse_duration_ms(f"PT{s}S") == s * 1000
+
+
+@given(st.integers(min_value=1, max_value=10**6), st.sampled_from(["m", "h", "d"]))
+def test_duration_shorthand_vs_iso(n, unit):
+    iso = {"m": f"PT{n}M", "h": f"PT{n}H", "d": f"P{n}D"}[unit]
+    assert parse_duration_ms(f"{n}{unit}") == parse_duration_ms(iso)
+
+
+@given(
+    st.datetimes(
+        min_value=datetime(2000, 1, 1), max_value=datetime(2050, 1, 1)
+    )
+)
+def test_parse_iso_roundtrip_utc(dt):
+    dt = dt.replace(tzinfo=UTC, microsecond=0)
+    assert parse_iso(dt.strftime("%Y-%m-%dT%H:%M:%SZ")) == dt
+    assert parse_iso(dt.strftime("%Y-%m-%dT%H:%M:%S+00:00")) == dt
+
+
+@given(
+    st.sampled_from(
+        ["navigation.speedOverGround", "environment.wind.speedApparent", "a.b.c"]
+    ),
+    st.sampled_from(list(METHODS)),
+    st.one_of(st.none(), st.tuples(st.sampled_from(["sma", "ema"]), st.integers(1, 100))),
+    st.one_of(st.none(), st.sampled_from(["gps-1", "n2k.0"])),
+)
+def test_pathspec_roundtrip(path, method, smoothing, src):
+    spec_str = path + (f":{method}" if method != "average" or smoothing else f":{method}")
+    if smoothing:
+        spec_str += f":{smoothing[0]}:{smoothing[1]}"
+    if src:
+        spec_str += f"|{src}"
+    s = parse_path_spec(spec_str)
+    assert s.path == path
+    assert s.method == method
+    if smoothing:
+        assert (s.smoothing, s.smoothing_window) == smoothing
+    assert s.source_ref == src
+
+
+@given(st.integers(min_value=1, max_value=10**8))
+def test_tier_routing_never_coarser_than_resolution(res_ms):
+    tier = ideal_tier(res_ms)
+    if tier != "raw":
+        assert TIER_SECONDS[tier] * 1000 <= res_ms
+
+
+@settings(max_examples=200)
+@given(
+    st.integers(min_value=1, max_value=10**8),
+    st.sets(st.sampled_from(["raw", "5s", "60s", "1h"]), min_size=1),
+)
+def test_route_tier_always_available(res_ms, available):
+    from signalk_parquet_spark.plans.pathspec import PathSpec
+
+    tier = route_tier(PathSpec("a.b"), res_ms, available)
+    assert tier in available or tier == "raw"
