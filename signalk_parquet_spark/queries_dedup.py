@@ -86,7 +86,10 @@ _BANDS = 4  # bands of 2 rows each
 
 
 def _dd_minhash_sql() -> str:
-    mh = ",\n           ".join(f"min(md5('mh{i}|' || s)) AS mh{i}" for i in range(_K))
+    # twin of functions.text.minhash_signature: k 8-hex slices of 2 seeded md5s
+    mh = ",\n           ".join(
+        f"min(substr(md5('seed{i // 4}|' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}" for i in range(_K)
+    )
     bands = ", ".join(
         f"md5(mh{2 * j} || '|' || mh{2 * j + 1}) AS band{j}" for j in range(_BANDS)
     )

@@ -1,0 +1,137 @@
+"""Stateful streaming operators — applyInPandasWithState (SURVEY §2.8).
+
+The reference keeps threshold hysteresis and EMA state in in-process JS Maps
+(commands.ts:35-46, HistoryAPI.ts:2033-2038) — fine for one Node process,
+lost on restart, impossible to scale out. Structured Streaming state stores
+give the same semantics with checkpointed, partitioned state.
+
+Two operators:
+  - streaming_threshold_transitions: per-(context, path) hysteresis — emit
+    only activated/deactivated transitions across micro-batches.
+  - streaming_ema: per-series EMA whose previous value persists in state,
+    so the recurrence continues seamlessly across micro-batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("context", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event", T.StringType()),  # activated | deactivated
+    ]
+)
+_TRANSITION_STATE = T.StructType([T.StructField("active", T.BooleanType())])
+
+
+def make_threshold_transition_fn(threshold: float, op: str = "gt"):
+    """Returns the applyInPandasWithState function for a gt/lt threshold.
+    State = last condition value; only changes emit (hysteresis suppression,
+    commands.ts:951-957)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (active,) = state.get if state.exists else (None,)
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("signalk_timestamp")
+            for _, row in pdf.iterrows():
+                v = row["value"]
+                if v is None or pd.isna(v):
+                    continue
+                cond = v > threshold if op == "gt" else v < threshold
+                if active is None:
+                    active = cond  # first observation sets state, no event
+                elif cond != active:
+                    active = cond
+                    out.append(
+                        {
+                            "context": key[0],
+                            "path": key[1],
+                            "ts": row["signalk_timestamp"],
+                            "value": float(v),
+                            "event": "activated" if cond else "deactivated",
+                        }
+                    )
+        state.update((bool(active) if active is not None else None,))
+        yield pd.DataFrame(out, columns=[f.name for f in TRANSITION_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_threshold_transitions(
+    stream: DataFrame, threshold: float, op: str = "gt"
+) -> DataFrame:
+    """stream must carry context, path, signalk_timestamp, value."""
+    return (
+        stream.groupBy("context", "path")
+        .applyInPandasWithState(
+            make_threshold_transition_fn(threshold, op),
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+EMA_SCHEMA = T.StructType(
+    [
+        T.StructField("context", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+_EMA_STATE = T.StructType([T.StructField("prev", T.DoubleType())])
+
+
+def make_ema_fn(alpha: float = 0.2):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (None,)
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("signalk_timestamp")
+            for _, row in pdf.iterrows():
+                v = row["value"]
+                if v is None or pd.isna(v):
+                    continue
+                prev = float(v) if prev is None else alpha * float(v) + (1.0 - alpha) * prev
+                out.append(
+                    {
+                        "context": key[0],
+                        "path": key[1],
+                        "ts": row["signalk_timestamp"],
+                        "value": float(v),
+                        "ema": prev,
+                    }
+                )
+        state.update((prev,))
+        yield pd.DataFrame(out, columns=[f.name for f in EMA_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_ema(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    return stream.groupBy("context", "path").applyInPandasWithState(
+        make_ema_fn(alpha),
+        outputStructType=EMA_SCHEMA,
+        stateStructType=_EMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,110 @@
+"""Stateful streaming (threshold hysteresis + EMA across micro-batches) and
+schema diagnosis/repair."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.records import T0, records_df, scalar_series
+
+
+def _run_stream(spark, tmp_path, batches, make_query):
+    """Drive a stateful stream file-source with multiple micro-batches:
+    write batch files one at a time with maxFilesPerTrigger=1 so state
+    must carry across batches."""
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        records_df(spark, rows).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    schema = records_df(spark, batches[0]).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = make_query(stream)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_threshold_hysteresis_across_batches(spark, tmp_path):
+    from signalk_parquet_spark.streaming.stateful import streaming_threshold_transitions
+
+    # batch 1 ends ABOVE threshold; batch 2 starts above (no event) then drops
+    b1 = scalar_series(T0, [1.0, 9.0])
+    b2 = scalar_series(T0 + timedelta(seconds=10), [8.0, 2.0])
+    out_name = "thresh_out"
+
+    def mk(stream):
+        t = streaming_threshold_transitions(stream, threshold=5.0)
+        return (
+            t.writeStream.outputMode("append").format("memory").queryName(out_name).start()
+        )
+
+    _run_stream(spark, tmp_path, [b1, b2], mk)
+    rows = spark.sql(f"SELECT * FROM {out_name} ORDER BY ts").collect()
+    events = [r["event"] for r in rows]
+    # 1->9 activates; 8 (still above, across the batch boundary) suppressed; 2 deactivates
+    assert events == ["activated", "deactivated"]
+    assert [r["value"] for r in rows] == [9.0, 2.0]
+
+
+def test_streaming_ema_state_continues_across_batches(spark, tmp_path):
+    from signalk_parquet_spark.streaming.stateful import streaming_ema
+
+    b1 = scalar_series(T0, [4.0, 5.0])
+    b2 = scalar_series(T0 + timedelta(seconds=10), [6.0])
+    out_name = "ema_out"
+
+    def mk(stream):
+        return (
+            streaming_ema(stream, alpha=0.2)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .start()
+        )
+
+    _run_stream(spark, tmp_path, [b1, b2], mk)
+    rows = spark.sql(f"SELECT ema FROM {out_name} ORDER BY ts").collect()
+    # seed 4.0; 0.2*5+0.8*4=4.2; then ACROSS the batch boundary 0.2*6+0.8*4.2=4.56
+    assert [r["ema"] for r in rows] == pytest.approx([4.0, 4.2, 4.56])
+
+
+def test_schema_diagnose_and_repair(spark):
+    from signalk_parquet_spark.operators.schema_repair import (
+        diagnose,
+        quarantine_unparseable,
+        repair,
+    )
+
+    df = spark.createDataFrame(
+        [("3.14", "true", 7, "ok"), ("2.71", "false", 8, "ok"), ("1.0", "true", 9, "ok")],
+        "value_num string, value_flag string, value_count long, value_text string",
+    )
+    diag = diagnose(df)
+    assert diag.string_numerics == ["value_num"]
+    assert diag.string_booleans == ["value_flag"]
+    assert diag.bigints == ["value_count"]
+    fixed = repair(df, diag)
+    types = dict((f.name, f.dataType.simpleString()) for f in fixed.schema.fields)
+    assert types["value_num"] == "double"
+    assert types["value_flag"] == "boolean"
+    assert types["value_count"] == "double"  # BIGINT banned -> DOUBLE
+    assert fixed.agg(F.sum("value_num")).first()[0] == pytest.approx(6.85)
+
+
+def test_schema_quarantine_split(spark):
+    from signalk_parquet_spark.operators.schema_repair import diagnose, quarantine_unparseable
+
+    df = spark.createDataFrame(
+        [("1.5",), ("2.5",), ("7.5",)], "value_num string"
+    )
+    diag = diagnose(df)
+    # inject a corrupt batch AFTER diagnosis (the repair-time reality)
+    dirty = df.union(spark.createDataFrame([("not-a-number",)], "value_num string"))
+    clean, quarantined = quarantine_unparseable(dirty, diag)
+    assert clean.count() == 3 and quarantined.count() == 1
+    assert quarantined.first()["value_num"] == "not-a-number"

@@ -162,3 +162,17 @@ def test_multimodal_stub_pipeline(spark):
     assert stats["image"]["n"] == 1
     frames = frame_sample_plan(df, every_s=1.0).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+
+
+def test_json_csv_sinks_roundtrip(spark, tmp_path):
+    from signalk_parquet_spark.sources.sinks import READERS, write_csv, write_json, write_parquet
+
+    df = records_df(spark, scalar_series(T0, [1.0, 2.0])).select(
+        "context", "path", "value", "signalk_timestamp"
+    )
+    for fmt, writer in (("json", write_json), ("csv", write_csv), ("parquet", write_parquet)):
+        p = str(tmp_path / fmt)
+        writer(df, p)
+        back = READERS[fmt](spark, p)
+        assert back.count() == 2
+        assert {r["value"] for r in back.select("value").collect()} == {1.0, 2.0}
