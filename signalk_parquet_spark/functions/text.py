@@ -80,17 +80,21 @@ def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
     2 md5 calls per shingle instead of k, which quarters both the hash work
     and the generated codegen (first-run JIT was the dominant cost).
     String-min is engine-portable and order-free."""
+    # NB: higher-order-function lambdas MUST be single-parameter here — a
+    # two-parameter lambda makes PySpark pass the ARRAY INDEX as the second
+    # argument, silently clobbering a default-bound loop variable.
+    def digest(j: int):
+        seed = f"seed{j}|"
+        return F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(seed), s)))
+
     seeds = (k + 3) // 4
-    digests = [
-        F.transform(shingle_arr, lambda s, j=j: F.md5(F.concat(F.lit(f"seed{j}|"), s)))
-        for j in range(seeds)
-    ]
-    return [
-        F.array_min(
-            F.transform(digests[i // 4], lambda h, i=i: F.substring(h, (i % 4) * 8 + 1, 8))
-        )
-        for i in range(k)
-    ]
+    digests = [digest(j) for j in range(seeds)]
+
+    def minhash(i: int):
+        pos = (i % 4) * 8 + 1
+        return F.array_min(F.transform(digests[i // 4], lambda h: F.substring(h, pos, 8)))
+
+    return [minhash(i) for i in range(k)]
 
 
 def jaccard(a: Column, b: Column) -> Column:

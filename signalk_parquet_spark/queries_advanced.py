@@ -185,3 +185,122 @@ def object_component_agg(spark: SparkSession, sf: str) -> DataFrame:
     return agged.withColumn(
         "value_json", F.concat(F.lit('{"k":'), F.col("k_avg").cast("string"), F.lit("}"))
     )
+
+
+# --- scalar subquery: customers above global average balance ----------------------
+@register(
+    "scalar_subquery_acctbal",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery (Catalyst plans it as a broadcast of the
+    single aggregated value). Threshold membership on a continuum, so the
+    float average is oracle-safe without rounding."""
+    c = load(spark, sf, "customer")
+    c.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer_v WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        """
+    )
+
+
+# --- value histogram (fixed-width buckets) -----------------------------------------
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
+           min(value) AS bin_min, max(value) AS bin_max
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing (the distributed form of
+    a histogram sketch: one hash aggregate, no sort)."""
+    e = load(spark, sf, "events")
+    return e.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("bin_min"),
+        F.max("value").alias("bin_max"),
+    )
+
+
+# --- rate of change (discrete derivative) per series ---------------------------------
+@register(
+    "rate_of_change",
+    f"""
+    WITH a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, bucket_ts, avg_value,
+             lag(avg_value) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev_v
+      FROM a
+    )
+    SELECT event_type, bucket_ts, round(avg_value - prev_v, 6) AS delta
+    FROM d WHERE prev_v IS NOT NULL
+    """,
+)
+def rate_of_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete derivative of the bucketed series (lag difference) — the
+    'trend' post-processor shape. Subtraction of two already-rounded doubles
+    then round: both engines do identical IEEE ops."""
+    e = load(spark, sf, "events")
+    a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    return (
+        a.withColumn("prev_v", F.lag("avg_value").over(w))
+        .filter(F.col("prev_v").isNotNull())
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.round(F.col("avg_value") - F.col("prev_v"), 6).alias("delta"),
+        )
+    )
+
+
+# --- calendar functions: daily activity profile ---------------------------------------
+@register(
+    "daily_activity",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%SZ') AS day_ts,
+           CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+           count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def daily_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.7 date/time functions: date_trunc + day-of-week extraction
+    (DuckDB %w is 0=Sunday; Spark dayofweek is 1=Sunday)."""
+    e = load(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", ts), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("day_ts"),
+        (F.dayofweek(ts) - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+
+
+# --- regex extraction over text --------------------------------------------------------
+@register(
+    "regex_extract_tokens",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(length(regexp_extract(text, '[a-z]+'))) AS BIGINT) AS first_token_chars,
+           count(*) FILTER (text LIKE '%customer%') AS mentions_customer
+    FROM documents GROUP BY 1
+    """,
+)
+def regex_extract_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.7 string/regex functions: regexp_extract + LIKE."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.regexp_extract("text", "[a-z]+", 0))).alias("first_token_chars"),
+        F.count(F.when(F.col("text").like("%customer%"), 1)).alias("mentions_customer"),
+    )

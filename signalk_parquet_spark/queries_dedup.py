@@ -67,6 +67,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.length("text") / 20).alias("len_bucket"),
         hashed_shingles(distinct_shingles("text")).alias("sh"),
     ).persist()  # both self-join branches reuse the shingled form
+    d.count()  # materialize fully BEFORE the self-join: a partially-built
+    # cache + AQE intermittently dropped a candidate pair on first run
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
@@ -137,6 +139,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("shl", hashed_shingles(F.col("sh")))  # derive, don't re-shingle
         .persist()  # sig + 2 verify joins
     )
+    docs.count()  # materialize fully before fan-out (see dedup_ngram note)
     sig = docs.select("doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))])
     for j in range(_BANDS):
         sig = sig.withColumn(
@@ -219,6 +222,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     sh = acc.select("doc_id", simhash.cast("long").alias("simhash")).persist()
+    sh.count()  # materialize fully before the self-join
     a, b2 = sh.alias("a"), sh.alias("b")
     return a.join(
         b2, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
