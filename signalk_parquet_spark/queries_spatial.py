@@ -197,3 +197,44 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.when(dist / dt_s > 25.0, 1)).alias("n_glitch_legs"),
         F.count("plat").alias("n_legs"),
     )
+
+
+# --- J6: spatial proximity self-join (the reference's documented example) ----------
+@register(
+    "proximity_pairs",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id, {dd_bucket(H)} AS bucket_ts,
+             {_DD_LAT} AS lat, {_DD_LON} AS lon
+      FROM events
+    )
+    SELECT a.bucket_ts, a.user_id AS user_a, b.user_id AS user_b,
+           a.event_id AS event_a, b.event_id AS event_b
+    FROM p a JOIN p b
+      ON a.bucket_ts = b.bucket_ts AND a.user_id < b.user_id
+    WHERE {_DD_HAV.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")} < 100000.0
+    """,
+)
+def proximity_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY J6 — vessel-proximity self-join (reference README.md:701-718):
+    same time bucket, different context, within distance. The time bucket is
+    the equi-join key, so the cross product is bounded per bucket; the
+    haversine is a post-join threshold filter (membership-safe for the
+    oracle)."""
+    e = load(spark, sf, "events").select(
+        "user_id", "event_id", bucket_iso("ts", H).alias("bucket_ts"),
+        _lat().alias("lat"), _lon().alias("lon"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dist = haversine_m(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon"))
+    return (
+        a.join(b, (F.col("a.bucket_ts") == F.col("b.bucket_ts")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .filter(dist < 100000.0)
+        .select(
+            F.col("a.bucket_ts").alias("bucket_ts"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+    )

@@ -176,3 +176,46 @@ def test_json_csv_sinks_roundtrip(spark, tmp_path):
         back = READERS[fmt](spark, p)
         assert back.count() == 2
         assert {r["value"] for r in back.select("value").collect()} == {1.0, 2.0}
+
+
+def test_migrations_and_autodiscovery(spark, tmp_path):
+    import math
+
+    from signalk_parquet_spark.operators.migrations import (
+        AutoDiscovery,
+        migrate_position_reaggregation,
+        migrate_vector_averaging,
+    )
+    from tests.records import make_record
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    rows = scalar_series(
+        T0, [math.radians(10), math.radians(350)],
+        path="navigation.headingMagnetic", meta='{"units":"rad"}',
+    )
+    rows += [
+        make_record(T0 + timedelta(seconds=i), "navigation.position",
+                    {"latitude": 47.5 + i * 1e-5, "longitude": 8.7})
+        for i in range(3)
+    ]
+    lake.write_records(records_df(spark, rows), tier="raw")
+
+    dry = migrate_vector_averaging(lake, ["navigation.headingMagnetic"], tiers=("5s",), dry_run=True)
+    assert dry["5s"] == 1
+    migrate_vector_averaging(lake, ["navigation.headingMagnetic"], tiers=("5s",))
+    t5 = lake.read(tier="5s", path="navigation.headingMagnetic")
+    row = t5.first()
+    assert abs(row["value_sin_avg"]) < 0.2 and row["value_cos_avg"] > 0.9
+
+    pos = migrate_position_reaggregation(lake, tiers=("5s",))
+    assert pos["5s"] == 1
+    rep = lake.read(tier="5s", path="navigation.position").first()
+    assert rep["value_latitude"] == pytest.approx(47.50001)
+
+    ad = AutoDiscovery(include=["navigation.*"], exclude=["navigation.secret*"], cap=2)
+    assert ad.check("navigation.speedOverGround")
+    assert not ad.check("navigation.secretChannel")
+    assert not ad.check("environment.depth")
+    assert ad.check("navigation.position")
+    assert not ad.check("navigation.courseOverGroundTrue")  # cap reached
+    assert ad.check("navigation.speedOverGround")  # already configured
