@@ -130,8 +130,15 @@ class Lake:
         for other in dfs[1:]:
             df = df.unionByName(other, allowMissingColumns=True)
 
-        excl = "|".join(EXCLUDED_SUBDIRS)
-        df = df.filter(~F.input_file_name().rlike(f"/({excl})/"))
+        # Maintenance-dir exclusion (processed/quarantine/failed/repaired,
+        # HistoryAPI.ts:1452). input_file_name() is NONDETERMINISTIC, and a
+        # nondeterministic Filter is a pushdown BARRIER — it silently disables
+        # partition pruning and parquet filter pushdown for the whole scan.
+        # So add it only when such dirs actually exist (normally never: our
+        # lake quarantines to a separate root).
+        if self._has_excluded_dirs():
+            excl = "|".join(EXCLUDED_SUBDIRS)
+            df = df.filter(~F.input_file_name().rlike(f"/({excl})/"))
         if tier:
             df = df.filter(F.col("tier") == tier)
         if context:
@@ -154,6 +161,27 @@ class Lake:
         if to_ts:
             df = df.filter(F.col(ts_col) < F.lit(to_ts))  # half-open [from, to)
         return df
+
+    def _has_excluded_dirs(self) -> bool:
+        """Driver-side check for maintenance subdirs in local roots (remote
+        object-store roots are assumed clean — our lifecycle never writes
+        maintenance dirs inside partitions)."""
+        import os
+
+        if getattr(self, "_excluded_cache", None) is None:
+            found = False
+            for root in self.roots:
+                local = root.removeprefix("file:")
+                if "://" in local:
+                    continue
+                for _dirpath, dirnames, _ in os.walk(local):
+                    if any(d in EXCLUDED_SUBDIRS for d in dirnames):
+                        found = True
+                        break
+                if found:
+                    break
+            self._excluded_cache = found
+        return self._excluded_cache
 
     def schema_probe(self, tier: str = "raw") -> list[str]:
         """Column inventory (replaces parquet_schema() probing, S6)."""

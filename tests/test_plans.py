@@ -1,0 +1,129 @@
+"""Plan-shape regression tests — lock in the physical properties SCALE.md
+claims: partition pruning, parquet filter pushdown, broadcast joins for
+dims, no cartesian products, and skew-safe salted aggregation correctness."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from signalk_parquet_spark import registry
+from signalk_parquet_spark.sources.lake import Lake
+from tests.records import T0, records_df, scalar_series
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_q6_time_filter_reaches_parquet_scan(spark):
+    plan = formatted_plan(registry.queries()["tpch_q6"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate lower bound not pushed"
+    assert "LessThan(l_shipdate" in plan, "shipdate upper bound not pushed"
+
+
+def test_q6_reads_only_needed_columns(spark):
+    plan = formatted_plan(registry.queries()["tpch_q6"](spark, SF))
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and "l_orderkey" not in scan_schemas[0], "column pruning failed"
+
+
+def test_q5_dimension_joins_are_broadcast(spark):
+    plan = formatted_plan(registry.queries()["tpch_q5"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_proximity_join_is_not_cartesian(spark):
+    plan = formatted_plan(registry.queries()["proximity_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, "proximity must equi-join on bucket"
+
+
+def test_interval_join_is_equi_join(spark):
+    plan = formatted_plan(registry.queries()["interval_join_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lake_read_prunes_partitions(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [1.0, 2.0])), tier="raw")
+    df = lake.read(
+        tier="raw",
+        path="navigation.speedOverGround",
+        from_ts=datetime(2024, 6, 1, tzinfo=timezone.utc),
+        to_ts=datetime(2024, 6, 2, tzinfo=timezone.utc),
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # partition filters must mention the partition columns, not just data filters
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "tier" in pf_line and "path" in pf_line and "year" in pf_line
+
+
+def test_lake_timestamp_pushdown(spark, tmp_path):
+    # OUR lake stores real timestamps — the time predicate must reach the scan
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [1.0, 2.0])), tier="raw")
+    df = lake.read(
+        tier="raw",
+        from_ts=datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc),
+        to_ts=datetime(2024, 6, 1, 13, 0, tzinfo=timezone.utc),
+    )
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(signalk_timestamp" in plan
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from signalk_parquet_spark.operators.skew import salted_agg
+
+    e = registry.load(spark, SF, "events")
+    plain = {r["event_type"]: r["a"] for r in
+             e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("a")).collect()}
+    skewed = salted_agg(
+        e,
+        ["event_type"],
+        partials={"s": F.sum("value"), "n": F.count("value")},
+        merges={"a": F.round(F.sum("s") / F.sum("n"), 6)},
+        buckets=8,
+    )
+    got = {r["event_type"]: r["a"] for r in skewed.collect()}
+    assert got == pytest.approx(plain)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from signalk_parquet_spark.operators.skew import salted_join_big_small
+
+    li = registry.load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = registry.load(spark, SF, "orders").select("l_orderkey", "o_totalprice") \
+        if "l_orderkey" in registry.load(spark, SF, "orders").columns else \
+        registry.load(spark, SF, "orders").select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(orders, "l_orderkey").count()
+    assert salted_join_big_small(li, orders, "l_orderkey", buckets=4).count() == plain
+
+
+def test_maintenance_dir_exclusion_still_works(spark, tmp_path):
+    # when a quarantine dir DOES exist, its rows must be excluded (the
+    # nondeterministic filter is added only then — pushdown traded for
+    # correctness, matching reference semantics)
+    import shutil
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [1.0, 2.0])), tier="raw")
+    day_dir = next(
+        p for p in (tmp_path / "lake").glob("tier=raw/context=*/path=*/year=*/day=*") if p.is_dir()
+    )
+    q = day_dir / "quarantine"
+    q.mkdir()
+    for f in day_dir.glob("*.parquet"):
+        shutil.copy(f, q / f.name)  # duplicate rows into quarantine/
+    assert lake.read(tier="raw").count() == 2  # quarantined copies invisible
