@@ -127,3 +127,12 @@ def test_maintenance_dir_exclusion_still_works(spark, tmp_path):
     for f in day_dir.glob("*.parquet"):
         shutil.copy(f, q / f.name)  # duplicate rows into quarantine/
     assert lake.read(tier="raw").count() == 2  # quarantined copies invisible
+
+
+def test_write_records_one_file_per_partition(spark, tmp_path):
+    # a single ingest batch must not spray one file per task
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [float(i) for i in range(200)])), tier="raw")
+    files = list((tmp_path / "lake").glob("tier=raw/context=*/path=*/year=*/day=*/*.parquet"))
+    assert len(files) == 1, f"expected 1 file, got {len(files)}"
+    assert lake.read(tier="raw").count() == 200
