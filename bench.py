@@ -29,8 +29,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a failing query must not sink the whole bench
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -54,6 +54,37 @@ def valid_latlon(lat: Column, lon: Column) -> Column:
     return lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
 
 
+def destination_point(lat: float, lon: float, bearing_deg_: float, dist_m: float) -> tuple[float, float]:
+    """Great-circle destination from a start point (driver-side helper for
+    query construction, reference src/utils/geo-calculator.ts:78-118)."""
+    import math
+
+    d = dist_m / EARTH_RADIUS_M
+    th = math.radians(bearing_deg_)
+    p1, l1 = math.radians(lat), math.radians(lon)
+    p2 = math.asin(math.sin(p1) * math.cos(d) + math.cos(p1) * math.sin(d) * math.cos(th))
+    l2 = l1 + math.atan2(
+        math.sin(th) * math.sin(d) * math.cos(p1), math.cos(d) - math.sin(p1) * math.sin(p2)
+    )
+    return math.degrees(p2), (math.degrees(l2) + 540.0) % 360.0 - 180.0
+
+
+def bbox_from_radius(lat: float, lon: float, radius_m: float) -> tuple[float, float, float, float]:
+    """(south, north, west, east) box enclosing the circle — the cheap
+    prefilter the reference builds before exact distance tests
+    (geo-calculator.ts:120-158). Clamps at the poles; wraps at ±180."""
+    import math
+
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    south, north = max(lat - dlat, -90.0), min(lat + dlat, 90.0)
+    dlon = dlat / max(math.cos(math.radians(lat)), 1e-9)
+    if dlon >= 180.0:
+        return south, north, -180.0, 180.0
+    west = (lon - dlon + 540.0) % 360.0 - 180.0
+    east = (lon + dlon + 540.0) % 360.0 - 180.0
+    return south, north, west, east
+
+
 def bearing_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Initial great-circle bearing in degrees [0, 360)
     (reference: src/utils/geo-calculator.ts:49-76)."""
