@@ -304,3 +304,55 @@ def regex_extract_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.length(F.regexp_extract("text", "[a-z]+", 0))).alias("first_token_chars"),
         F.count(F.when(F.col("text").like("%customer%"), 1)).alias("mentions_customer"),
     )
+
+
+# --- unpivot (melt): wide aligned series back to long --------------------------------
+@register(
+    "unpivot_aligned",
+    f"""
+    WITH wide AS (
+      SELECT {dd_bucket(H)} AS bucket_ts,
+             round(avg(value) FILTER (event_type = 'click'), 6) AS click,
+             round(avg(value) FILTER (event_type = 'error'), 6) AS error,
+             round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase
+      FROM events GROUP BY 1
+    )
+    SELECT bucket_ts, series, v FROM wide
+    UNPIVOT (v FOR series IN (click, error, purchase))
+    """,
+)
+def unpivot_aligned(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide -> long), the inverse of the J2 alignment pivot —
+    Spark's stack() in selectExpr. DuckDB UNPIVOT drops NULL cells; stack
+    mirrors that with an explicit filter."""
+    e = load(spark, sf, "events")
+    wide = e.groupBy(bucket_iso("ts", H).alias("bucket_ts")).agg(
+        *[
+            F.round(F.avg(F.when(F.col("event_type") == t, F.col("value"))), 6).alias(t)
+            for t in ("click", "error", "purchase")
+        ]
+    )
+    long = wide.selectExpr(
+        "bucket_ts",
+        "stack(3, 'click', click, 'error', error, 'purchase', purchase) AS (series, v)",
+    )
+    return long.filter(F.col("v").isNotNull())
+
+
+# --- approximate aggregates (genuinely engine-specific: rows-only check) --------------
+def _approx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) and approx percentiles — sketch outputs
+    are engine-specific by nature, so this query has NO DuckDB oracle and
+    takes the driver's weaker rows-only check (the exact twins are
+    distinct_and_stddev / bucket_median_1h)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    )
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["approx_stats"] = (_approx_stats, None)

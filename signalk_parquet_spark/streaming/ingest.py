@@ -122,3 +122,29 @@ def streaming_rollup(
             "sample_count",
         )
     )
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation (SURVEY §2.8: the reference computes
+    episodes batch-side; F.session_window is the native streaming form —
+    sessions close when no event arrives within ``gap``)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("signalk_timestamp", watermark)
+        .groupBy(F.session_window("signalk_timestamp", gap).alias("w"), "context", "path")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg(F.col("value").cast("double")).alias("value_avg"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "context",
+            "path",
+            "n_events",
+            "value_avg",
+        )
+    )

@@ -76,3 +76,27 @@ def test_streaming_rollup_windowed(spark, tmp_path):
     got = {r["bucket_time"].second: r for r in spark.sql("SELECT * FROM rollup_out").collect()}
     assert got[0]["sample_count"] == 5 and got[0]["value_avg"] == 2.0
     assert got[5]["sample_count"] == 5 and got[5]["value_avg"] == 7.0
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from signalk_parquet_spark.streaming.ingest import streaming_session_windows
+
+    # two bursts separated by > gap -> two sessions
+    rows = scalar_series(T0, [1.0, 2.0, 3.0], step_s=10)
+    rows += scalar_series(T0 + timedelta(hours=2), [7.0, 8.0], step_s=10)
+    src = _write_source(spark, tmp_path, rows)
+    agg = streaming_session_windows(
+        spark, src, records_df(spark, rows).schema, gap="5 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["n_events"], r["value_avg"]) for r in spark.sql("SELECT * FROM sessions_out").collect()
+    )
+    assert got == [(2, 7.5), (3, 2.0)]
