@@ -27,3 +27,10 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias so hypothesis @given tests can take the session fixture without
+    function-scope teardown conflicts."""
+    return spark

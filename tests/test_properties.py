@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -116,3 +117,50 @@ def test_route_tier_always_available(res_ms, available):
 
     tier = route_tier(PathSpec("a.b"), res_ms, available)
     assert tier in available or tier == "raw"
+
+
+# --- randomized golden: bucketed_agg vs pure-Python reference ----------------
+from datetime import datetime as _dt
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=30),
+)
+def test_bucketed_agg_matches_python_reference(spark_global, values, resolution_s):
+    """The core operator against a brute-force Python implementation over
+    random series — avg/min/max/first/last per tumbling bucket."""
+    from collections import defaultdict
+
+    from signalk_parquet_spark.operators.aggregate import bucketed_agg
+    from tests.records import T0, records_df, scalar_series
+
+    spark = spark_global
+    rows = scalar_series(T0, values, step_s=7)  # 7 s step straddles buckets unevenly
+    df = records_df(spark, rows)
+
+    expected = defaultdict(list)
+    base_ms = int(T0.timestamp() * 1000)
+    for i, v in enumerate(values):
+        ts_ms = base_ms + i * 7000
+        bucket = ts_ms // (resolution_s * 1000) * (resolution_s * 1000)
+        expected[bucket].append(float(v))
+
+    for method, py in [
+        ("average", lambda xs: sum(xs) / len(xs)),
+        ("min", min),
+        ("max", max),
+        ("first", lambda xs: xs[0]),
+        ("last", lambda xs: xs[-1]),
+    ]:
+        got = {
+            r["bucket_ts"]: r["value"]
+            for r in bucketed_agg(
+                df, "signalk_timestamp", "value", resolution_s * 1000, method
+            ).collect()
+        }
+        assert len(got) == len(expected)
+        for bucket_ms, xs in expected.items():
+            iso = _dt.utcfromtimestamp(bucket_ms / 1000).strftime("%Y-%m-%dT%H:%M:%SZ")
+            assert got[iso] == pytest.approx(py(xs), rel=1e-12), (method, iso)
