@@ -10,10 +10,21 @@ distributed.
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
 from typing import Any
+from zoneinfo import ZoneInfo
 
+from .operators.migrations import AutoDiscovery
 from .plans.history import HistoryPlanner
 from .plans.pathspec import parse_paths_param
+
+
+def _to_local(ts_iso: str, tz: str) -> str:
+    """UTC bucket label -> server-local ISO with offset (the reference
+    converts responses UTC->server-local, HistoryAPI.ts:653-675). Pure
+    API-edge Python — storage and planning stay UTC."""
+    dt = datetime.strptime(ts_iso, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+    return dt.astimezone(ZoneInfo(tz)).isoformat()
 
 
 def get_values_response(
@@ -24,6 +35,8 @@ def get_values_response(
     duration: str | int | None = None,
     resolution_s: float | None = None,
     context: str | None = None,
+    tz: str | None = None,
+    auto_discovery: AutoDiscovery | None = None,
     **kw: Any,
 ) -> dict:
     specs = parse_paths_param(paths)
@@ -46,12 +59,24 @@ def get_values_response(
         if spec.source_ref:
             entry["sourceRef"] = spec.source_ref
         values_header.append(entry)
+    data = [[r[c] for c in cols] for r in rows]
+    if tz:
+        data = [[_to_local(row[0], tz), *row[1:]] for row in data]
+    meta: dict[str, Any] = {}
+    if auto_discovery is not None:
+        # query-driven auto-configuration (HistoryAPI.ts:1015-1056): note
+        # which requested paths were newly registered by this query
+        newly = [s.path for s in specs
+                 if s.path not in auto_discovery.configured and auto_discovery.check(s.path)]
+        if newly:
+            meta["autoConfigured"] = newly
     return {
         "context": context,
         "values": values_header,
         "range": {"from": from_iso, "to": to_iso, "duration": duration},
         "columns": cols,
-        "data": [[r[c] for c in cols] for r in rows],
+        "data": data,
+        **({"meta": meta} if meta else {}),
     }
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..schema import is_position_path
 from ..sources.lake import Lake
-from .rollup import TIER_MS, rollup_angular, rollup_position, rollup_scalar
+from .rollup import rollup_angular, rollup_position
 
 
 def migrate_vector_averaging(

@@ -16,7 +16,7 @@ raw tier (path-filters.ts:48-157, HistoryAPI.ts:1364-1369).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..operators.aggregate import METHODS
 

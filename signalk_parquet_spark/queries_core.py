@@ -8,7 +8,7 @@ has a DuckDB oracle with identical column names and rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.angular import weighted_mean

@@ -201,3 +201,23 @@ def test_api_facade_dataresult_shape(spark, lake):
     # reads literal '-' back as ':' (hive-path-builder.ts:184-195)
     assert "vessels.test:self" in disc["contexts"]
     assert "navigation.speedOverGround" in disc["paths"]
+
+
+def test_api_local_timezone_and_autodiscovery(spark, lake):
+    from signalk_parquet_spark.api import get_values_response
+    from signalk_parquet_spark.operators.migrations import AutoDiscovery
+
+    planner = HistoryPlanner(lake)
+    ad = AutoDiscovery(include=["navigation.*"])
+    resp = get_values_response(
+        planner, "navigation.speedOverGround", FROM, TO, resolution_s=60,
+        tz="Europe/Zurich", auto_discovery=ad,
+    )
+    # 12:00Z in June = 14:00 CEST with offset
+    assert resp["data"][0][0] == "2024-06-01T14:00:00+02:00"
+    assert resp["meta"]["autoConfigured"] == ["navigation.speedOverGround"]
+    # second query: already configured -> no meta
+    resp2 = get_values_response(
+        planner, "navigation.speedOverGround", FROM, TO, resolution_s=60, auto_discovery=ad,
+    )
+    assert "meta" not in resp2
