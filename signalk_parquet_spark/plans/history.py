@@ -120,6 +120,14 @@ class HistoryPlanner:
         cold = self.lake.read(
             tier=tier, context=context, path=spec.path, from_ts=rng.from_ts, to_ts=rng.to_ts
         )
+        if tier != "raw" and "bucket_time" not in cold.columns:
+            # tier exists lake-wide but not for THIS path — the reference's
+            # per-path fall-through to the best existing tier dir
+            # (HistoryAPI.ts:748-782); raw always answers
+            tier = "raw"
+            cold = self.lake.read(
+                tier="raw", context=context, path=spec.path, from_ts=rng.from_ts, to_ts=rng.to_ts
+            )
         if spec.source_ref is not None:
             # absent column => parquet side contributes nothing (path-filters.ts:48-157)
             if "source_label" in cold.columns:

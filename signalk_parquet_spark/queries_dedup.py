@@ -227,3 +227,47 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return a.join(
         b2, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash"))
+
+
+# --- edit-distance near-dup (prefix-blocked Levenshtein) -------------------------------
+@register(
+    "dedup_levenshtein",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 20) AS BIGINT) AS len_bucket,
+             substr(text, 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS head_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup on the 40-char document head, blocked on
+    (lang, length bucket) — the cheap fuzzy screen before an expensive full
+    comparison. Levenshtein is exact integer arithmetic, oracle-portable."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.length("text") / 20).alias("len_bucket"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("head_dist"),
+        )
+        .filter(F.col("head_dist") <= 5)
+    )
