@@ -1,0 +1,124 @@
+"""Reusable dedup operators over any document DataFrame (BASELINE extension
+set) — the engine API behind the `dedup_*` gate queries.
+
+Every variant is candidates-by-equality-join (content hash / length bucket /
+LSH band / simhash value), never an O(n²) cross join; pairwise verify runs
+on 48-bit integer-hashed shingle sets (see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    distinct_shingles,
+    hashed_shingles,
+    jaccard,
+    minhash_signature,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    keeper id (lowest) and copy count."""
+    return df.groupBy(F.md5(text_col).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(id_col).alias("keeper_id"),
+    )
+
+
+def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shl) frame with integer-hashed n-gram shingle sets — the shared
+    input of the pairwise variants. Persisted and fully materialized so
+    self-joins reuse one computation."""
+    out = (
+        df.select(F.col(id_col).alias("id"), distinct_shingles(text_col, n).alias("sh"))
+        .withColumn("shl", hashed_shingles(F.col("sh")))
+        .persist()
+    )
+    out.count()
+    return out
+
+
+def verify_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+    """cand(id_a, id_b) ⋈ shingle sets → exact Jaccard ≥ threshold."""
+    da = docs.select(F.col("id").alias("id_a"), F.col("shl").alias("shl_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("shl").alias("shl_b"))
+    jac = jaccard(F.col("shl_a"), F.col("shl_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature → band keys → bucket equi-join
+    candidates → exact-Jaccard verify."""
+    docs = shingled(df, id_col, text_col)
+    sig = docs.select(
+        "id", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), k))]
+    )
+    rows_per_band = max(k // bands, 1)
+    for j in range(bands):
+        parts = [F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+        sig = sig.withColumn(f"band{j}", F.md5(F.concat_ws("|", *parts)))
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_val"))
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "b.band_idx", "b.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_pairs(cand, docs, threshold)
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    len_bucket_width: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Length-and-attribute-blocked pairwise Jaccard (the cheap screen when
+    a natural blocking key exists)."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.floor(F.length(text_col) / len_bucket_width).alias("len_bucket"),
+        hashed_shingles(distinct_shingles(text_col)).alias("shl"),
+    ).persist()
+    d.count()
+    a, b = d.alias("a"), d.alias("b")
+    cond = (F.col("a.len_bucket") == F.col("b.len_bucket")) & (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    jac = jaccard(F.col("a.shl"), F.col("b.shl"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,66 @@
+"""Reusable dedup/similarity operator APIs — behavior on controlled inputs
+(known duplicates, known nearest neighbors) rather than differential oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # one token differs
+    far = "completely different content with nothing shared at all whatsoever here now"
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_operator(spark, docs):
+    from signalk_parquet_spark.operators.dedup import exact_dedup
+
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1 and 2 identical -> keeper 1
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_lsh_operator_finds_near_dup(spark, docs):
+    from signalk_parquet_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_blocked_jaccard_operator(spark, docs):
+    from signalk_parquet_spark.operators.dedup import blocked_jaccard_pairs
+
+    d = docs.withColumn("lang", F.lit("en"))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             blocked_jaccard_pairs(d, "doc_id", "text", ["lang"], threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_knn_and_ann_operators(spark):
+    from signalk_parquet_spark.operators.dedup import exact_dedup  # noqa: F401
+    from signalk_parquet_spark.operators.similarity import ann_topk, knn_topk
+
+    # 4-dim toy embeddings: 0 and 1 nearly parallel, 2 orthogonal, 3 opposite
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    knn = knn_topk(emb, q, "vec_id", "embedding", k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in knn] == [1, 2, 3]
+    assert knn[0]["cos"] == pytest.approx(0.995, abs=0.005)
+
+    ann = ann_topk(emb, q, "vec_id", "embedding", k=3, dim=4).collect()
+    # ANN only sees same-bucket candidates; vector 1 (nearly parallel) must
+    # share vector 0's bucket and be found
+    assert any(r["neighbor_id"] == 1 for r in ann)
