@@ -28,6 +28,10 @@ def register(name: str, sql: str | None = None):
 
 
 _NANO_COLS_CACHE: dict[str, list[str]] = {}
+#: session-level table cache (the reference's LRU data buffers / file-list
+#: caches, cache-defaults.ts:9-37). Keyed by (session id, path); fully
+#: materialized at first use so self-joins never see a partially-built cache.
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:
@@ -68,6 +72,9 @@ def load(
 
     ensure_query_confs(spark)
     path = f"{sf_dir}/{table}.parquet"
+    cache_key = (id(spark), path)
+    if ts_range is None and cache_key in _TABLE_CACHE:
+        return _TABLE_CACHE[cache_key]
     df = spark.read.parquet(path)
     nano_cols = _nano_timestamp_cols(path)
     if ts_range is not None:
@@ -88,6 +95,13 @@ def load(
     for c in nano_cols:
         # integer ns -> µs truncation, matching DuckDB's ns->µs read behavior
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    if ts_range is None:
+        # cache the unfiltered table for the session (driver runs ~60 queries
+        # against the same few tables); ts_range reads stay uncached so
+        # their filters keep reaching the parquet scan
+        df = df.persist()
+        df.count()  # materialize fully before anyone self-joins it
+        _TABLE_CACHE[cache_key] = df
     return df
 
 
