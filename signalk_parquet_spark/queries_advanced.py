@@ -356,3 +356,30 @@ def _approx_stats(spark: SparkSession, sf: str) -> DataFrame:
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["approx_stats"] = (_approx_stats, None)
+
+
+# --- ranking functions beyond ROW_NUMBER (rank / dense_rank / ntile) ------------------
+@register(
+    "ranking_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def ranking_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/ntile — beyond the reference's ROW_NUMBER-only window
+    surface (SURVEY §2.5 note). The ORDER BY is made unique (orderkey
+    tie-break) so ntile's tie placement is deterministic across engines."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

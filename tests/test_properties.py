@@ -9,6 +9,7 @@ from datetime import datetime, timedelta, timezone
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from signalk_parquet_spark.functions.time import parse_duration_ms, parse_iso
 from signalk_parquet_spark.operators.aggregate import METHODS
@@ -164,3 +165,36 @@ def test_bucketed_agg_matches_python_reference(spark_global, values, resolution_
         for bucket_ms, xs in expected.items():
             iso = _dt.utcfromtimestamp(bucket_ms / 1000).strftime("%Y-%m-%dT%H:%M:%SZ")
             assert got[iso] == pytest.approx(py(xs), rel=1e-12), (method, iso)
+
+
+# --- interval_join vs brute-force theta join over random event sets ----------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=0, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=0, max_size=25),
+    st.integers(min_value=100, max_value=3000),
+)
+def test_interval_join_equals_theta_join(spark_global, left, right, tol_ms):
+    """The bucketized interval join must return exactly the theta-join pairs
+    |lt - rt| <= tol for matching keys, for arbitrary inputs."""
+    from signalk_parquet_spark.operators.asof import interval_join
+
+    spark = spark_global
+    base = 1_700_000_000_000
+    ldf = spark.createDataFrame(
+        [(k, base + t, i) for i, (k, t) in enumerate(left)], "k long, lts_ms long, lid long"
+    ).withColumn("lts", F.timestamp_millis(F.col("lts_ms")))
+    rdf = spark.createDataFrame(
+        [(k, base + t, i) for i, (k, t) in enumerate(right)], "k long, rts_ms long, rid long"
+    ).withColumn("rts", F.timestamp_millis(F.col("rts_ms")))
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(ldf, rdf, ["k"], "lts", "rts", tol_ms).collect()
+    }
+    expect = {
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and abs(lt - rt) <= tol_ms
+    }
+    assert got == expect

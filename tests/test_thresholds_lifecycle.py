@@ -219,3 +219,24 @@ def test_migrations_and_autodiscovery(spark, tmp_path):
     assert ad.check("navigation.position")
     assert not ad.check("navigation.courseOverGroundTrue")  # cap reached
     assert ad.check("navigation.speedOverGround")  # already configured
+
+
+def test_threshold_spatial_operators(spark):
+    from tests.records import make_record
+
+    rows = [
+        make_record(T0, "navigation.position", {"latitude": 47.5, "longitude": 8.7}),
+        make_record(T0 + timedelta(seconds=1), "navigation.position", {"latitude": 10.0, "longitude": 100.0}),
+    ]
+    df = records_df(spark, rows)
+    lat, lon = F.col("value_latitude"), F.col("value_longitude")
+    within = threshold_predicate(
+        "withinRadius", F.col("value"),
+        {"lat_col": lat, "lon_col": lon, "lat": 47.5, "lon": 8.7, "radius_m": 1000.0},
+    )
+    assert df.filter(within).count() == 1
+    outside_box = threshold_predicate(
+        "outsideBoundingBox", F.col("value"),
+        {"lat_col": lat, "lon_col": lon, "south": 47.0, "north": 48.0, "west": 8.0, "east": 9.0},
+    )
+    assert df.filter(outside_box).count() == 1
