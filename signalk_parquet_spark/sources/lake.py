@@ -160,9 +160,12 @@ class Lake:
             years = sorted({y for y, _ in days})
             df = df.filter(F.col("year").isin(years))
             if len(days) <= 62:  # bounded day-list pruning, else year-only
+                # NB: compare numerically — partition discovery infers the
+                # zero-padded day=001 directory value as INTEGER 1, so a
+                # padded-string comparison silently drops days < 100
                 df = df.filter(
-                    F.concat_ws("-", F.col("year"), F.col("day")).isin(
-                        [f"{y}-{d:03d}" for y, d in days]
+                    F.concat_ws("-", F.col("year"), F.col("day").cast("int")).isin(
+                        [f"{y}-{d}" for y, d in days]
                     )
                 )
         ts_col = "signalk_timestamp" if tier in (None, "raw") else "bucket_time"
