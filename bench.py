@@ -23,6 +23,10 @@ def main() -> None:
     spark = get_spark("signalk-parquet-spark-bench")
 
     qs = registry.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # dev loop: time a comma-separated subset
+        subset = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in subset}
     # JVM + parquet-footer warmup so per-query numbers measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 

@@ -20,6 +20,11 @@ from .registry import load, register
 
 _NQ = 20  # query set: vec_id < 20
 _TOPK = 5
+# None -> HOF dot (interpreted per element, but a tiny expression tree).
+# At sf0.1 (2k vectors) plan compile time dominates, so the unrolled form
+# (dim=64) is a net LOSS here; it wins only at >~10^6 rows where per-row
+# cost dominates. operators/similarity exposes dim for that regime.
+_DIM = None
 
 _DD_COS = (
     "list_dot_product(ea, eb) / sqrt(list_dot_product(ea, ea) * list_dot_product(eb, eb))"
@@ -50,7 +55,7 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     work (the value is identical, so oracle parity is unaffected)."""
     e = load(spark, sf, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
-    ).withColumn("n2", norm_sq(F.col("emb")))
+    ).withColumn("n2", norm_sq(F.col("emb"), _DIM))
     q = e.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
     )
@@ -58,7 +63,7 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
-            dot(F.col("qemb"), F.col("emb")) / F.sqrt(F.col("qn2") * F.col("n2")), 4
+            dot(F.col("qemb"), F.col("emb"), _DIM) / F.sqrt(F.col("qn2") * F.col("n2")), 4
         ).alias("cos4"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), "neighbor_id")
@@ -104,7 +109,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     bucket bit an exact-arithmetic sign test — deterministic across engines."""
     e = load(spark, sf, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
-    ).withColumn("n2", norm_sq(F.col("emb")))
+    ).withColumn("n2", norm_sq(F.col("emb"), _DIM))
     b = e.withColumn("bucket", hyperplane_bits(F.col("emb"), _PLANES))
     q = b.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
@@ -114,7 +119,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
-            dot(F.col("qemb"), F.col("emb")) / F.sqrt(F.col("qn2") * F.col("n2")), 4
+            dot(F.col("qemb"), F.col("emb"), _DIM) / F.sqrt(F.col("qn2") * F.col("n2")), 4
         ).alias("cos4"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos4").desc(), "neighbor_id")
@@ -138,9 +143,9 @@ def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     cluster label; at scale the blocking key would be an LSH bucket)."""
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
-    ).withColumn("n2", norm_sq(F.col("emb")))
+    ).withColumn("n2", norm_sq(F.col("emb"), _DIM))
     a, b = e.alias("a"), e.alias("b")
-    cos = dot(F.col("a.emb"), F.col("b.emb")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    cos = dot(F.col("a.emb"), F.col("b.emb"), _DIM) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(cos >= 0.3)

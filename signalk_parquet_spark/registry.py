@@ -27,6 +27,26 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+#: tables whose queries do heavy map-side CPU work (shingling, hashing,
+#: vector math) before any shuffle — spreading their single-row-group scan
+#: across cores pays for the one-time shuffle many times over. Narrow-agg
+#: tables (events/lineitem/orders) are NOT spread: their queries shuffle
+#: almost immediately, and 32 cached partitions just tax every tiny stage
+#: with task-scheduling overhead (measured +0.4-0.7 s/query at sf0.1).
+_SPREAD_TABLES_DEFAULT = "documents,embeddings"
+
+
+def _should_spread(table: str) -> bool:
+    import os
+
+    conf = os.environ.get("SPARK_GRAFT_SPREAD", _SPREAD_TABLES_DEFAULT)
+    if conf == "all":
+        return True
+    if conf in ("none", ""):
+        return False
+    return table in conf.split(",")
+
+
 _NANO_COLS_CACHE: dict[str, list[str]] = {}
 #: session-level table cache (the reference's LRU data buffers / file-list
 #: caches, cache-defaults.ts:9-37). Keyed by (session id, path); fully
@@ -99,6 +119,16 @@ def load(
         # cache the unfiltered table for the session (driver runs ~60 queries
         # against the same few tables); ts_range reads stay uncached so
         # their filters keep reaching the parquet scan
+        if _should_spread(table):
+            target = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                # a single small parquet file (one row group) scans as ONE
+                # partition, and persist() would freeze that layout — every
+                # downstream CPU-heavy stage (shingling, trig, pair joins)
+                # then runs on one core. Spread the cached table across the
+                # executor cores once, up front; at real scale inputs arrive
+                # in thousands of splits and this is a no-op.
+                df = df.repartition(target)
         df = df.persist()
         df.count()  # materialize fully before anyone self-joins it
         _TABLE_CACHE[cache_key] = df

@@ -45,3 +45,11 @@ def ensure_query_confs(spark: SparkSession) -> None:
     # the testdata parquet stores TIMESTAMP(NANOS) which Spark rejects unless
     # read as long; registry.load() converts the affected columns back
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Optional AQE floor on post-shuffle partition size. A floor keeps more
+    # tasks alive for CPU-bound post-shuffle stages, but A/B at sf0.1 showed
+    # it taxes every small query (+0.3-0.7 s each) for no net win once the
+    # CPU-heavy tables are pre-spread in registry.load — so default OFF;
+    # registry's map-side spreading is the right lever, not shuffle sizing.
+    floor = os.environ.get("SPARK_GRAFT_AQE_FLOOR", "off")
+    if floor not in ("0", "off", ""):
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", floor)
