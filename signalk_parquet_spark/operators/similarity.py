@@ -9,7 +9,7 @@ for determinism (see SCALE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot, hyperplane_bits, make_planes, norm_sq
@@ -72,6 +72,96 @@ def ann_topk(
         "query_id",
         F.col("id").alias("neighbor_id"),
         F.round(dot(F.col("qemb"), F.col("emb"), dim) / F.sqrt(F.col("qn2") * F.col("n2")), round_digits).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def stride_centroids(collection: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
+    """Deterministic coarse quantizer: every stride-th id is a centroid.
+    SQL-expressible, so IVF queries built on it keep an exact DuckDB oracle
+    (a learned k-means quantizer can't — see kmeans_centroids)."""
+    return _with_norms(collection.filter(F.col(id_col) % stride == 0), id_col, vec_col, None).select(
+        F.col("id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+
+def kmeans_centroids(
+    collection: DataFrame, id_col: str, vec_col: str, k: int = 16, seed: int = 7
+) -> DataFrame:
+    """Learned coarse quantizer via Spark MLlib k-means (the real scale path:
+    the model fits on a sample, transform is map-side). Deterministic for a
+    fixed seed WITHIN Spark, but not SQL-expressible — operator tests only."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import DoubleType
+
+    vecs = collection.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed).fit(vecs)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    spark = collection.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], ["cid", "cemb"]
+    ).withColumn("cemb", F.col("cemb").cast("array<double>"))
+
+
+def ivf_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 3,
+    round_digits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid
+    (inverted lists), probe each query's n_probe nearest cells, exact cosine
+    re-rank inside the probed cells.
+
+    Scale shape: centroids broadcast to both sides; the N x K assignment
+    reduces map-side via partial min(struct) aggregation, so the only big
+    shuffle is the groupBy(id) argmin carrying one row per (vector x K) pair
+    pre-combined to one per vector per partition. Candidates join on cell id
+    (equi-join). argmin uses d = |c|^2 - 2 e.c (the |e|^2 term is constant
+    per vector, dropped on BOTH engines) with a centroid-id tie-break."""
+    coll = _with_norms(collection, id_col, vec_col, dim)
+    cent = F.broadcast(centroids)
+
+    def _d(emb: Column) -> Column:
+        # written exactly as the DuckDB oracle writes it, for float parity
+        return dot(F.col("cemb"), F.col("cemb"), dim) - F.lit(2.0) * dot(emb, F.col("cemb"), dim)
+
+    assign = (
+        coll.crossJoin(cent)
+        .groupBy("id")
+        .agg(
+            F.min(F.struct(_d(F.col("emb")).alias("d"), F.col("cid").alias("cid"))).alias("m"),
+            F.first("emb").alias("emb"),
+            F.first("n2").alias("n2"),
+        )
+        .select("id", "emb", "n2", F.col("m.cid").alias("cid"))
+    )
+    q = _with_norms(queries, id_col, vec_col, dim).select(
+        F.col("id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
+    )
+    qd = q.crossJoin(cent).select(
+        "query_id", "qemb", "qn2", "cid", _d(F.col("qemb")).alias("d")
+    )
+    wp = Window.partitionBy("query_id").orderBy("d", "cid")
+    probe = qd.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= n_probe).select(
+        "query_id", "qemb", "qn2", "cid"
+    )
+    pairs = assign.join(F.broadcast(probe), ["cid"]).filter(F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb"), dim) / F.sqrt(F.col("qn2") * F.col("n2")), round_digits
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

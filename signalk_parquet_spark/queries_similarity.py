@@ -156,3 +156,56 @@ def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cos, 4).alias("cos4"),
         )
     )
+
+
+_STRIDE = 125  # centroids = embeddings with vec_id % 125 == 0 (16 at sf0.1)
+_NPROBE = 3
+
+
+def _dd_ivf_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {_STRIDE} = 0
+    ), ad AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(e.emb, c.cemb) AS d
+      FROM e CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, emb AS qemb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM ad WHERE vec_id < {_NQ}
+      ) WHERE rn <= {_NPROBE}
+    ), pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(p.qemb, a.emb)
+                   / sqrt(list_dot_product(p.qemb, p.qemb) * list_dot_product(a.emb, a.emb)),
+                   4) AS cos4
+      FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos4, rank FROM r WHERE rank <= {_TOPK}
+    """
+
+
+@register("ann_ivf", _dd_ivf_sql())
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (the >10^7-vector scale path, BASELINE extension set): a
+    deterministic stride coarse quantizer (SQL-expressible, so the oracle is
+    exact — swap in operators.similarity.kmeans_centroids for a learned one),
+    map-side argmin cell assignment, 3-cell probe, exact cosine re-rank.
+    Same output contract as knn_bruteforce/ann_lsh_bucketed."""
+    from .operators.similarity import ivf_topk, stride_centroids
+
+    e = load(spark, sf, "embeddings")
+    cent = stride_centroids(e, "vec_id", "embedding", _STRIDE)
+    q = e.filter(F.col("vec_id") < _NQ)
+    out = ivf_topk(e, q, cent, "vec_id", "embedding", k=_TOPK, n_probe=_NPROBE, dim=_DIM)
+    return out.withColumnRenamed("cos", "cos4")

@@ -64,3 +64,44 @@ def test_knn_and_ann_operators(spark):
     # ANN only sees same-bucket candidates; vector 1 (nearly parallel) must
     # share vector 0's bucket and be found
     assert any(r["neighbor_id"] == 1 for r in ann)
+
+
+def test_ivf_operator_with_learned_and_stride_quantizers(spark):
+    from signalk_parquet_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids, knn_topk, stride_centroids,
+    )
+
+    # two tight clusters far apart: IVF with 2 cells must keep same-cluster
+    # neighbors even probing a single cell
+    rows = [(i, [10.0 + 0.01 * i, 0.0, 0.0, 1.0]) for i in range(6)] + [
+        (i, [-10.0 - 0.01 * i, 5.0, 0.0, 1.0]) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin(0, 6))
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_topk(emb, q, "vec_id", "embedding", k=3).collect()
+    }
+
+    stride = stride_centroids(emb, "vec_id", "embedding", 6)  # vec 0 and 6
+    ivf_s = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, stride, "vec_id", "embedding", k=3, n_probe=1).collect()
+    }
+    assert ivf_s == exact  # clusters are clean -> IVF@1probe == exact top-3
+
+    learned = kmeans_centroids(emb, "vec_id", "embedding", k=2, seed=7)
+    ivf_k = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, learned, "vec_id", "embedding", k=3, n_probe=1).collect()
+    }
+    assert ivf_k == exact
+
+    # determinism: same seed -> same centroids -> same result
+    learned2 = kmeans_centroids(emb, "vec_id", "embedding", k=2, seed=7)
+    ivf_k2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, learned2, "vec_id", "embedding", k=3, n_probe=1).collect()
+    }
+    assert ivf_k2 == ivf_k
