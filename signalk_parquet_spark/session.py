@@ -45,6 +45,13 @@ def ensure_query_confs(spark: SparkSession) -> None:
     # the testdata parquet stores TIMESTAMP(NANOS) which Spark rejects unless
     # read as long; registry.load() converts the affected columns back
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a session we did not create (the driver passes its own) may carry the
+    # stock 200 shuffle partitions — 6x task overhead for nothing at bench
+    # scale; AQE coalescing caps the downside of setting it lower
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Optional AQE floor on post-shuffle partition size. A floor keeps more
     # tasks alive for CPU-bound post-shuffle stages, but A/B at sf0.1 showed
     # it taxes every small query (+0.3-0.7 s each) for no net win once the

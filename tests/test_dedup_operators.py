@@ -105,3 +105,16 @@ def test_ivf_operator_with_learned_and_stride_quantizers(spark):
         for r in ivf_topk(emb, q, learned2, "vec_id", "embedding", k=3, n_probe=1).collect()
     }
     assert ivf_k2 == ivf_k
+
+
+def test_ivf_numpy_assignment_matches_expr(spark):
+    from signalk_parquet_spark.operators.similarity import ivf_topk, stride_centroids
+
+    rows = [(i, [float((i * 13 + j * 7) % 10) - 4.5 for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 4)
+    cent = stride_centroids(emb, "vec_id", "embedding", 15)
+    key = lambda df: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()}
+    expr = key(ivf_topk(emb, q, cent, "vec_id", "embedding", k=3, n_probe=2, assign="expr"))
+    npy = key(ivf_topk(emb, q, cent, "vec_id", "embedding", k=3, n_probe=2, assign="numpy"))
+    assert npy == expr
