@@ -135,3 +135,26 @@ def streaming_ema(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deployment notes (production checklist for the stateful queries)
+#
+# - SINKS: memory sink is for tests/demos ONLY — it cannot restore from a
+#   checkpoint, so a restarted query silently starts an empty table. Real
+#   deployments use parquet/file sinks (exactly-once via the file-sink log)
+#   or foreachBatch (idempotent MERGE/upsert into the hot buffer). The
+#   restart tests in tests/test_stateful_repair.py use a parquet sink for
+#   exactly this reason.
+# - CHECKPOINTS: one checkpointLocation per query, on storage that survives
+#   the driver (HDFS/S3/NFS — not executor-local disk). State schema is
+#   frozen at first start; changing the state struct needs a new checkpoint
+#   dir (and a backfill if continuity matters).
+# - STATE SIZE: state is partitioned by the groupBy key (context, path) —
+#   it scales out with shuffle partitions, and per-key state here is O(1)
+#   (last value / active flag), so the store stays tiny even at fleet scale.
+#   Use GroupStateTimeout (already set) so dead series age out.
+# - WATERMARKS: the rollup pipeline drops late data past the watermark;
+#   late-arriving back-exports should go through the BATCH rollup path
+#   (operators/rollups) instead of the stream.
+# ---------------------------------------------------------------------------
