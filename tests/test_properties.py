@@ -198,3 +198,57 @@ def test_interval_join_equals_theta_join(spark_global, left, right, tol_ms):
         if lk == rk and abs(lt - rt) <= tol_ms
     }
     assert got == expect
+
+
+# --- IVF approximation bound vs exact kNN over random vectors ----------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-50, 50), min_size=6, max_size=6),
+        min_size=8, max_size=40, unique_by=tuple,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_ivf_never_beats_exact_knn(spark_global, vecs, stride):
+    """Approximate search can only lose candidates: at every rank, IVF's
+    cosine must be <= brute-force kNN's cosine for the same query."""
+    from signalk_parquet_spark.operators.similarity import ivf_topk, knn_topk, stride_centroids
+
+    spark = spark_global
+    rows = [(i, [float(x) + 0.01 for x in v]) for i, v in enumerate(vecs)]
+    # +0.01 keeps every vector nonzero-norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = {(r["query_id"], r["rank"]): r["cos"]
+             for r in knn_topk(emb, q, "vec_id", "embedding", k=3).collect()}
+    cent = stride_centroids(emb, "vec_id", "embedding", stride)
+    approx = {(r["query_id"], r["rank"]): r["cos"]
+              for r in ivf_topk(emb, q, cent, "vec_id", "embedding", k=3, n_probe=2).collect()}
+    for key, cos in approx.items():
+        assert key in exact and cos <= exact[key] + 1e-9, key
+
+
+# --- MinHash LSH: exact duplicates are ALWAYS found --------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+                 min_size=6, max_size=12),
+        min_size=2, max_size=10,
+    ),
+    st.data(),
+)
+def test_minhash_lsh_finds_all_exact_duplicates(spark_global, docs, data):
+    """Identical texts have identical signatures, hence identical band keys,
+    hence MUST surface as candidates and pass verify (jaccard == 1). The
+    LSH shortcut is allowed to miss near-dups, never exact ones."""
+    from signalk_parquet_spark.operators.dedup import minhash_lsh_pairs
+
+    spark = spark_global
+    texts = [" ".join(d) for d in docs]
+    dup_of = data.draw(st.integers(0, len(texts) - 1))
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[dup_of])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()}
+    assert (dup_of, len(texts)) in pairs
