@@ -90,3 +90,24 @@ def test_planner_matches_duckdb_multi_context_max(spark, event_lake):
         GROUP BY 1
     """).fetchall()
     assert got == {b: m for b, m in rows}
+
+
+# --- foreign-session robustness: the driver runs OUR queries on ITS session --
+def test_gate_queries_survive_a_vanilla_session(spark):
+    """spark.newSession() has a fresh SQLConf — stock 200 shuffle
+    partitions, no nanosAsLong, no UTC pin — exactly the shape of the
+    driver's own session. ensure_query_confs (called inside registry.load)
+    must make the queries correct there, with per-session caches."""
+    fresh = spark.newSession()
+    assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+
+    qs = registry.queries()
+    # one per table family, including a nano-timestamp events query and a
+    # documents/embeddings consumer (per-session cache spread path)
+    for name in ("bucket_avg_1h", "tpch_q6", "dedup_exact", "knn_bruteforce"):
+        ours = {tuple(r) for r in qs[name](spark, SF).collect()}
+        theirs = {tuple(r) for r in qs[name](fresh, SF).collect()}
+        assert ours == theirs, name
+    # the conf hardening actually landed on the foreign session
+    assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
