@@ -35,6 +35,9 @@ def main() -> None:
             registry.load(spark, sf_dir, table)
         except Exception:
             pass
+    # spin up the Python/Arrow worker pool (first pandas-UDF query otherwise
+    # pays ~3 s of worker + Arrow-channel startup)
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -142,11 +142,13 @@ def ivf_topk(
                 near-equidistant — fine for real ANN deployments, not for
                 exact cross-engine parity."""
     coll = _with_norms(collection, id_col, vec_col, dim)
-    cent = F.broadcast(centroids)
+    # |c|^2 once per centroid, not per pair — same float as the oracle's
+    # per-pair list_dot_product(cemb, cemb), so parity is unaffected
+    cent = F.broadcast(centroids.withColumn("cn2", dot(F.col("cemb"), F.col("cemb"), dim)))
 
     def _d(emb: Column) -> Column:
-        # written exactly as the DuckDB oracle writes it, for float parity
-        return dot(F.col("cemb"), F.col("cemb"), dim) - F.lit(2.0) * dot(emb, F.col("cemb"), dim)
+        # d = |c|^2 - 2 e.c, written exactly as the DuckDB oracle writes it
+        return F.col("cn2") - F.lit(2.0) * dot(emb, F.col("cemb"), dim)
 
     if assign == "numpy":
         assign_df = _assign_numpy(coll, centroids)
