@@ -158,6 +158,7 @@ def _import_all() -> None:
     from . import queries_core, queries_tpch  # noqa: F401
 
     for mod in (
+        "queries_curation",
         "queries_spatial",
         "queries_text",
         "queries_similarity",
