@@ -94,3 +94,105 @@ def curation_quota(spark: SparkSession, sf: str) -> DataFrame:
     scored = d.select("lang", "doc_id", score.alias("quality_score"))
     w = Window.partitionBy("lang").orderBy(F.col("quality_score").desc(), "doc_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _QUOTA)
+
+
+# --- decontamination: train/test n-gram overlap ------------------------------
+_NG = 8  # 8-token grams, the usual eval-decontamination unit
+
+# DuckDB twins of functions.text shingles(n=8) + hashed_shingles
+_TOKS_DD = "string_split(text, ' ')"
+_SH8_DD = (
+    f"list_transform(range(1, len({_TOKS_DD}) - {_NG - 2}), "
+    f"i -> array_to_string(({_TOKS_DD})[i:i+{_NG - 1}], ' '))"
+)
+_HSH8_DD = (
+    f"list_distinct(list_transform({_SH8_DD}, "
+    "s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)))"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split,
+             {_HSH8_DD} AS sh
+      FROM documents
+    ), tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE split = 'train'),
+       te AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE split = 'test')
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS shared_ngrams
+    FROM te JOIN tr ON te.g = tr.g
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: (test_doc, train_doc) pairs sharing >= 1
+    distinct 8-gram, with the shared count. The join key is the 48-bit
+    shingle hash, so candidates meet on an equi-key — at 100 TB the train
+    side is the big one and this is exactly the shape you'd feed a bloom
+    prefilter; the exact join here IS the verify step."""
+    from .functions.text import hashed_shingles, shingles
+
+    d = load(spark, sf, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
+    )
+    s = d.select(
+        "doc_id",
+        split.alias("split"),
+        hashed_shingles(shingles(tokens("text"), _NG)).alias("sh"),
+    )
+    tr = s.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
+    )
+    te = s.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), F.explode("sh").alias("g")
+    )
+    return (
+        te.join(tr, ["g"])
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+# --- intra-doc repetition score (Gopher-style quality rule) ------------------
+@register(
+    "repetition_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(range(1, len({_TOKS_DD}) - 1),
+                            i -> array_to_string(({_TOKS_DD})[i:i+2], ' ')) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           len(sh) AS n_3grams,
+           len(list_distinct(sh)) AS n_distinct,
+           1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio,
+           (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.1 AS repetitive
+    FROM t WHERE len(sh) > 0
+    """,
+)
+def repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-3-gram fraction per document (1 - distinct/total), with a
+    thresholded repetitive flag — the standard repetition quality rule.
+    Integer-count ratio, so values are engine-exact unrounded."""
+    from .functions.text import shingles
+
+    d = load(spark, sf, "documents")
+    sh = shingles(tokens("text"), 3)
+    return (
+        d.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_3grams"),
+            F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+            (F.lit(1.0) - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")).alias("rep_ratio"),
+            ((F.lit(1.0) - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")) > 0.1).alias("repetitive"),
+        )
+    )
