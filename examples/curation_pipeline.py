@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""End-to-end LLM training-data curation demo over the synthetic corpus:
+
+  quality scoring -> repetition filter -> exact + MinHash-LSH dedup ->
+  deterministic train/val/test split -> eval decontamination ->
+  embedding-space diversity balancing -> per-language quotas
+
+Every stage is the same operator the gate queries verify against DuckDB;
+this script just chains them the way a pipeline run would. Run with:
+    python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from signalk_parquet_spark import registry
+from signalk_parquet_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from signalk_parquet_spark.session import get_spark
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("curation-pipeline")
+    docs = registry.load(spark, sf, "documents")
+    n0 = docs.count()
+
+    # 1. quality + repetition filters (Gopher-style)
+    q = registry.queries()
+    quality = q["text_quality"](spark, sf).select("doc_id", "quality_score")
+    rep = q["repetition_score"](spark, sf).select("doc_id", "repetitive")
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .filter((F.col("quality_score") > 0.2) & ~F.col("repetitive"))
+    )
+    n1 = kept.count()
+
+    # 2. dedup: drop exact copies, then LSH near-dups (keep lower doc_id)
+    keepers = exact_dedup(kept, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = kept.join(keepers, "doc_id")
+    near = minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.85)
+    losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = kept.join(losers, "doc_id", "left_anti")
+    n2 = kept.count()
+
+    # 3. deterministic split + decontamination (drop leaked test docs)
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    kept = kept.withColumn(
+        "split",
+        F.when(hx < "cd", "train").when(hx < "e6", "val").otherwise("test"),
+    )
+    leaked = (
+        q["decontaminate_ngram"](spark, sf)
+        .select(F.col("test_doc").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(leaked, "doc_id", "left_anti")
+    n3 = kept.count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    # 4. embedding diversity balancing (cap over-dense clusters)
+    diverse = q["curation_diverse"](spark, sf)
+    n_cells = diverse.select("cell").distinct().count()
+    n4 = diverse.count()
+
+    # 5. final per-language quota
+    quota = q["curation_quota"](spark, sf)
+    n5 = quota.count()
+
+    print(f"documents: {n0}")
+    print(f"after quality+repetition filters: {n1}")
+    print(f"after exact+near dedup: {n2}")
+    print(f"after decontamination: {n3}  splits: {split_counts}")
+    print(f"diversity sample: {n4} vectors across {n_cells} cells")
+    print(f"per-language quota sample: {n5}")
+    assert n0 >= n1 >= n2 >= n3 > 0
+
+
+if __name__ == "__main__":
+    main()

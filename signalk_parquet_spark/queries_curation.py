@@ -196,3 +196,64 @@ def repetition_score(spark: SparkSession, sf: str) -> DataFrame:
             ((F.lit(1.0) - F.size(F.array_distinct("sh")).cast("double") / F.size("sh")) > 0.1).alias("repetitive"),
         )
     )
+
+
+# --- diversity sampling: per-cluster quotas in embedding space ---------------
+_CELL_STRIDE = 125
+_CELL_QUOTA = 20
+
+
+@register(
+    "curation_diverse",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cemb, list_dot_product(emb, emb) AS cn2
+      FROM e WHERE vec_id % {_CELL_STRIDE} = 0
+    ), ad AS (
+      SELECT e.vec_id, c.cid, c.cn2 - 2 * list_dot_product(e.emb, c.cemb) AS d
+      FROM e CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad
+      ) WHERE rn = 1
+    ), r AS (
+      SELECT vec_id, cid, row_number() OVER (
+        PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+      FROM assign
+    )
+    SELECT cid AS cell, vec_id, pick FROM r WHERE pick <= {_CELL_QUOTA}
+    """,
+)
+def curation_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced sampling: assign every embedding to its nearest
+    coarse cell (same deterministic quantizer as ann_ivf), then keep a fixed
+    quota per cell, ordered by content hash so the within-cell pick is
+    unbiased and reproducible. This is the embedding-space diversity
+    balancing step of a curation pipeline — over-dense clusters are capped,
+    sparse ones survive whole. One broadcast cross-join (map-side argmin
+    partial agg) + one window per cell."""
+    from .functions.vectors import as_double, dot
+    from .registry import load as _load
+
+    e = _load(spark, sf, "embeddings").select("vec_id", as_double("embedding").alias("emb"))
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % _CELL_STRIDE == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+        ).withColumn("cn2", dot(F.col("cemb"), F.col("cemb")))
+    )
+    d = F.col("cn2") - F.lit(2.0) * dot(F.col("emb"), F.col("cemb"))
+    assign = (
+        e.crossJoin(cent)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(d.alias("d"), F.col("cid").alias("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cell"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (
+        assign.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= _CELL_QUOTA)
+        .select("cell", "vec_id", "pick")
+    )
