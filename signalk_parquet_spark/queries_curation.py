@@ -257,3 +257,49 @@ def curation_diverse(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("pick") <= _CELL_QUOTA)
         .select("cell", "vec_id", "pick")
     )
+
+
+# --- multimodal metadata accounting ------------------------------------------
+@register(
+    "multimodal_meta",
+    """
+    WITH m AS (
+      SELECT source,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    )
+    SELECT source, media_type,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           max(n_bytes) AS max_bytes
+    FROM m GROUP BY 1, 2
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only accounting over opaque binary media columns: payload
+    sizes per (source, media_type) without ever decoding. The payload here
+    is utf-8-encoded text standing in for real image/audio bytes (the
+    container has no decoders); the plan shape is the point — a real corpus
+    runs this exact aggregation with payload bytes never leaving the scan
+    projection (see operators/multimodal for the decode plumbing)."""
+    d = load(spark, sf, "documents")
+    payload = F.encode("text", "utf-8")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return (
+        d.select(
+            "source",
+            media.alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        )
+        .groupBy("source", "media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )

@@ -157,3 +157,39 @@ def json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- BPE-ish regex token counting ---------------------------------------------------
+# GPT-2-style pre-tokenizer classes, restricted to dialect-neutral constructs
+# (char classes + alternation) so Java regex and DuckDB RE2 agree exactly.
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "text_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_whitespace,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpeish,
+           CAST(list_sum(list_transform(regexp_extract_all(text, '{_BPE_RE}'),
+                                        x -> length(x))) AS BIGINT) AS bpeish_chars
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (word / number /
+    punctuation runs with leading-space absorption, as BPE vocabularies
+    segment) next to the whitespace count — the two standard corpus
+    accounting units."""
+    d = load(spark, sf, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_whitespace"),
+        F.size(pieces).alias("n_bpeish"),
+        F.aggregate(
+            F.transform(pieces, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("bpeish_chars"),
+    )
