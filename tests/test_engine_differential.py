@@ -111,3 +111,37 @@ def test_gate_queries_survive_a_vanilla_session(spark):
     # the conf hardening actually landed on the foreign session
     assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+# --- concurrent queries on one session (reference: MAX_QUERIES semaphore) ----
+def test_concurrent_queries_match_sequential(spark):
+    """The reference serves up to 10 concurrent History queries from one
+    process (cache-defaults MAX_QUERIES); our equivalent is many threads on
+    one SparkSession. Results must equal the sequential run — exercises the
+    session table cache under concurrent first-touch."""
+    import threading
+
+    names = [
+        "bucket_avg_1h", "tpch_q6", "dedup_exact", "text_quality",
+        "knn_bruteforce", "count_by_type", "distinct_users", "topk_values",
+    ]
+    qs = registry.queries()
+    fresh = spark.newSession()  # empty per-session cache -> racing loads
+    sequential = {n: {tuple(r) for r in qs[n](spark, SF).collect()} for n in names}
+
+    results: dict[str, set] = {}
+    errors: list[Exception] = []
+
+    def run(name: str) -> None:
+        try:
+            results[name] = {tuple(r) for r in qs[name](fresh, SF).collect()}
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results == sequential
