@@ -136,3 +136,30 @@ def test_write_records_one_file_per_partition(spark, tmp_path):
     files = list((tmp_path / "lake").glob("tier=raw/context=*/path=*/year=*/day=*/*.parquet"))
     assert len(files) == 1, f"expected 1 file, got {len(files)}"
     assert lake.read(tier="raw").count() == 200
+
+
+def test_ann_ivf_assignment_broadcasts_centroids(spark):
+    """The N x K assignment must be a broadcast of the centroid side (the
+    intended BroadcastNestedLoopJoin) — never a shuffled CartesianProduct —
+    and the candidate join must be a broadcast hash equi-join on the cell."""
+    plan = formatted_plan(registry.queries()["ann_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # assignment + probes (subtrees may print twice)
+    assert "BroadcastHashJoin" in plan  # probe-cell candidates
+
+
+def test_decontaminate_is_hash_equi_join(spark):
+    plan = formatted_plan(registry.queries()["decontaminate_ngram"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_curation_split_is_single_shuffle(spark):
+    """Map-side hash + CASE, one groupBy rollup — one aggregation shuffle
+    (the plan prints each node twice: tree + detail; the cached table's
+    one-time spread repartition also shows, so count the hash-partitioned
+    agg exchange specifically)."""
+    plan = formatted_plan(registry.queries()["curation_hash_split"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
