@@ -122,3 +122,85 @@ def blocked_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation connected components over an undirected edge
+    list → ``(node, label)`` where ``label`` is the smallest node id in the
+    component — the canonical "cluster representative" step after any
+    pairwise near-dup screen (transitive closure of the pair relation).
+
+    Scale notes: each round is one equi-join of the edge list against the
+    current label frame plus a map-side min-combine, followed by a
+    pointer-jump (label := label(label)) that collapses chains O(log
+    diameter) instead of O(diameter) — near-dup clusters are clique-like,
+    so 2-3 rounds in practice. Labels are ``localCheckpoint``-ed each
+    round, NOT merely persisted: persist caches data but keeps the full
+    logical plan, and an iterative self-referencing join doubles plan size
+    per round, so Catalyst analysis time goes exponential (observed: a
+    9-round loop that never finished analysis). localCheckpoint truncates
+    lineage at the cached partitions; the fault-tolerance trade (executor
+    loss restarts the job) is the standard one for iterative graph
+    algorithms. Semantics stay exactly expressible as a recursive-CTE
+    oracle.
+    """
+    # symmetrize in ONE traversal (explode, not self-union — a union would
+    # recompute the upstream pair screen once per branch)
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
+    n_edges = sym.count()
+    # the pair relation is orders of magnitude smaller than the corpus that
+    # produced it — right-size the graph's layout so each iteration is a few
+    # tasks, not input-partition-count tasks. ~1M edges per partition; at
+    # real scale this leaves thousands of partitions, here it collapses to 1.
+    parts = max(1, min(sym.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    if parts < sym.rdd.getNumPartitions():
+        packed = sym.coalesce(parts).persist()
+        packed.count()
+        sym.unpersist()
+        sym = packed
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        stepped = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label := label(label). Every label IS a node in the
+        # frame (labels start as self and only ever take existing node ids),
+        # so the self-join is total and chains halve each round.
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        new = (
+            stepped.join(jump, stepped["label"] == jump["j_node"])
+            .select("node", F.least("label", "j_label").alias("label"))
+            .localCheckpoint()
+        )
+        # min-propagation is monotone: any change is a strict decrease
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

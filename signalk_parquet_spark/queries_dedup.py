@@ -271,3 +271,54 @@ def dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("head_dist") <= 5)
     )
+
+
+# --- near-dup clustering: connected components over the pair relation -------------
+def _dd_cc_sql() -> str:
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 20) AS BIGINT) AS len_bucket,
+             {_HSHINGLES_DD} AS sh
+      FROM documents
+    ), e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), sym AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ), reach(node, label) AS (
+      SELECT src AS node, src AS label FROM sym
+      UNION
+      SELECT s.src AS node, r.label AS label FROM sym s JOIN reach r ON r.node = s.dst
+    ), rep AS (
+      SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_rep,
+           count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM rep
+    """
+
+
+@register("dedup_cluster_cc", _dd_cc_sql())
+def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERING (the step after pairwise dedup screens): take the
+    blocked-Jaccard pair relation as an undirected graph and assign every
+    document in a non-singleton component its transitive-closure cluster
+    representative (min doc_id) via iterative min-label propagation
+    (operators.dedup.connected_components). The oracle expresses the same
+    fixpoint as a recursive CTE. This is what turns "A~B, B~C" pairs into
+    one keep-A/drop-B,C decision even when A and C never matched directly."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import blocked_jaccard_pairs, connected_components
+
+    d = load(spark, sf, "documents")
+    edges = blocked_jaccard_pairs(d, "doc_id", "text", ["lang"])
+    labels = connected_components(edges, "id_a", "id_b")
+    w = Window.partitionBy("cluster_rep")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )

@@ -193,3 +193,53 @@ def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("bpeish_chars"),
     )
+
+
+# --- exact distributed quantiles via ranking (no sketch, no interpolation) ----------
+@register(
+    "length_quantiles",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           max(CASE WHEN rn = floor((50 * n + 99) / 100.0) THEN n_chars END) AS p50,
+           max(CASE WHEN rn = floor((90 * n + 99) / 100.0) THEN n_chars END) AS p90,
+           max(CASE WHEN rn = floor((99 * n + 99) / 100.0) THEN n_chars END) AS p99,
+           max(n) AS n_docs
+    FROM r GROUP BY lang
+    """,
+)
+def length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-group quantiles (p50/p90/p99 of document length) via
+    rank-at-ceil(p·n) — the discrete quantile definition, all-integer so the
+    oracle matches bit-for-bit. The interpolating percentile_cont and
+    approx_percentile both have engine-specific float behavior; rank-based
+    selection is the portable form, and at 100 TB it is one window pass +
+    one partial-agg — same cost as any other windowed agg. The index is
+    computed as floor((p·n+99)/100): integer-exact ceil division, avoiding
+    0.9·n float-representation edge cases at exact multiples."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    r = (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+
+    def _at(p: int):
+        idx = F.floor((F.lit(p) * F.col("n") + 99) / F.lit(100.0))
+        return F.max(F.when(F.col("rn") == idx, F.col("n_chars")))
+
+    return r.groupBy("lang").agg(
+        _at(50).alias("p50"),
+        _at(90).alias("p90"),
+        _at(99).alias("p99"),
+        F.max("n").alias("n_docs"),
+    )

@@ -240,3 +240,193 @@ def order_gaps(spark: SparkSession, sf: str) -> DataFrame:
             (F.unix_millis(ts) - F.unix_millis(F.col("prev_date"))).alias("gap_ms"),
         )
     )
+
+
+# --- TPC-H Q7 shape: trade volume by (supplier nation, customer nation, year) ------
+@register(
+    "tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping), adapted to the synthetic schema:
+    full supplier-nation × customer-nation × ship-year trade matrix. The
+    fact-side join is lineitem⋈orders on the order key; everything else is
+    a broadcast dimension. Revenue is summed in integer 1e-4 units (the
+    per-row product is deterministic; the float SUM is not — 4363 small
+    groups hit round(2) half-boundaries 9 times) then divided once, the
+    CLAUDE.md rule-2 micro-space pattern."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    supp = load(spark, sf, "supplier")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                    ).cast("long")
+                )
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+    )
+
+
+# --- TPC-H Q10 shape: returned-item reporting (top 20 customers) -------------------
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items, top-20 customers.
+    Aggregation keys ride along the broadcast customer dimension; the sort
+    is a 20-row top-k (takeOrdered, no full sort at scale)."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q14 shape: promotion revenue share (conditional aggregation) ------------
+@register(
+    "tpch_q14",
+    """
+    SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast part join.
+    Emits the two rounded sums, not their quotient — a float-quotient final
+    step is the one rounding pattern the oracle hash can't absorb (see
+    CLAUDE.md rule 2); the caller divides."""
+    li = load(
+        spark, sf, "lineitem",
+        ts_range=("l_shipdate", "1997-01-01T00:00:00Z", "1998-01-01T00:00:00Z"),
+    )
+    part = load(spark, sf, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(disc_price), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders (agg-filter join back to facts) ----------
+_Q18_QTY = 300
+
+
+@register(
+    "tpch_q18",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS orderdate,
+           o_totalprice, round(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with large-volume orders. The HAVING
+    screen shrinks the fact aggregate to a handful of keys, which then
+    broadcasts back against orders — the aggregate-then-semi-enrich plan,
+    not a re-scan. Threshold comparison on the double sum is
+    continuum-safe (CLAUDE.md rule 4); the emitted sum is rounded."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format(
+                F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("orderdate"),
+            "o_totalprice",
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+    )

@@ -118,3 +118,25 @@ def test_ivf_numpy_assignment_matches_expr(spark):
     expr = key(ivf_topk(emb, q, cent, "vec_id", "embedding", k=3, n_probe=2, assign="expr"))
     npy = key(ivf_topk(emb, q, cent, "vec_id", "embedding", k=3, n_probe=2, assign="numpy"))
     assert npy == expr
+
+
+def test_connected_components_transitive_closure(spark):
+    from signalk_parquet_spark.operators.dedup import connected_components
+
+    # path graph 1-2-3 (1 and 3 never share an edge) + separate pair 7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain(spark):
+    from signalk_parquet_spark.operators.dedup import connected_components
+
+    # diameter-9 chain: takes several propagation rounds, not one
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 19)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert set(labels.values()) == {10} and len(labels) == 10

@@ -163,3 +163,18 @@ def test_curation_split_is_single_shuffle(spark):
     plan = formatted_plan(registry.queries()["curation_hash_split"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q7_q10_dimension_joins_are_broadcast(spark):
+    for name in ("tpch_q7", "tpch_q10"):
+        plan = formatted_plan(registry.queries()[name](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 3, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q18_agg_screen_broadcasts_back(spark):
+    # the HAVING-screened aggregate is tiny — it must broadcast against
+    # orders, not shuffle the fact table a second time
+    plan = formatted_plan(registry.queries()["tpch_q18"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
