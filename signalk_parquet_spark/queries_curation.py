@@ -105,12 +105,6 @@ _SH8_DD = (
     f"list_transform(range(1, len({_TOKS_DD}) - {_NG - 2}), "
     f"i -> array_to_string(({_TOKS_DD})[i:i+{_NG - 1}], ' '))"
 )
-_HSH8_DD = (
-    f"list_distinct(list_transform({_SH8_DD}, "
-    "s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)))"
-)
-
-
 @register(
     "decontaminate_ngram",
     f"""
@@ -119,7 +113,7 @@ _HSH8_DD = (
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
                   ELSE 'test' END AS split,
-             {_HSH8_DD} AS sh
+             list_distinct({_SH8_DD}) AS sh
       FROM documents
     ), tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE split = 'train'),
        te AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE split = 'test')
@@ -130,21 +124,32 @@ _HSH8_DD = (
 )
 def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-set decontamination: (test_doc, train_doc) pairs sharing >= 1
-    distinct 8-gram, with the shared count. The join key is the 48-bit
-    shingle hash, so candidates meet on an equi-key — at 100 TB the train
-    side is the big one and this is exactly the shape you'd feed a bloom
-    prefilter; the exact join here IS the verify step."""
-    from .functions.text import hashed_shingles, shingles
+    distinct 8-gram, with the shared count. Candidates meet on an equi-key —
+    at 100 TB the train side is the big one and this is exactly the shape
+    you'd feed a bloom prefilter; the exact join here IS the verify step.
+
+    Spark joins on the native 64-bit ``xxhash64`` of each shingle (codegen'd
+    long key — no hex-string materialization); the oracle joins on the raw
+    shingle string, which is the collision-free ground truth, so the gate
+    ALSO proves the hash key introduced no collisions at test scale. The
+    expensive shingle pass runs ONCE: val docs are dropped first (they join
+    neither side) and the compact pre-explode (doc_id, split, sh) frame is
+    persisted so the two join branches don't re-shingle the corpus."""
+    from .functions.text import shingles
 
     d = load(spark, sf, "documents")
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
         F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
     )
-    s = d.select(
-        "doc_id",
-        split.alias("split"),
-        hashed_shingles(shingles(tokens("text"), _NG)).alias("sh"),
+    hashed = F.array_distinct(
+        F.transform(shingles(tokens("text"), _NG), lambda s: F.xxhash64(s))
+    )
+    s = (
+        d.select("doc_id", split.alias("split"), "text")
+        .filter(F.col("split") != "val")
+        .select("doc_id", "split", hashed.alias("sh"))
+        .persist()
     )
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
