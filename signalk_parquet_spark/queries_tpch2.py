@@ -1,0 +1,482 @@
+"""Second TPC-H wave — the query shapes the first wave didn't cover, adapted
+to the reduced synthetic schema (no partsupp, no commit/receipt dates, no
+phone): correlated EXISTS / NOT EXISTS, left-outer distribution, correlated
+scalar aggregates, disjunctive pushdown, market-share conditional aggs,
+max-over-aggregate selection, and concentration HAVING.
+
+Like queries_tpch.py these exercise the raw-SQL passthrough surface (SURVEY
+S12, src/api-routes.ts:447-541) — arbitrary read-only analytics over the
+lake, planned by Catalyst. Scale notes per query; the shared rules:
+dimension sides broadcast, fact-side aggregates reduce BEFORE joining back
+(aggregate-then-enrich, never re-scan), money sums ride in integer 1e-4
+micro-units when group counts make float round(2) half-boundaries likely
+(CLAUDE.md rule 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# per-row money term in integer 1e-4 units — deterministic across engines
+_DD_VOL_U = "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+
+def _vol_u() -> F.Column:
+    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+
+
+# --- TPC-H Q4: order priority checking (correlated EXISTS semi-join) ----------
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (late-line order counting): the correlated EXISTS becomes a
+    left_semi join whose condition carries the correlation (l_shipdate >
+    o_orderdate). The probe side is the date-filtered orders slice; Spark
+    dedups the build side internally — no DISTINCT pre-pass needed."""
+    orders = load(
+        spark, sf, "orders",
+        ts_range=("o_orderdate", "1997-01-01T00:00:00Z", "1997-04-01T00:00:00Z"),
+    )
+    li = load(spark, sf, "lineitem")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --- TPC-H Q8: national market share (conditional micro-unit aggregation) -----
+@register(
+    "tpch_q8",
+    f"""
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_7' THEN {_DD_VOL_U} ELSE 0 END)
+                AS BIGINT) / 10000.0 AS nation_volume,
+           CAST(sum({_DD_VOL_U}) AS BIGINT) / 10000.0 AS total_volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (market share): NATION_7's share of the ASIA customer market
+    by order year. Numerator and denominator are emitted separately (the
+    float quotient is the one step the oracle hash can't absorb); both sum
+    in integer micro-units. lineitem⋈orders is the only shuffle — the five
+    dimension hops all broadcast."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    vol = _vol_u()
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0))) / 10000.0)
+            .alias("nation_volume"),
+            (F.sum(vol) / 10000.0).alias("total_volume"),
+        )
+    )
+
+
+# --- TPC-H Q9: product-type profit (LIKE filter + many-group micro-unit sum) ---
+@register(
+    "tpch_q9",
+    """
+    SELECT n_name AS nation,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(
+             (l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000,
+             0) AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (profit by supplier nation × year), supply cost approximated
+    as 10% of retail price (no partsupp table). The LIKE '%red%' filter rides
+    the broadcast part dimension, shrinking the fact stream before the
+    orders shuffle. 25 nations × 7 years of small sums → integer micro-units
+    (CLAUDE.md rule 2)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    nation = load(spark, sf, "nation")
+    profit_u = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_u) / 10000.0).alias("profit"))
+    )
+
+
+# --- TPC-H Q11 shape: revenue concentration (HAVING vs global total) ----------
+@register(
+    "tpch_q11",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, CAST(sum({_DD_VOL_U}) AS BIGINT) AS val_u
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, val_u / 10000.0 AS value
+    FROM pv
+    WHERE val_u > (SELECT CAST(sum(val_u) AS DOUBLE) * 0.001 FROM pv)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock screen, partsupp→lineitem revenue):
+    per-part revenue kept only where it exceeds 0.1% of the global total.
+    The per-part aggregate computes ONCE (persist) and feeds both the global
+    scalar and the filter — not two scans of the fact table. Micro-unit
+    sums make the threshold comparison engine-exact (the global total is the
+    same exact integer on both sides before the one double multiply)."""
+    li = load(spark, sf, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_vol_u()).alias("val_u")).persist()
+    pv.count()  # materialize before the two consumers fork (CLAUDE.md gotcha)
+    total = pv.agg((F.sum("val_u").cast("double") * 0.001).alias("thresh"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val_u") > F.col("thresh"))
+        .select("l_partkey", (F.col("val_u") / 10000.0).alias("value"))
+    )
+
+
+# --- TPC-H Q12: shipping-priority class counting (conditional counts) ---------
+@register(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (priority-class line counting; l_returnflag stands in
+    for the absent l_shipmode). Pure conditional counting — integer sums,
+    exact without rounding (CLAUDE.md rule 3). The ship-date filter pushes
+    into the lineitem scan before the orders join."""
+    orders = load(spark, sf, "orders")
+    li = load(
+        spark, sf, "lineitem",
+        ts_range=("l_shipdate", "1997-01-01T00:00:00Z", "1998-01-01T00:00:00Z"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q13: customer order-count distribution (outer join + double agg) ---
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT OUTER JOIN with a pushed
+    join-side predicate (the o_comment NOT LIKE stand-in is a priority
+    filter), count per customer including zeros, then the count-of-counts.
+    The second aggregation runs on ~|customer| rows — negligible after the
+    first reduce."""
+    cust = load(spark, sf, "customer")
+    urgent = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --- TPC-H Q15: top supplier (max-over-aggregate selection) --------------------
+@register(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, CAST(sum({_DD_VOL_U}) AS BIGINT) AS total_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_u / 10000.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_u = (SELECT max(total_u) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue-per-supplier aggregate computed once
+    (persist), its scalar max broadcast back as an equality filter — the
+    decorrelated view-max plan. Equality on the integer micro-unit total is
+    exact, so ties surface identically on both engines (the spec's intended
+    semantics), with no global sort anywhere."""
+    li = load(
+        spark, sf, "lineitem",
+        ts_range=("l_shipdate", "1997-01-01T00:00:00Z", "1997-04-01T00:00:00Z"),
+    )
+    supp = load(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_vol_u()).alias("total_u")
+    ).persist()
+    rev.count()
+    mx = rev.agg(F.max("total_u").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_u") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("total_u") / 10000.0).alias("total_revenue"))
+    )
+
+
+# --- TPC-H Q17: small-quantity-order revenue (correlated scalar avg) -----------
+@register(
+    "tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity screen): the correlated AVG subquery
+    decorrelates into a per-part aggregate joined back to the brand-filtered
+    facts — one extra reduce over the fact table, then a broadcast of the
+    ~|part|-row threshold table. l_quantity is integer-valued, so the double
+    AVG (exact integer sum / count) and the 0.5× threshold are bit-identical
+    across engines; the comparison can't flip (CLAUDE.md rule 4)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(thresh), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- TPC-H Q19: discounted revenue (disjunctive predicate pushdown) ------------
+@register(
+    "tpch_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (OR-of-ANDs): the disjunction straddles both tables, so it
+    can't fully push into either scan — but Catalyst derives the common
+    l_quantity<=30 envelope and per-side IN(brand) residuals. Part stays a
+    broadcast; the predicate evaluates post-join inside codegen."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#23") & s.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#24") & s.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- TPC-H Q21: waiting-supplier identification (EXISTS + NOT EXISTS) ----------
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting; "late" = shipped >30
+    days after the order date, standing in for the absent receipt/commit
+    dates). The double correlation — EXISTS another supplier, NOT EXISTS
+    another LATE supplier — decorrelates into two per-order aggregates
+    (distinct-supplier count and distinct-late-supplier count) joined back
+    to the late lines: three reduces over the fact table instead of two
+    correlated re-scans per row. The oracle keeps the EXISTS form, so this
+    is also a differential proof of the decorrelation."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    supp = load(spark, sf, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    nsupp = li.groupBy(F.col("l_orderkey").alias("ns_okey")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp")
+    )
+    nlate = late.groupBy(F.col("l_orderkey").alias("nl_okey")).agg(
+        F.countDistinct("l_suppkey").alias("nlate")
+    )
+    return (
+        late.join(nsupp, late.l_orderkey == F.col("ns_okey"))
+        .join(nlate, late.l_orderkey == F.col("nl_okey"))
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q22: global sales opportunity (anti-join + scalar avg threshold) ----
+@register(
+    "tpch_q22",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (untapped customers; mktsegment stands in for the absent
+    phone country code, "never ordered" tightened to "never ordered URGENT"
+    so the anti-join is non-trivial on this data). NOT EXISTS → left_anti
+    against the filtered order keys; the scalar AVG broadcasts as a 1-row
+    cross join. The 2-decimal acctbals sit far (≫1 ulp) from the continuum
+    threshold, so the float AVG can't flip a comparison (CLAUDE.md rule 4)."""
+    cust = load(spark, sf, "customer")
+    urgent = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    abar = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("abar"))
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(abar))
+        .filter(F.col("c_acctbal") > F.col("abar"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -164,6 +164,7 @@ def _import_all() -> None:
         "queries_similarity",
         "queries_dedup",
         "queries_advanced",
+        "queries_tpch2",
     ):
         try:
             __import__(f"{__package__}.{mod}")
