@@ -178,3 +178,49 @@ def test_q18_agg_screen_broadcasts_back(spark):
     plan = formatted_plan(registry.queries()["tpch_q18"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_with_correlated_condition_pushes_date_filter(spark):
+    # the EXISTS decorrelates to a left_semi whose non-equi correlation
+    # (l_shipdate > o_orderdate) rides the equi-join as a post-condition —
+    # never a cartesian — and the orders date window reaches the scan.
+    # Spark's CacheManager would substitute a session-cached orders table
+    # into the fresh read (hiding PushedFilters); clear it so the assertion
+    # sees the real parquet scan.
+    spark.catalog.clearCache()
+    plan = formatted_plan(registry.queries()["tpch_q4"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "orders date window not pushed"
+
+
+def test_q8_q9_dimension_joins_are_broadcast(spark):
+    for name in ("tpch_q8", "tpch_q9"):
+        plan = formatted_plan(registry.queries()[name](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 4, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scalar_threshold_queries_broadcast_the_scalar(spark):
+    # q11/q15/q22: the 1-row scalar (global total / max / avg) must come
+    # back as a broadcast nested-loop over one row, never a CartesianProduct
+    for name in ("tpch_q11", "tpch_q15", "tpch_q22"):
+        plan = formatted_plan(registry.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_q17_threshold_table_is_broadcast(spark):
+    # the decorrelated per-part AVG threshold (~|part| rows) broadcasts
+    # against the fact stream; brand filter rides the broadcast part dim
+    plan = formatted_plan(registry.queries()["tpch_q17"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelation_is_all_equi_joins(spark):
+    # EXISTS/NOT EXISTS decorrelate to per-order aggregates joined back on
+    # the order key — every join is an equi-join on that key
+    plan = formatted_plan(registry.queries()["tpch_q21"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
