@@ -28,6 +28,61 @@ def _vol_u() -> F.Column:
     return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
 
 
+# --- TPC-H Q2: minimum-cost supplier (min-per-group + equality join back) ------
+@register(
+    "tpch_q2",
+    """
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    best AS (
+      SELECT sp.l_partkey AS b_partkey, min(s_acctbal) AS min_bal
+      FROM sp JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY sp.l_partkey
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM part
+    JOIN sp ON sp.l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = sp.l_suppkey
+    JOIN best ON b_partkey = p_partkey AND s_acctbal = min_bal
+    WHERE p_size = 15 AND p_type = 'SMALL'
+    """,
+)
+def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier; partsupp stands in as the DISTINCT
+    supplier↔part pairs observed in lineitem, min supply cost as min supplier
+    acctbal). The correlated min subquery decorrelates into a per-part min
+    aggregate joined back on (part, min) equality — min of a set is an exact
+    member of it, so the double equality can't miss. The distinct pair
+    relation computes once and feeds both branches; part filters broadcast."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    supp = load(spark, sf, "supplier")
+    # part filter BEFORE the distinct: the min-per-part branch only needs
+    # pairs for surviving parts (the oracle computes best over all parts and
+    # filters after — identical per-part result, ~100× smaller distinct
+    # shuffle here)
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .distinct()
+        .persist()
+    )
+    sp.count()  # materialize before both consumers fork (CLAUDE.md gotcha)
+    with_bal = sp.join(F.broadcast(supp), sp.l_suppkey == supp.s_suppkey)
+    best = with_bal.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        with_bal.join(
+            F.broadcast(best),
+            (F.col("b_partkey") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+
+
 # --- TPC-H Q4: order priority checking (correlated EXISTS semi-join) ----------
 @register(
     "tpch_q4",
@@ -304,6 +359,83 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", (F.col("total_u") / 10000.0).alias("total_revenue"))
     )
+
+
+# --- TPC-H Q16: supplier diversity count (NOT IN blocklist + count distinct) ---
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (supplier-count by part attributes; the complaint-supplier
+    NOT IN becomes a low-acctbal blocklist). NOT IN on a non-nullable key →
+    left_anti against the tiny blocklist (broadcast); part attribute filters
+    ride the broadcast part dim; COUNT(DISTINCT) shuffles once on the group
+    keys with partial distinct aggregation map-side."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    block = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 100).select("s_suppkey")
+    return (
+        li.join(F.broadcast(block), li.l_suppkey == block.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q20: heavy shippers of a part class (nested IN via grouped HAVING) --
+@register(
+    "tpch_q20",
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (suppliers with excess part flow; partsupp availqty becomes
+    a fixed quantity threshold on what they actually shipped). The nested IN
+    is a grouped-HAVING aggregate reduced to a key set, then a left_semi from
+    supplier — the aggregate runs on the date+name-filtered slice only, and
+    the key set (a handful of rows) broadcasts. Threshold on the exact
+    integer-valued quantity sum is continuum-safe (CLAUDE.md rule 4)."""
+    li = load(
+        spark, sf, "lineitem",
+        ts_range=("l_shipdate", "1997-01-01T00:00:00Z", "1998-01-01T00:00:00Z"),
+    )
+    part = load(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    supp = load(spark, sf, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
 
 
 # --- TPC-H Q17: small-quantity-order revenue (correlated scalar avg) -----------
