@@ -51,6 +51,35 @@ def test_debounce_keeps_one_per_window(spark):
     assert out.count() == 2
 
 
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    # the SAME record delivered again in a LATER micro-batch must be dropped
+    # (per-batch debounce can't do this; the watermark state store can).
+    # maxFilesPerTrigger=1 forces each file into its own micro-batch.
+    from signalk_parquet_spark.streaming.ingest import streaming_dedup
+
+    rows = scalar_series(T0, [1.0, 2.0])
+    src = str(tmp_path / "dedup_src")
+    records_df(spark, rows).write.parquet(src)  # batch 1: two records
+    records_df(spark, rows[:1]).write.mode("append").parquet(src)  # batch 2: re-delivery
+    stream = (
+        spark.readStream.schema(records_df(spark, rows).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(got) == 2, f"re-delivered record not deduped: {got}"
+
+
 def test_ingest_filters_mmsi_and_meta(spark):
     rows = scalar_series(T0, [1.0])
     rows += scalar_series(T0, [2.0], context="vessels.urn:mrn:imo:mmsi:368000000")
