@@ -151,6 +151,10 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "split", hashed.alias("sh"))
         .persist()
     )
+    s.count()  # materialize fully BEFORE the branches fork: the tr/te map
+    # stages run concurrently, and racing an unbuilt cache recomputes the
+    # whole shingle pass per stage with per-partition lock contention
+    # (measured 69 s vs 15 s at 30x sf0.1 — see SCALE.md engine ramp)
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
     )
