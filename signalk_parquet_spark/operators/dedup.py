@@ -104,7 +104,17 @@ def blocked_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Length-and-attribute-blocked pairwise Jaccard (the cheap screen when
-    a natural blocking key exists)."""
+    a natural blocking key exists).
+
+    Recall: one side explodes to its ±1 adjacent length buckets (the
+    proximity_pairs lat-band pattern), so two near-identical documents whose
+    lengths straddle a bucket boundary (e.g. 39 vs 41 chars at width 20) are
+    still compared — exact-bucket equality would silently never pair them.
+    Guarantee: any pair with |len_a - len_b| < len_bucket_width is probed;
+    larger gaps imply a Jaccard far below useful thresholds. Each unordered
+    pair matches exactly once (the exploded bucket values are distinct), so
+    the join needs no de-dup and the key stays an EQUI join.
+    """
     d = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
@@ -112,7 +122,13 @@ def blocked_jaccard_pairs(
         hashed_shingles(distinct_shingles(text_col)).alias("shl"),
     ).persist()
     d.count()
-    a, b = d.alias("a"), d.alias("b")
+    a = d.alias("a")
+    b = d.withColumn(
+        "len_bucket",
+        F.explode(
+            F.array(F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1)
+        ),
+    ).alias("b")
     cond = (F.col("a.len_bucket") == F.col("b.len_bucket")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

@@ -53,14 +53,18 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
     FROM d a JOIN d b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.len_bucket BETWEEN b.len_bucket - 1 AND b.len_bucket + 1
+         AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup via word-3-gram Jaccard; candidates blocked on
-    (lang, length-bucket) equality so the join is an equi-join, not a cross."""
+    (lang, length-bucket) equality so the join is an equi-join, not a cross.
+    One side probes its ±1 adjacent buckets (explode → still an equi-key) so
+    near-dups straddling a bucket boundary are not silently missed — the
+    proximity_pairs lat-band pattern (operators.dedup.blocked_jaccard_pairs)."""
     d = load(spark, sf, "documents").select(
         "doc_id",
         "lang",
@@ -69,7 +73,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).persist()  # both self-join branches reuse the shingled form
     d.count()  # materialize fully BEFORE the self-join: a partially-built
     # cache + AQE intermittently dropped a candidate pair on first run
-    a, b = d.alias("a"), d.alias("b")
+    a = d.alias("a")
+    b = d.withColumn(
+        "len_bucket",
+        F.explode(
+            F.array(F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1)
+        ),
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
@@ -241,21 +251,29 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.head, b.head) AS head_dist
     FROM d a JOIN d b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.len_bucket BETWEEN b.len_bucket - 1 AND b.len_bucket + 1
+         AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 5
     """,
 )
 def dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance near-dup on the 40-char document head, blocked on
-    (lang, length bucket) — the cheap fuzzy screen before an expensive full
-    comparison. Levenshtein is exact integer arithmetic, oracle-portable."""
+    (lang, length bucket) with ±1-bucket probing (see dedup_ngram_jaccard) —
+    the cheap fuzzy screen before an expensive full comparison. Levenshtein
+    is exact integer arithmetic, oracle-portable."""
     d = load(spark, sf, "documents").select(
         "doc_id",
         "lang",
         F.floor(F.length("text") / 20).alias("len_bucket"),
         F.substring("text", 1, 40).alias("head"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    a = d.alias("a")
+    b = d.withColumn(
+        "len_bucket",
+        F.explode(
+            F.array(F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1)
+        ),
+    ).alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
         a.join(
@@ -283,7 +301,8 @@ def _dd_cc_sql() -> str:
     ), e AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
       FROM d a JOIN d b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        ON a.lang = b.lang AND a.len_bucket BETWEEN b.len_bucket - 1 AND b.len_bucket + 1
+           AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     ), sym AS (

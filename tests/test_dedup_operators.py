@@ -140,3 +140,23 @@ def test_connected_components_long_chain(spark):
     )
     labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
     assert set(labels.values()) == {10} and len(labels) == 10
+
+
+def test_blocked_jaccard_boundary_straddle_recall(spark):
+    """Two near-identical docs whose lengths straddle a length-bucket
+    boundary (buckets differ by 1) MUST still pair — the ±1 adjacent-bucket
+    probe exists exactly for this; exact-bucket blocking silently drops it."""
+    from signalk_parquet_spark.operators.dedup import blocked_jaccard_pairs
+
+    # 19 words vs 21 words, sharing all 3-gram shingles of the common prefix.
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november oscar papa quebec romeo sierra".split()
+    a_text = " ".join(words)              # 19 words
+    b_text = " ".join(words + ["tango", "uniform"])  # 21 words
+    rows = [(1, a_text, "en"), (2, b_text, "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # sanity: the pair really does straddle a bucket edge at width 20
+    la, lb = len(a_text), len(b_text)
+    assert la // 20 != lb // 20, (la, lb)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             blocked_jaccard_pairs(d, "doc_id", "text", ["lang"], threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
