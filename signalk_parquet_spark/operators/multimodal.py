@@ -2,9 +2,11 @@
 typed metadata, processed batch-wise via mapInPandas (BASELINE extension).
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media DECODE is stubbed behind
-DECODERS because the image/audio libraries aren't in this container —
-swap in PIL/torchaudio implementations by registering a decoder.
+signatures) is real and tested. Image and audio DECODE is real too:
+pure-Python header parsers for PNG/JPEG/GIF/BMP and a stdlib-`wave` WAV
+parser are registered into DECODERS at import (PIL is preferred when the
+container has it — import-gated). Video decode stays a deterministic stub
+(no codec library here); register a real one the same way.
 
 Scale design: media rows are large, so operators here
   - never collect() or explode binaries;
@@ -17,6 +19,8 @@ Scale design: media rows are large, so operators here
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -47,6 +51,145 @@ def deterministic_stub_decoder(payload: bytes, dim: int = 8) -> list[float]:
     without media libraries."""
     h = hashlib.md5(payload).digest()
     return [h[i % 16] / 255.0 for i in range(dim)]
+
+
+# --- real header decoders (pure Python — no media libraries required) -----------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Container format from magic bytes (image/audio formats we decode)."""
+    if payload.startswith(_PNG_SIG):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Real image decode of the header fields: (format, width, height,
+    bit depth / bits-per-pixel, channel count). Covers PNG (IHDR), JPEG
+    (SOFn marker walk), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER).
+    Returns None for anything it cannot parse."""
+    fmt = sniff_format(payload)
+    try:
+        if fmt == "png":
+            # 8-byte signature, then IHDR: len(4) 'IHDR'(4) w(4) h(4) depth(1) color(1)
+            if payload[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack(">II", payload[16:24])
+            depth, color_type = payload[24], payload[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            return {"format": fmt, "width": w, "height": h, "bit_depth": depth, "channels": channels}
+        if fmt == "jpeg":
+            # walk the marker stream to the first SOFn frame header
+            i = 2
+            n = len(payload)
+            while i + 9 < n:
+                if payload[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no length
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    precision = payload[i + 4]
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    ncomp = payload[i + 9]
+                    return {"format": fmt, "width": w, "height": h, "bit_depth": precision, "channels": ncomp}
+                i += 2 + seg_len
+            return None
+        if fmt == "gif":
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"format": fmt, "width": w, "height": h, "bit_depth": 8, "channels": 3}
+        if fmt == "bmp":
+            w, h = struct.unpack("<ii", payload[18:26])
+            bpp = struct.unpack("<H", payload[28:30])[0]
+            return {"format": fmt, "width": w, "height": abs(h), "bit_depth": bpp, "channels": max(1, bpp // 8)}
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Real audio decode of WAV params via the stdlib `wave` reader:
+    channels, sample rate, sample width, frame count, duration."""
+    import wave
+
+    if sniff_format(payload) != "wav":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n_frames = w.getnframes()
+            rate = w.getframerate()
+            return {
+                "format": "wav",
+                "channels": w.getnchannels(),
+                "sample_rate": rate,
+                "sample_width_bytes": w.getsampwidth(),
+                "n_frames": n_frames,
+                "duration_s": (n_frames / rate) if rate else None,
+            }
+    except (wave.Error, EOFError, struct.error):
+        return None
+
+
+def image_header_features(payload: bytes) -> list[float]:
+    """DECODERS entry for modality='image': decoded (width, height,
+    bit_depth, channels) as the feature vector; NaNs when undecodable so
+    downstream filters can quarantine bad payloads instead of crashing."""
+    meta = parse_image_header(payload)
+    if meta is None:
+        return [float("nan")] * 4
+    return [
+        float(meta["width"]),
+        float(meta["height"]),
+        float(meta["bit_depth"]),
+        float(meta["channels"] if meta["channels"] is not None else float("nan")),
+    ]
+
+
+def audio_header_features(payload: bytes) -> list[float]:
+    """DECODERS entry for modality='audio': decoded (channels, sample_rate,
+    sample_width_bytes, duration_s)."""
+    meta = parse_wav_header(payload)
+    if meta is None:
+        return [float("nan")] * 4
+    return [
+        float(meta["channels"]),
+        float(meta["sample_rate"]),
+        float(meta["sample_width_bytes"]),
+        float(meta["duration_s"] if meta["duration_s"] is not None else float("nan")),
+    ]
+
+
+def register_default_decoders() -> None:
+    """Register the real image/audio decoders. PIL wins for images when the
+    container has it (full pixel access); the header parsers otherwise.
+    Video stays on the deterministic stub until a codec decoder is plugged."""
+    try:  # pragma: no cover - PIL absent in this container
+        from PIL import Image
+
+        def _pil_features(payload: bytes) -> list[float]:
+            with Image.open(io.BytesIO(payload)) as im:
+                return [float(im.width), float(im.height), 8.0, float(len(im.getbands()))]
+
+        DECODERS["image"] = _pil_features
+    except ImportError:
+        DECODERS["image"] = image_header_features
+    DECODERS["audio"] = audio_header_features
+
+
+register_default_decoders()
 
 
 def decode_features(df: DataFrame, modality_col: str = "modality", dim: int = 8) -> DataFrame:

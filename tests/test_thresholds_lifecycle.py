@@ -138,8 +138,72 @@ def test_gpx_import(spark, tmp_path):
     assert sog["value"] == pytest.approx(11.12, abs=0.1)  # ~111m in 10s
 
 
-# --- multimodal plumbing ---------------------------------------------------------------
-def test_multimodal_stub_pipeline(spark):
+# --- multimodal plumbing + real decoders -----------------------------------------------
+def _png_bytes(w: int, h: int, color_type: int = 6, depth: int = 8) -> bytes:
+    """Minimal REAL PNG: signature + CRC-correct IHDR + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def _wav_bytes(n_frames: int = 16000, rate: int = 8000, channels: int = 1) -> bytes:
+    """REAL WAV via the stdlib writer (silence)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(b"\x00\x00" * n_frames * channels)
+    return buf.getvalue()
+
+
+def test_image_audio_header_decoders():
+    """The registered decoders REALLY decode: dims from PNG/JPEG/GIF/BMP
+    headers, audio params from WAV."""
+    import struct
+
+    from signalk_parquet_spark.operators.multimodal import (
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    png = parse_image_header(_png_bytes(640, 480))
+    assert (png["format"], png["width"], png["height"], png["channels"]) == ("png", 640, 480, 4)
+
+    # minimal JPEG: SOI + SOF0 (precision 8, h=33, w=49, 3 components) + EOI
+    sof_body = struct.pack(">BHHB", 8, 33, 49, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body + b"\xff\xd9"
+    )
+    j = parse_image_header(jpeg)
+    assert (j["format"], j["width"], j["height"], j["channels"]) == ("jpeg", 49, 33, 3)
+
+    gif = parse_image_header(b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00")
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 320, 200)
+
+    bmp_hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", 123, -45) + b"\x00\x00" + struct.pack("<H", 24)
+    bmp = parse_image_header(bmp_hdr)
+    assert (bmp["format"], bmp["width"], bmp["height"], bmp["channels"]) == ("bmp", 123, 45, 3)
+
+    wav = parse_wav_header(_wav_bytes(n_frames=16000, rate=8000))
+    assert (wav["channels"], wav["sample_rate"], wav["duration_s"]) == (1, 8000, 2.0)
+
+    # corrupt payloads degrade to None, never raise
+    assert parse_image_header(b"\x89PNGfake") is None
+    assert parse_wav_header(b"RIFFfake") is None
+
+
+def test_multimodal_decode_pipeline(spark):
     from signalk_parquet_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         decode_features,
@@ -148,16 +212,19 @@ def test_multimodal_stub_pipeline(spark):
     )
 
     rows = [
-        (1, "image", "image/png", b"\x89PNGfake", 640, 480, None, "{}"),
+        (1, "image", "image/png", _png_bytes(640, 480), 640, 480, None, "{}"),
         (2, "video", "video/mp4", b"\x00mp4fake", 1920, 1080, 3.5, "{}"),
-        (3, "audio", "audio/wav", b"RIFFfake", None, None, 2.0, "{}"),
+        (3, "audio", "audio/wav", _wav_bytes(16000, 8000), None, None, 2.0, "{}"),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    feats = decode_features(df).collect()
-    assert all(len(r["features"]) == 8 for r in feats)
-    # deterministic: same payload -> same features
-    again = decode_features(df).collect()
-    assert [r["features"] for r in feats] == [r["features"] for r in again]
+    feats = {r["media_id"]: r["features"] for r in decode_features(df).collect()}
+    # image/audio run the REAL registered decoders
+    assert feats[1] == [640.0, 480.0, 8.0, 4.0]
+    assert feats[3] == [1.0, 8000.0, 2.0, 2.0]
+    # video has no registered decoder -> deterministic 8-dim stub
+    assert len(feats[2]) == 8
+    again = {r["media_id"]: r["features"] for r in decode_features(df).collect()}
+    assert feats == again
     stats = {r["modality"]: r for r in media_stats(df).collect()}
     assert stats["image"]["n"] == 1
     frames = frame_sample_plan(df, every_s=1.0).collect()
