@@ -224,3 +224,57 @@ def test_q21_decorrelation_is_all_equi_joins(spark):
     plan = formatted_plan(registry.queries()["tpch_q21"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cloud_supplement_federation(spark, tmp_path):
+    """Two-root federation where root B plays the S3/R2 cloud supplement
+    holding OLDER days only (reference: local ∪ S3 union with per-root day
+    scoping, HistoryAPI.ts:1387-1426 / 1461-1467). No network needed — the
+    root is just a second path string, exactly how an s3a:// root plugs in."""
+    from datetime import timedelta
+
+    local_root = str(tmp_path / "local")
+    cloud_root = str(tmp_path / "cloud")
+    t_old = T0 - timedelta(days=30)  # May 2 — archived to "cloud" only
+    t_new = T0                       # Jun 1 — still on "local" only
+    Lake(spark, cloud_root).write_records(
+        records_df(spark, scalar_series(t_old, [1.0, 2.0, 3.0])), tier="raw"
+    )
+    Lake(spark, local_root).write_records(
+        records_df(spark, scalar_series(t_new, [10.0, 20.0])), tier="raw"
+    )
+
+    fed = Lake(spark, local_root, cloud_root)
+
+    # union across roots: full window sees both segments
+    both = fed.read(
+        tier="raw",
+        path="navigation.speedOverGround",
+        from_ts=t_old - timedelta(days=1),
+        to_ts=t_new + timedelta(days=1),
+    )
+    vals = sorted(r["value"] for r in both.collect())
+    assert vals == [1.0, 2.0, 3.0, 10.0, 20.0]
+
+    # an old-days-only window answers purely from the cloud root
+    old_only = fed.read(
+        tier="raw",
+        path="navigation.speedOverGround",
+        from_ts=t_old - timedelta(days=1),
+        to_ts=t_old + timedelta(days=1),
+    )
+    assert sorted(r["value"] for r in old_only.collect()) == [1.0, 2.0, 3.0]
+
+    # and partition pruning holds on BOTH sides of the union: every scan in
+    # the plan carries partition filters on tier/path/year
+    plan = formatted_plan(old_only)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert len(pf_lines) >= 2, "expected a pruned scan per root"
+    for line in pf_lines:
+        assert "tier" in line and "path" in line and "year" in line
+
+    # a root that is missing entirely (cloud outage) degrades to local-only
+    degraded = Lake(spark, local_root, str(tmp_path / "missing")).read(
+        tier="raw", path="navigation.speedOverGround"
+    )
+    assert sorted(r["value"] for r in degraded.collect()) == [10.0, 20.0]
