@@ -55,7 +55,11 @@ def get_values_response(
     for spec in specs:
         entry: dict[str, Any] = {"path": spec.path, "method": spec.method}
         if spec.smoothing:
-            entry["smoothing"] = {"type": spec.smoothing, "window": spec.smoothing_window}
+            entry["smoothing"] = {
+                "type": spec.smoothing,
+                "param": spec.smoothing_param,
+                "window": spec.smoothing_window if spec.smoothing == "sma" else None,
+            }
         if spec.source_ref:
             entry["sourceRef"] = spec.source_ref
         values_header.append(entry)

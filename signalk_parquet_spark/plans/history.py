@@ -254,7 +254,9 @@ class HistoryPlanner:
             if spec.smoothing == "sma":
                 wide = sma(wide, "bucket_ts", col, spec.smoothing_window or 5, out_col=out_col)
             else:
-                wide = ema(wide, "bucket_ts", col, alpha=0.2, out_col=out_col)
+                # α comes from the request (path:ema:0.3), defaulting to the
+                # reference's defaultEmaAlpha (HistoryAPI.ts:2061-2063)
+                wide = ema(wide, "bucket_ts", col, alpha=spec.ema_alpha, out_col=out_col)
             if spec.smoothing_only:
                 # official syntax replaces the series with its smoothed form
                 wide = wide.drop(col).withColumnRenamed(out_col, col)

@@ -332,6 +332,49 @@ def ema_1h_a02(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("ema", F.round("ema", 6))
 
 
+# --- W7b: EMA with request-supplied alpha via the PathSpec grammar ----------------
+@register(
+    "ema_pathspec_a05",
+    f"""
+    WITH RECURSIVE a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM a
+    ), e AS (
+      SELECT event_type, bucket_ts, avg_value, rn, avg_value AS ema
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.bucket_ts, s.avg_value, s.rn,
+             0.5 * s.avg_value + 0.5 * e.ema
+      FROM s JOIN e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    )
+    SELECT event_type, bucket_ts, avg_value, ema FROM e
+    """,
+)
+def ema_pathspec_a05(spark: SparkSession, sf: str) -> DataFrame:
+    """EMA whose α arrives through the REQUEST — `value:ema:0.5` parsed by the
+    PathSpec grammar and wired to the smoother (reference lets the path spec
+    set the smoothing param, src/HistoryAPI.ts:2055-2063,2322-2348). Proves
+    the param plumbing end-to-end, not just a hard-coded constant."""
+    from .plans.pathspec import parse_path_spec
+
+    spec = parse_path_spec("value:ema:0.5")
+    e = load(spark, sf, "events")
+    a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    # NO final rounding (CLAUDE.md rule 2): α=0.5 keeps values dyadic, so a
+    # round(·, 6) lands on exact .5 boundaries where the engines' rounding
+    # disagrees. The recurrence itself is sequential identical IEEE double
+    # arithmetic on identically-rounded inputs, so the raw ema matches
+    # bit-for-bit across engines.
+    return ema(
+        a, "bucket_ts", "avg_value", alpha=spec.ema_alpha,
+        partition_cols=["event_type"], out_col="ema",
+    )
+
+
 # --- O3: top-k ----------------------------------------------------------------
 @register(
     "topk_values",

@@ -125,9 +125,13 @@ def test_smoothing_sma_and_ema(spark, lake):
     # buckets are 4,5,6,7,8 -> trailing SMA(3): 4, 4.5, 5, 6, 7
     assert vals == [4.0, 4.5, 5.0, 6.0, 7.0]
 
-    df2 = planner.get_values("navigation.speedOverGround:average:ema:5", FROM, TO, resolution_s=1)
+    # bare `ema` uses the reference's defaultEmaAlpha=0.2; the param, when
+    # given, IS the alpha (HistoryAPI.ts:2061-2063 parseFloat) — `ema:5`
+    # would mean α=5, so the old habit of writing the SMA window there was
+    # never reference-faithful.
+    df2 = planner.get_values("navigation.speedOverGround:average:ema", FROM, TO, resolution_s=1)
     rows = df2.collect()
-    ema_col = "navigation.speedOverGround:ema5__smoothed"
+    ema_col = "navigation.speedOverGround:ema__smoothed"
     # reference recurrence: seed 4; 0.2*5+0.8*4=4.2; 0.2*6+0.8*4.2=4.56 ...
     expect, prev = [], None
     for v in [4, 5, 6, 7, 8]:
@@ -135,6 +139,15 @@ def test_smoothing_sma_and_ema(spark, lake):
         expect.append(prev)
     got = [r[ema_col] for r in rows]
     assert got == pytest.approx(expect)
+
+    # request-supplied α=0.5 reaches the smoother
+    df3 = planner.get_values("navigation.speedOverGround:average:ema:0.5", FROM, TO, resolution_s=1)
+    got5 = [r["navigation.speedOverGround:ema0.5__smoothed"] for r in df3.collect()]
+    expect5, prev = [], None
+    for v in [4, 5, 6, 7, 8]:
+        prev = v if prev is None else 0.5 * v + 0.5 * prev
+        expect5.append(prev)
+    assert got5 == pytest.approx(expect5)
 
 
 def test_string_path_first_not_avg(spark, tmp_path):

@@ -95,3 +95,17 @@ def test_route_overrides_to_raw():
     s = parse_path_spec("a.b")
     assert route_tier(s, 3_600_000, {"1h", "raw"}, is_object_path=True) == "raw"
     assert route_tier(s, 3_600_000, {"1h", "raw"}, skip_aggregation=True) == "raw"
+
+
+def test_spec_ema_alpha_param():
+    """path:ema:0.3 carries α to the smoother (HistoryAPI.ts:2061-2063:
+    request param wins, else defaultEmaAlpha)."""
+    s = parse_path_spec("environment.wind.speedApparent:ema:0.3")
+    assert s.smoothing == "ema" and s.smoothing_param == 0.3 and s.ema_alpha == 0.3
+    assert s.smoothing_only
+    assert s.column_name == "environment.wind.speedApparent:ema0.3"
+    # default α when no param given
+    assert parse_path_spec("a.b:ema").ema_alpha == 0.2
+    # extension syntax: explicit method + parameterized ema
+    s2 = parse_path_spec("a.b:max:ema:0.5")
+    assert s2.method == "max" and s2.ema_alpha == 0.5 and not s2.smoothing_only
