@@ -71,8 +71,18 @@ class Lake:
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.parquet(self.roots[0])
 
-    def write_rollup(self, df: DataFrame, tier: str, mode: str = "overwrite") -> None:
-        """Write a rollup tier (bucket_time-partitioned by year/day)."""
+    def write_rollup(
+        self, df: DataFrame, tier: str, mode: str = "overwrite", epoch: int | None = None
+    ) -> None:
+        """Write a rollup tier (bucket_time-partitioned by year/day).
+
+        ``epoch`` adds a trailing epoch=<id> partition level for streaming
+        foreachBatch sinks: a replayed micro-batch (at-least-once delivery
+        after a crash between write and checkpoint commit) dynamically
+        overwrites exactly its own epoch partitions with identical content —
+        idempotent without a transactional table format. Trailing position
+        means it never affects tier/context/path/year/day pruning; a
+        compaction pass can later fold epochs away."""
         out = (
             df.withColumn("tier", F.lit(tier))
             .withColumn("context", _sanitize_context_col(F.col("context")))
@@ -80,10 +90,14 @@ class Lake:
             .withColumn("year", F.year("bucket_time"))
             .withColumn("day", F.lpad(F.dayofyear("bucket_time").cast("string"), 3, "0"))
         )
+        part_cols = PARTITION_COLS
+        if epoch is not None:
+            out = out.withColumn("epoch", F.lit(int(epoch)))
+            part_cols = (*PARTITION_COLS, "epoch")
         (
             out.write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*PARTITION_COLS)
+            .partitionBy(*part_cols)
             .parquet(self.roots[0])
         )
 

@@ -149,6 +149,50 @@ def streaming_rollup(
     )
 
 
+def start_rollup_job(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    lake,
+    checkpoint_dir: str,
+    tier: str = "5s",
+    tier_seconds: int = 5,
+    watermark: str = "10 seconds",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The reference's ingest→rollup lifecycle (§2.10) as ONE continuously
+    running pipeline: readStream → watermarked tumbling-window rollup →
+    foreachBatch → Lake.write_rollup, restart-safe.
+
+    Exactly-once bucket semantics without Delta/Iceberg:
+      - append output mode emits each window ONCE, after the watermark
+        closes it (the checkpoint tracks which windows were emitted, so a
+        restart resumes instead of re-emitting);
+      - the batch write lands under a trailing epoch=<id> partition, so the
+        at-least-once replay of a micro-batch after a crash overwrites its
+        own partitions with identical content instead of duplicating rows
+        (see Lake.write_rollup).
+    Buckets still open at the watermark stay in the state store across
+    restarts and emit when later data closes them — nothing is lost.
+    """
+
+    agg = streaming_rollup(spark, source_dir, schema, tier_seconds, watermark)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lake.write_rollup(batch_df, tier=tier, epoch=epoch_id)
+
+    writer = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="30 seconds").start()
+
+
 def streaming_session_windows(
     spark: SparkSession,
     source_dir: str,

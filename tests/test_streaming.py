@@ -129,3 +129,83 @@ def test_streaming_session_windows(spark, tmp_path):
         (r["n_events"], r["value_avg"]) for r in spark.sql("SELECT * FROM sessions_out").collect()
     )
     assert got == [(2, 7.5), (3, 2.0)]
+
+
+def test_rollup_job_end_to_end_restart_safe(spark, tmp_path):
+    """ingest→rollup as one continuously-running pipeline with restart
+    safety: append-mode windows land in the Lake exactly once across
+    restarts — an idle restart changes nothing, a restart with new data
+    emits the held windows without duplicating or losing earlier buckets."""
+    from signalk_parquet_spark.sources.lake import Lake
+    from signalk_parquet_spark.streaming.ingest import start_rollup_job
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    lake = Lake(spark, str(tmp_path / "rollup_lake"))
+    schema = records_df(spark, scalar_series(T0, [0.0])).schema
+
+    def run():
+        q = start_rollup_job(
+            spark, src, schema, lake, ckpt, tier="5s", tier_seconds=5,
+            watermark="10 seconds",
+        )
+        q.awaitTermination(120)
+
+    def lake_rows():
+        return {
+            (r["bucket_time"], r["context"], r["path"]): (
+                r["value_avg"], r["value_min"], r["value_max"], r["sample_count"],
+            )
+            for r in lake.read(tier="5s").collect()
+        }
+
+    # phase 1: 21 samples over 0..20 s -> watermark reaches 10 s, windows
+    # [0,5) and [5,10) are closed and written
+    rows_a = scalar_series(T0, [float(i) for i in range(21)], step_s=1)
+    records_df(spark, rows_a).write.mode("append").parquet(src)
+    run()
+    after_a = lake_rows()
+    assert len(after_a) >= 2
+    # each bucket appears exactly ONCE (keys are unique by construction of
+    # the dict — verify against the raw row count)
+    assert len(lake.read(tier="5s").collect()) == len(after_a)
+
+    # phase 2: restart with NO new data — nothing may change
+    run()
+    assert lake_rows() == after_a
+
+    # phase 3: late-r data arrives; restart from the same checkpoint
+    rows_b = scalar_series(T0 + timedelta(seconds=30), [100.0, 101.0, 102.0], step_s=1)
+    records_df(spark, rows_b).write.mode("append").parquet(src)
+    run()
+    after_b = lake_rows()
+    # earlier buckets survive byte-identical (no loss, no dup)
+    for k, v in after_a.items():
+        assert after_b[k] == v
+    # the windows held open at phase 1's watermark have now been emitted
+    assert len(after_b) > len(after_a)
+    # and every emitted bucket's stats equal the batch-computed truth
+    all_rows = records_df(spark, rows_a + rows_b)
+    truth = {
+        (r["bucket_time"], r["context"], r["path"]): (
+            r["value_avg"], r["value_min"], r["value_max"], r["sample_count"],
+        )
+        for r in all_rows.groupBy(
+            F.window("signalk_timestamp", "5 seconds").alias("w"), "context", "path"
+        )
+        .agg(
+            F.avg(F.col("value").cast("double")).alias("value_avg"),
+            F.min(F.col("value").cast("double")).alias("value_min"),
+            F.max(F.col("value").cast("double")).alias("value_max"),
+            F.count(F.col("value").cast("double")).alias("sample_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_time"),
+            F.regexp_replace(F.regexp_replace("context", r"\.", "__"), ":", "-").alias("context"),
+            F.regexp_replace("path", r"\.", "__").alias("path"),
+            "value_avg", "value_min", "value_max", "sample_count",
+        )
+        .collect()
+    }
+    for k, v in after_b.items():
+        assert truth[k] == v
