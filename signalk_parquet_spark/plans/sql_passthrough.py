@@ -35,6 +35,36 @@ def validate_readonly_sql(sql: str) -> None:
         raise ValueError(f"forbidden keyword in read-only SQL: {m.group(0)}")
 
 
+#: SignalK paths whose value is a JSON OBJECT (position/attitude/...) — the
+#: reference's jsonPatterns list (claude-analyzer.ts:3307-3329)
+_JSON_OBJECT_PATH = re.compile(r"\b\w+\.(position|attitude|coordinate)\b", re.IGNORECASE)
+#: standalone `value` (not value_json / value_latitude / ...), the
+#: reference's negative-lookahead replace (claude-analyzer.ts:3337)
+_BARE_VALUE = re.compile(r"\bvalue\b(?!_|\w)", re.IGNORECASE)
+#: a dotted SignalK path mentioned in the SQL text (bare or quoted)
+_DOTTED_PATH = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+")
+
+
+def correct_column_usage(sql: str) -> str:
+    """The reference's value/value_json auto-correct
+    (claude-analyzer.ts:3307-3340): queries touching JSON-object paths
+    (navigation.position, *.attitude, *.coordinate) almost always mean the
+    object column, so standalone `value` references are rewritten to
+    `value_json`."""
+    if _JSON_OBJECT_PATH.search(sql):
+        return _BARE_VALUE.sub("value_json", sql)
+    return sql
+
+
+def discover_signalk_paths(lake: Lake, sql: str) -> list[str]:
+    """SignalK paths mentioned in the SQL that actually exist in the lake —
+    so callers can query `navigation.speedOverGround` by name without
+    pre-registering views (the reference rewrites paths into file globs the
+    same way, claude-analyzer.ts executeSQLQuery path handling)."""
+    known = set(lake.discover_paths())
+    return sorted({m for m in _DOTTED_PATH.findall(sql) if m in known})
+
+
 def register_path_views(lake: Lake, paths: list[str], tier: str = "raw") -> list[str]:
     """CREATE OR REPLACE TEMP VIEW <sanitized path> AS <pruned lake read>."""
     names = []
@@ -45,8 +75,15 @@ def register_path_views(lake: Lake, paths: list[str], tier: str = "raw") -> list
     return names
 
 
-def run_readonly_sql(lake: Lake, sql: str, paths: list[str], tier: str = "raw") -> DataFrame:
+def run_readonly_sql(
+    lake: Lake, sql: str, paths: list[str] | None = None, tier: str = "raw"
+) -> DataFrame:
+    """Validate → auto-correct columns → resolve SignalK path names →
+    spark.sql. ``paths=None`` auto-discovers the paths the SQL mentions."""
     validate_readonly_sql(sql)
+    sql = correct_column_usage(sql)
+    if paths is None:
+        paths = discover_signalk_paths(lake, sql)
     register_path_views(lake, paths, tier)
     # rewrite dotted SignalK path names to the registered view names
     for p in sorted(paths, key=len, reverse=True):

@@ -21,7 +21,7 @@ from signalk_parquet_spark.operators.thresholds import (
 )
 from signalk_parquet_spark.plans.sql_passthrough import run_readonly_sql, validate_readonly_sql
 from signalk_parquet_spark.sources.lake import Lake
-from tests.records import T0, records_df, scalar_series
+from tests.records import T0, make_record, records_df, scalar_series
 
 UTC = timezone.utc
 
@@ -110,6 +110,55 @@ def test_sql_passthrough_runs(spark, tmp_path):
         ["navigation.speedOverGround"],
     )
     assert df.collect()[0]["a"] == 6.0
+
+
+def test_sql_passthrough_path_rewriting_and_column_correct(spark, tmp_path):
+    """Query SignalK paths BY NAME with no pre-registered views, and the
+    value→value_json auto-correct for object paths (claude-analyzer.ts:
+    3307-3368)."""
+    from signalk_parquet_spark.plans.sql_passthrough import correct_column_usage
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [4, 5, 6, 7, 8])), tier="raw")
+    pos_rows = [
+        make_record(T0, "navigation.position", {"latitude": 47.5, "longitude": 8.7}),
+        make_record(T0 + timedelta(seconds=1), "navigation.position",
+                    {"latitude": 47.6, "longitude": 8.8}),
+    ]
+    lake.write_records(records_df(spark, pos_rows), tier="raw")
+
+    # bare dotted path in the SQL, no paths= argument: auto-discovered
+    df = run_readonly_sql(
+        lake, 'SELECT avg(value) AS a FROM "navigation.speedOverGround"'
+    )
+    assert df.collect()[0]["a"] == 6.0
+
+    # object path + standalone `value` -> auto-corrected to value_json
+    corrected = correct_column_usage(
+        'SELECT value FROM "navigation.position" WHERE value IS NOT NULL'
+    )
+    assert corrected == (
+        'SELECT value_json FROM "navigation.position" WHERE value_json IS NOT NULL'
+    )
+    # value_latitude / value_json stay untouched
+    assert correct_column_usage('SELECT value_latitude FROM "navigation.position"') == (
+        'SELECT value_latitude FROM "navigation.position"'
+    )
+    # scalar-path queries are never rewritten
+    assert correct_column_usage('SELECT value FROM "navigation.speedOverGround"') == (
+        'SELECT value FROM "navigation.speedOverGround"'
+    )
+
+    # end-to-end: the corrected query runs and returns the JSON objects
+    out = run_readonly_sql(
+        lake,
+        'SELECT value FROM "navigation.position" WHERE value IS NOT NULL ORDER BY value',
+    )
+    got = [r["value_json"] for r in out.collect()]
+    assert got == [
+        '{"latitude":47.5,"longitude":8.7}',
+        '{"latitude":47.6,"longitude":8.8}',
+    ]
 
 
 # --- GPX import ---------------------------------------------------------------------
