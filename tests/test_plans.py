@@ -278,3 +278,31 @@ def test_cloud_supplement_federation(spark, tmp_path):
         tier="raw", path="navigation.speedOverGround"
     )
     assert sorted(r["value"] for r in degraded.collect()) == [10.0, 20.0]
+
+
+def test_cobucketed_join_has_no_shuffle(spark, tmp_path):
+    """Fact ⋈ fact without Exchange: both sides bucketed by the join key
+    with equal bucket counts -> the SMJ reads matching bucket files
+    directly. This is the 100 TB story for the one join that can't
+    broadcast (SCALE.md: lineitem ⋈ orders)."""
+    from signalk_parquet_spark.sources.bucketed import cobucketed_join, write_bucketed
+
+    orders = registry.load(spark, SF, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    li = registry.load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(orders.withColumnRenamed("o_orderkey", "k"), "b_orders", ["k"], 8)
+        write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", ["k"], 8)
+        # force the join shape that exists at scale (no broadcast escape)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "b_orders", "b_lineitem", ["k"])
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+        # correctness: same result as the plain join
+        expect = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
