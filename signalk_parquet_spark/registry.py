@@ -155,18 +155,31 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _import_all() -> None:
-    from . import queries_core, queries_tpch  # noqa: F401
-
+    # Registration order MATTERS: the driver correctness-checks the first 50
+    # registered queries only. Rounds 1-2 burned both windows on the same
+    # core/tpch/curation/text set (all green twice), leaving dedup/similarity/
+    # advanced/tpch2 with zero driver rows — so those now register FIRST.
+    # dedup 6 + similarity 4 + advanced 13 + tpch2 14 = 37, + bucketed +
+    # spatial 6 (proximity_pairs non-empty proof) fills toward 50; the
+    # remainder comes from core. Previously double-green queries falling out
+    # of the window is the intended trade.
     for mod in (
-        "queries_curation",
-        "queries_spatial",
-        "queries_text",
-        "queries_similarity",
         "queries_dedup",
+        "queries_similarity",
         "queries_advanced",
         "queries_tpch2",
+        "queries_bucketed",
+        "queries_spatial",
+        "queries_core",
+        "queries_tpch",
+        "queries_curation",
+        "queries_text",
     ):
         try:
             __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass
+        except ModuleNotFoundError as e:
+            # only tolerate the module itself being absent (optional extras);
+            # a missing dependency INSIDE a module must surface, not silently
+            # drop its queries from the driver window
+            if e.name != f"{__package__}.{mod}":
+                raise
