@@ -184,51 +184,44 @@ def connected_components(
         sym.unpersist()
         sym = packed
     # every shuffle inside the loop should match the graph's layout, not the
-    # session-wide partitioning meant for full-table scans: an iteration on a
-    # parts-partition graph with 32-way shuffles is 32 tiny tasks per stage
-    # ×2 stages ×rounds of pure scheduler overhead (measured: 3.5 s for a
-    # 61-edge graph). At real scale parts is thousands, so this is still the
-    # cluster-right layout, just chosen from data size instead of a constant.
-    spark = edges.sparkSession
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        labels = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint()
+    # session-wide partitioning meant for full-table scans. Earlier revisions
+    # mutated spark.sql.shuffle.partitions for the loop's duration, but that
+    # conf is session-global: anything planned concurrently (a foreachBatch
+    # sink, a parallel gate query) inherited the tiny partition count. Instead
+    # the loop shuffles at session width and lets AQE coalesce collapse the
+    # post-shuffle side to the data's real size — scoped to these queries
+    # only, and at real scale (thousands of edge partitions) AQE keeps them.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum: int | None = None
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("label")
         )
-        for _ in range(max_iter):
-            nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
-                F.col("src").alias("node"), F.col("label")
-            )
-            stepped = (
-                labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
-            )
-            # pointer jump: label := label(label). Every label IS a node in the
-            # frame (labels start as self and only ever take existing node ids),
-            # so the self-join is total and chains halve each round.
-            jump = stepped.select(
-                F.col("node").alias("j_node"), F.col("label").alias("j_label")
-            )
-            new = (
-                stepped.join(jump, stepped["label"] == jump["j_node"])
-                .select("node", F.least("label", "j_label").alias("label"))
-                .localCheckpoint()
-            )
-            # min-propagation is monotone: any change is a strict decrease
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        stepped = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label := label(label). Every label IS a node in the
+        # frame (labels start as self and only ever take existing node ids),
+        # so the self-join is total and chains halve each round.
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        new = stepped.join(jump, stepped["label"] == jump["j_node"]).select(
+            "node", F.least("label", "j_label").alias("label")
+        ).localCheckpoint(eager=False)
+        # min-propagation is monotone (labels only ever decrease), so the
+        # label sum is a strictly decreasing convergence witness — and the
+        # agg's first action doubles as the lazy checkpoint's materializing
+        # job, one job per round instead of checkpoint + compare-join.
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels
