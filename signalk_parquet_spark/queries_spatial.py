@@ -200,6 +200,16 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- J6: spatial proximity self-join (the reference's documented example) ----------
+#: proximity threshold. 1000 km (not the reference example's ~100 m): the
+#: synthetic event coordinates are pseudo-uniform over the whole globe, so at
+#: the driver's sf0.01 gate a 100 km threshold finds ZERO pairs and the gate
+#: "passed" on 0-vs-0 — proving pair-absence, not pair-finding (round-2
+#: verdict). 1000 km yields 100 real pairs at sf0.01 / 81k at sf0.1.
+_PROX_M = 1_000_000.0
+#: lat-band width must dominate the threshold's max meridional arc:
+#: dlat_max = thr * 180 / (pi * 6371000) = 8.993 deg for 1000 km.
+_PROX_BAND_DEG = 9.0
+
 @register(
     "proximity_pairs",
     f"""
@@ -212,7 +222,7 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
            a.event_id AS event_a, b.event_id AS event_b
     FROM p a JOIN p b
       ON a.bucket_ts = b.bucket_ts AND a.user_id < b.user_id
-    WHERE {_DD_HAV.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")} < 100000.0
+    WHERE {_DD_HAV.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")} < {_PROX_M}
     """,
 )
 def proximity_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -223,19 +233,18 @@ def proximity_pairs(spark: SparkSession, sf: str) -> DataFrame:
     oracle).
 
     Perf/scale: a latitude-band GRID JOIN instead of a per-bucket cross
-    product. haversine < 100 km requires |dlat| < 100000*180/(pi*6371000) =
-    0.8993 deg (the meridional arc lower-bounds haversine), so any matching
-    pair lies in the same or adjacent floor(lat/0.9) band. One side explodes
-    to its 3 candidate bands and the band joins as an EQUI-key next to the
-    time bucket — the join emits ~3% of the naive bucket-only pairs, the trig
-    runs on that 3%, and the (bucket x band) key space keeps every shuffle
-    partition busy (a bucket-only key collapses to one task per hour at any
-    scale). The numeric bucket joins; ISO formatting happens on survivors."""
-    band_deg = 0.9
+    product. haversine < thr requires |dlat| < thr*180/(pi*6371000) deg (the
+    meridional arc lower-bounds haversine), so any matching pair lies in the
+    same or adjacent floor(lat/band) band with band >= that arc. One side
+    explodes to its 3 candidate bands and the band joins as an EQUI-key next
+    to the time bucket — the trig runs only on same/adjacent-band pairs, and
+    the (bucket x band) key space keeps every shuffle partition busy (a
+    bucket-only key collapses to one task per hour at any scale). The numeric
+    bucket joins; ISO formatting happens on survivors."""
     e = load(spark, sf, "events").select(
         "user_id", "event_id", bucket_ts("ts", H).alias("b_ts"),
         _lat().alias("lat"), _lon().alias("lon"),
-    ).withColumn("band", F.floor(F.col("lat") / band_deg).cast("long"))
+    ).withColumn("band", F.floor(F.col("lat") / _PROX_BAND_DEG).cast("long"))
     a = e.alias("a")
     b = e.withColumn(
         "band", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
@@ -248,7 +257,7 @@ def proximity_pairs(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
-        .filter(dist < 100000.0)
+        .filter(dist < _PROX_M)
         .select(
             F.date_format(F.col("a.b_ts"), ISO_BUCKET_FMT).alias("bucket_ts"),
             F.col("a.user_id").alias("user_a"),
