@@ -72,32 +72,33 @@ class Lake:
         writer.parquet(self.roots[0])
 
     def write_rollup(
-        self, df: DataFrame, tier: str, mode: str = "overwrite", epoch: int | None = None
+        self, df: DataFrame, tier: str, mode: str = "overwrite", epoch: int = 0
     ) -> None:
         """Write a rollup tier (bucket_time-partitioned by year/day).
 
-        ``epoch`` adds a trailing epoch=<id> partition level for streaming
+        The trailing epoch=<id> partition level exists for streaming
         foreachBatch sinks: a replayed micro-batch (at-least-once delivery
         after a crash between write and checkpoint commit) dynamically
         overwrites exactly its own epoch partitions with identical content —
-        idempotent without a transactional table format. Trailing position
-        means it never affects tier/context/path/year/day pruning; a
-        compaction pass can later fold epochs away."""
+        idempotent without a transactional table format. Batch writes use
+        epoch=0 so EVERY rollup tier has the same partition depth: Spark's
+        partition discovery raises 'Conflicting partition column names' when
+        one subtree of a scan has the epoch level and another doesn't, so a
+        tier written by both batch and streaming would otherwise become
+        unreadable. (Raw stays epoch-free; tier=None reads go subtree-per-
+        tier, see read().) A compaction pass can later fold epochs away."""
         out = (
             df.withColumn("tier", F.lit(tier))
             .withColumn("context", _sanitize_context_col(F.col("context")))
             .withColumn("path", _sanitize_path_col(F.col("path")))
             .withColumn("year", F.year("bucket_time"))
             .withColumn("day", F.lpad(F.dayofyear("bucket_time").cast("string"), 3, "0"))
+            .withColumn("epoch", F.lit(int(epoch)))
         )
-        part_cols = PARTITION_COLS
-        if epoch is not None:
-            out = out.withColumn("epoch", F.lit(int(epoch)))
-            part_cols = (*PARTITION_COLS, "epoch")
         (
             out.write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*part_cols)
+            .partitionBy(*PARTITION_COLS, "epoch")
             .parquet(self.roots[0])
         )
 
@@ -124,21 +125,25 @@ class Lake:
             # every path appear to carry every other path's value_* columns
             # (the reference scopes its globs per path the same way,
             # schema-cache.ts:46-173)
-            sub = f"{root}/tier={tier}" if tier else f"{root}/tier=*"
-            if context:
-                sub += f"/context={sanitize_context(context)}"
-            elif path:
-                sub += "/context=*"
-            if path:
-                sub += f"/path={sanitize_path(path)}"
-            try:
-                dfs.append(
-                    self.spark.read.option("mergeSchema", "true")
-                    .option("basePath", root)
-                    .parquet(sub)
-                )
-            except Exception:
-                continue  # reference behavior: missing/failed root -> skip (hybrid->local fallback)
+            if tier:
+                tier_bases = [f"{root}/tier={tier}"]
+            else:
+                # tier=None must NOT use a single tier=* discovery: raw is 5
+                # partition levels, rollup tiers are 6 (trailing epoch), and
+                # mixed-depth discovery raises 'Conflicting partition column
+                # names'. Enumerate tier subtrees and read each uniformly.
+                tier_bases = self._tier_dirs(root)
+            for base in tier_bases:
+                sub = base
+                if context:
+                    sub += f"/context={sanitize_context(context)}"
+                elif path:
+                    sub += "/context=*"
+                if path:
+                    sub += f"/path={sanitize_path(path)}"
+                df = self._read_subtree(root, sub)
+                if df is not None:
+                    dfs.append(df)
         if not dfs:
             # nothing on disk for this (tier, context, path): empty relation
             # with the base record shape (reference: parquet side contributes
@@ -188,6 +193,43 @@ class Lake:
         if to_ts:
             df = df.filter(F.col(ts_col) < F.lit(to_ts))  # half-open [from, to)
         return df
+
+    def _tier_dirs(self, root: str) -> list[str]:
+        """List ``<root>/tier=*`` subtrees via the Hadoop FileSystem API (works
+        for local, file:, and object-store roots alike). A missing root yields
+        [] — the reference's hybrid→local fallback skips absent roots too."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        return sorted(
+            str(st.getPath())
+            for st in fs.listStatus(hpath)
+            if st.isDirectory() and st.getPath().getName().startswith("tier=")
+        )
+
+    def _read_subtree(self, root: str, sub: str) -> DataFrame | None:
+        """Read one partition subtree; None when the subtree doesn't exist.
+
+        Only genuinely-missing-path analysis errors are skippable (the
+        hybrid→local fallback). Anything else — notably 'Conflicting
+        partition column names' from a malformed layout — must SURFACE: a
+        blanket except here once turned a layout bug into silently-empty
+        discovery results (round-2 advice, high)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", root)
+                .parquet(sub)
+            )
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     def _has_excluded_dirs(self) -> bool:
         """Driver-side check for maintenance subdirs in local roots (remote
