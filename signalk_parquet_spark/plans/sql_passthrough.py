@@ -45,12 +45,25 @@ _BARE_VALUE = re.compile(r"\bvalue\b(?!_|\w)", re.IGNORECASE)
 _DOTTED_PATH = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+")
 
 
-def correct_column_usage(sql: str) -> str:
+def correct_column_usage(sql: str, paths: list[str] | None = None) -> str:
     """The reference's value/value_json auto-correct
     (claude-analyzer.ts:3307-3340): queries touching JSON-object paths
     (navigation.position, *.attitude, *.coordinate) almost always mean the
     object column, so standalone `value` references are rewritten to
-    `value_json`."""
+    `value_json`.
+
+    The rewrite is textual and hits EVERY bare `value` in the statement, so
+    it only fires when every SignalK path the query touches is an object
+    path (``paths`` — pass the discovered/explicit path list): a query
+    joining navigation.position with a scalar path like
+    navigation.speedOverGround must keep the scalar side's `value` intact,
+    otherwise it silently reads the scalar series' all-null value_json.
+    With no path list (standalone use) the original whole-text heuristic
+    applies — callers that mix object and scalar paths should pass paths."""
+    if paths is not None:
+        if paths and all(_JSON_OBJECT_PATH.search(p) for p in paths):
+            return _BARE_VALUE.sub("value_json", sql)
+        return sql
     if _JSON_OBJECT_PATH.search(sql):
         return _BARE_VALUE.sub("value_json", sql)
     return sql
@@ -78,12 +91,13 @@ def register_path_views(lake: Lake, paths: list[str], tier: str = "raw") -> list
 def run_readonly_sql(
     lake: Lake, sql: str, paths: list[str] | None = None, tier: str = "raw"
 ) -> DataFrame:
-    """Validate → auto-correct columns → resolve SignalK path names →
-    spark.sql. ``paths=None`` auto-discovers the paths the SQL mentions."""
+    """Validate → resolve SignalK path names → auto-correct columns (scoped
+    to the discovered paths) → spark.sql. ``paths=None`` auto-discovers the
+    paths the SQL mentions."""
     validate_readonly_sql(sql)
-    sql = correct_column_usage(sql)
     if paths is None:
         paths = discover_signalk_paths(lake, sql)
+    sql = correct_column_usage(sql, paths)
     register_path_views(lake, paths, tier)
     # rewrite dotted SignalK path names to the registered view names
     for p in sorted(paths, key=len, reverse=True):

@@ -161,6 +161,40 @@ def test_sql_passthrough_path_rewriting_and_column_correct(spark, tmp_path):
     ]
 
 
+def test_sql_passthrough_mixed_paths_keeps_scalar_value(spark, tmp_path):
+    """A query joining an object path with a scalar path must NOT have the
+    scalar side's bare `value` rewritten to value_json — the whole-text
+    rewrite would silently null out the scalar series (round-2 advice)."""
+    from signalk_parquet_spark.plans.sql_passthrough import correct_column_usage
+
+    # scoped form: mixed path list leaves the SQL untouched; all-object rewrites
+    assert correct_column_usage(
+        "SELECT value FROM t", ["navigation.position", "navigation.speedOverGround"]
+    ) == "SELECT value FROM t"
+    assert correct_column_usage(
+        "SELECT value FROM t", ["navigation.position"]
+    ) == "SELECT value_json FROM t"
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(records_df(spark, scalar_series(T0, [4, 5, 6, 7, 8])), tier="raw")
+    pos_rows = [
+        make_record(T0, "navigation.position", {"latitude": 47.5, "longitude": 8.7}),
+        make_record(T0 + timedelta(seconds=1), "navigation.position",
+                    {"latitude": 47.6, "longitude": 8.8}),
+    ]
+    lake.write_records(records_df(spark, pos_rows), tier="raw")
+    out = run_readonly_sql(
+        lake,
+        'SELECT s.value AS sog, p.value_latitude AS lat '
+        'FROM "navigation.speedOverGround" s '
+        'JOIN "navigation.position" p ON s.signalk_timestamp = p.signalk_timestamp '
+        'ORDER BY lat',
+    ).collect()
+    assert len(out) == 2
+    assert [r["sog"] for r in out] == [4.0, 5.0]  # NOT nulled by the rewrite
+    assert [r["lat"] for r in out] == [47.5, 47.6]
+
+
 # --- GPX import ---------------------------------------------------------------------
 GPX = b"""<?xml version="1.0"?>
 <gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
