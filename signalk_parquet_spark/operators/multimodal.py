@@ -2,11 +2,12 @@
 typed metadata, processed batch-wise via mapInPandas (BASELINE extension).
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Image and audio DECODE is real too:
-pure-Python header parsers for PNG/JPEG/GIF/BMP and a stdlib-`wave` WAV
-parser are registered into DECODERS at import (PIL is preferred when the
-container has it — import-gated). Video decode stays a deterministic stub
-(no codec library here); register a real one the same way.
+signatures) is real and tested. DECODE is real for all three modalities:
+pure-Python header parsers for PNG/JPEG/GIF/BMP images, a stdlib-`wave`
+WAV parser, and an ISO-BMFF box walker for MP4 video (moov/mvhd duration,
+tkhd dimensions) are registered into DECODERS at import. PIL backstops
+image formats the header parser can't read (import-gated); frame/sample
+PIXEL access still needs a codec library — plug it in the same way.
 
 Scale design: media rows are large, so operators here
   - never collect() or explode binaries;
@@ -70,6 +71,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -143,6 +146,70 @@ def parse_wav_header(payload: bytes) -> dict | None:
         return None
 
 
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Walk ISO BMFF (MP4) boxes in buf[start:end] → (type, body_start, box_end)."""
+    i = start
+    while i + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[i : i + 8])
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+            header = 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < header or i + size > end:
+            return
+        yield btype, i + header, i + size
+        i += size
+
+
+def parse_video_header(payload: bytes) -> dict | None:
+    """Real video container decode for MP4/ISO-BMFF: walks the box tree to
+    `moov/mvhd` (timescale + duration → seconds) and `moov/trak/tkhd`
+    (16.16 fixed-point presentation width/height, track count). Pure-Python
+    box parsing — the frame/codec payload is untouched, matching the
+    PNG/WAV header-decoder approach (no codec library in this container).
+    Returns None for anything that isn't parseable MP4."""
+    if sniff_format(payload) != "mp4":
+        return None
+    try:
+        out: dict = {"format": "mp4", "width": None, "height": None,
+                     "duration_s": None, "n_tracks": 0}
+        for btype, body, boxend in _iter_boxes(payload, 0, len(payload)):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, cend in _iter_boxes(payload, body, boxend):
+                if ctype == b"mvhd":
+                    version = payload[cbody]
+                    if version == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", payload[cbody + 20 : cbody + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[cbody + 12 : cbody + 20]
+                        )
+                    if timescale:
+                        out["duration_s"] = duration / timescale
+                elif ctype == b"trak":
+                    out["n_tracks"] += 1
+                    for ttype, tbody, _tend in _iter_boxes(payload, cbody, cend):
+                        if ttype != b"tkhd":
+                            continue
+                        version = payload[tbody]
+                        # width/height are the LAST 8 bytes of tkhd, 16.16 fixed
+                        w_fp, h_fp = struct.unpack(">II", payload[_tend - 8 : _tend])
+                        w, h = w_fp >> 16, h_fp >> 16
+                        if w and h:  # audio tracks carry 0x0
+                            out["width"], out["height"] = w, h
+            return out if out["n_tracks"] else None
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def image_header_features(payload: bytes) -> list[float]:
     """DECODERS entry for modality='image': decoded (width, height,
     bit_depth, channels) as the feature vector; NaNs when undecodable so
@@ -172,21 +239,49 @@ def audio_header_features(payload: bytes) -> list[float]:
     ]
 
 
+def video_header_features(payload: bytes) -> list[float]:
+    """DECODERS entry for modality='video': decoded (width, height,
+    duration_s, n_tracks) from the MP4 moov atom."""
+    meta = parse_video_header(payload)
+    if meta is None:
+        return [float("nan")] * 4
+    return [
+        float(meta["width"]) if meta["width"] else float("nan"),
+        float(meta["height"]) if meta["height"] else float("nan"),
+        float(meta["duration_s"]) if meta["duration_s"] is not None else float("nan"),
+        float(meta["n_tracks"]),
+    ]
+
+
 def register_default_decoders() -> None:
-    """Register the real image/audio decoders. PIL wins for images when the
-    container has it (full pixel access); the header parsers otherwise.
-    Video stays on the deterministic stub until a codec decoder is plugged."""
+    """Register the real image/audio/video decoders. For images the header
+    parser is authoritative for (width, height, bit_depth, channels) so the
+    feature vector is IDENTICAL whether or not PIL is installed (an earlier
+    PIL branch hardcoded bit_depth=8 and counted bands, so a 16-bit or
+    palette PNG scored differently per environment); PIL only backstops
+    formats the header parser can't read."""
     try:  # pragma: no cover - PIL absent in this container
         from PIL import Image
 
+        _MODE_DEPTH = {"1": 1, "I;16": 16, "I": 32, "F": 32}
+
         def _pil_features(payload: bytes) -> list[float]:
+            header = parse_image_header(payload)
+            if header is not None:
+                return image_header_features(payload)
             with Image.open(io.BytesIO(payload)) as im:
-                return [float(im.width), float(im.height), 8.0, float(len(im.getbands()))]
+                return [
+                    float(im.width),
+                    float(im.height),
+                    float(_MODE_DEPTH.get(im.mode, 8)),
+                    float(len(im.getbands())),
+                ]
 
         DECODERS["image"] = _pil_features
     except ImportError:
         DECODERS["image"] = image_header_features
     DECODERS["audio"] = audio_header_features
+    DECODERS["video"] = video_header_features
 
 
 register_default_decoders()

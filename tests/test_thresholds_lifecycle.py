@@ -250,6 +250,60 @@ def _wav_bytes(n_frames: int = 16000, rate: int = 8000, channels: int = 1) -> by
     return buf.getvalue()
 
 
+def _mp4_bytes(w: int = 1280, h: int = 720, dur_s: float = 3.5, timescale: int = 1000) -> bytes:
+    """REAL minimal MP4/ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)) + mdat,
+    spec-correct v0 box layouts (width/height as 16.16 fixed point)."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    dur = int(dur_s * timescale)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,  # rate, volume, reserved, matrix, predefined, next_track
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + flags (enabled|in movie|in preview)
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime, mtime, track_id, reserved
+        + struct.pack(">I", dur)
+        + b"\x00" * 8  # reserved
+        + b"\x00" * 8  # layer, alt_group, volume, reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed-point dims
+    )
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", mvhd + box(b"trak", tkhd))
+        + box(b"mdat", b"\x00" * 16)
+    )
+
+
+def test_video_moov_decoder():
+    """The MP4 decoder REALLY walks the box tree: duration from moov/mvhd,
+    16.16 fixed-point dimensions from moov/trak/tkhd."""
+    from signalk_parquet_spark.operators.multimodal import (
+        parse_video_header,
+        video_header_features,
+    )
+
+    meta = parse_video_header(_mp4_bytes(1920, 1080, dur_s=7.25))
+    assert (meta["format"], meta["width"], meta["height"]) == ("mp4", 1920, 1080)
+    assert meta["duration_s"] == 7.25
+    assert meta["n_tracks"] == 1
+    assert video_header_features(_mp4_bytes(640, 360, 2.0)) == [640.0, 360.0, 2.0, 1.0]
+    # corrupt / non-MP4 payloads degrade to None / NaNs, never raise
+    assert parse_video_header(b"\x00mp4fake") is None
+    assert parse_video_header(b"\x00\x00\x00\x10ftypisom") is None  # no moov
+    import math
+
+    assert all(math.isnan(v) for v in video_header_features(b"garbage"))
+
+
 def test_image_audio_header_decoders():
     """The registered decoders REALLY decode: dims from PNG/JPEG/GIF/BMP
     headers, audio params from WAV."""
@@ -296,16 +350,18 @@ def test_multimodal_decode_pipeline(spark):
 
     rows = [
         (1, "image", "image/png", _png_bytes(640, 480), 640, 480, None, "{}"),
-        (2, "video", "video/mp4", b"\x00mp4fake", 1920, 1080, 3.5, "{}"),
+        (2, "video", "video/mp4", _mp4_bytes(1920, 1080, 3.5), 1920, 1080, 3.5, "{}"),
         (3, "audio", "audio/wav", _wav_bytes(16000, 8000), None, None, 2.0, "{}"),
+        (4, "hologram", "application/x-unknown", b"\x00mystery", None, None, None, "{}"),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feats = {r["media_id"]: r["features"] for r in decode_features(df).collect()}
-    # image/audio run the REAL registered decoders
+    # image/audio/video run the REAL registered decoders
     assert feats[1] == [640.0, 480.0, 8.0, 4.0]
     assert feats[3] == [1.0, 8000.0, 2.0, 2.0]
-    # video has no registered decoder -> deterministic 8-dim stub
-    assert len(feats[2]) == 8
+    assert feats[2] == [1920.0, 1080.0, 3.5, 1.0]
+    # unregistered modality -> deterministic 8-dim stub
+    assert len(feats[4]) == 8
     again = {r["media_id"]: r["features"] for r in decode_features(df).collect()}
     assert feats == again
     stats = {r["modality"]: r for r in media_stats(df).collect()}
