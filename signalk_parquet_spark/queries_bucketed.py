@@ -1,0 +1,75 @@
+"""Gate query for the bucketed-table co-location path (sources/bucketed.py)
+— the shuffle-elimination strategy for joins that stay big on BOTH sides at
+100 TB (SCALE.md: lineitem ⋈ orders is the one join that can't broadcast).
+
+The query writes both fact tables bucketed by the join key (once per
+session+SF), then joins them through ``cobucketed_join`` with the MERGE
+hint: the physical plan is a SortMergeJoin whose inputs are bucket-local
+scans — ZERO Exchange on either side (tests/test_plans.py asserts the plan;
+the only Exchange in the whole query is the 5-row priority aggregation).
+The DuckDB oracle computes the same revenue-by-priority from the raw
+parquet, so the gate proves bucketing changes the plan, not the answer.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+from .sources.bucketed import cobucketed_join, write_bucketed
+
+#: bucket count — parallelism floor for bucketed scans; at 100 TB you'd size
+#: this so a bucket slice approaches spark.sql.files.maxPartitionBytes
+_N_BUCKETS = 16
+
+_READY: set[tuple[int, str]] = set()
+
+
+def _table_names(sf: str) -> tuple[str, str]:
+    tag = re.sub(r"\W+", "_", sf).strip("_")
+    return f"skps_{tag}_lineitem_bk", f"skps_{tag}_orders_bk"
+
+
+def ensure_bucketed_facts(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Write lineitem+orders co-bucketed by order key (column-pruned to what
+    the gate query reads), once per (session, SF)."""
+    li_t, od_t = _table_names(sf)
+    key = (id(spark), sf)
+    if key not in _READY:
+        li = load(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+        )
+        od = load(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+        )
+        write_bucketed(li, li_t, ["orderkey"], _N_BUCKETS)
+        write_bucketed(od, od_t, ["orderkey"], _N_BUCKETS)
+        _READY.add(key)
+    return li_t, od_t
+
+
+@register(
+    "cobucketed_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def cobucketed_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by order priority over the co-bucketed fact join — the
+    Exchange-free SMJ path (MERGE hint keeps the at-scale join shape even
+    where the test-scale orders side would broadcast)."""
+    li_t, od_t = ensure_bucketed_facts(spark, sf)
+    j = cobucketed_join(spark, li_t, od_t, ["orderkey"], force_sort_merge=True)
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -36,8 +36,26 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed+sorted parquet table. Sorting by the
     bucket key inside each bucket file lets the join skip its Sort too."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # The default in-memory catalog forgets tables across sessions while
+        # the warehouse dir survives, so a fresh session's CTAS against the
+        # same name fails with LOCATION_ALREADY_EXISTS. Drop + clear the
+        # stale managed location (a real metastore deployment's DROP TABLE
+        # already removes it — the fs delete is then a no-op).
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    # pre-shuffle to the bucket layout: without this every write task emits
+    # one file per bucket it happens to see (tasks x buckets small files);
+    # aligned, each bucket is exactly one file and the bucketed scan's task
+    # count equals num_buckets
     (
-        df.write.mode(mode)
+        df.repartition(num_buckets, *[df[c] for c in bucket_cols])
+        .write.mode(mode)
         .format("parquet")
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
@@ -51,9 +69,19 @@ def cobucketed_join(
     right_table: str,
     on: list[str],
     how: str = "inner",
+    force_sort_merge: bool = False,
 ) -> DataFrame:
     """Join two co-bucketed tables on their bucket key. When both sides were
     written with the same num_buckets over ``on``, the physical plan carries
     no Exchange (verify with explain-plan tests; tests/test_plans.py locks
-    this in)."""
-    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+    this in).
+
+    ``force_sort_merge`` applies the MERGE join hint — scoped to this one
+    join, unlike disabling autoBroadcastJoinThreshold session-wide. Use it
+    when a test-scale side is small enough to broadcast but the at-scale
+    join is fact ⋈ fact: the hint reproduces the plan shape that exists at
+    100 TB (SMJ over co-bucketed scans, zero Exchange)."""
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on=on, how=how)

@@ -306,3 +306,23 @@ def test_cobucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cobucketed_gate_query_plan_and_shape(spark):
+    """The cobucketed_revenue GATE query (queries_bucketed.py) runs on the
+    Exchange-free co-bucketed path: a SortMergeJoin over bucket-local scans
+    with exactly one Exchange in the whole plan — the 5-row priority
+    aggregation. Locks the zero-shuffle join into driver-checked surface."""
+    from signalk_parquet_spark.queries_bucketed import cobucketed_revenue
+
+    df = cobucketed_revenue(spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 16 out of 16" in plan  # bucket-local scans
+    # exactly ONE Exchange in the whole plan (formatted mode prints each
+    # node twice: tree + detail), and it's the tiny agg — the join's inputs
+    # reach the SMJ through Sort only
+    assert plan.count("Exchange") == 2, f"unexpected shuffle; plan:\n{plan}"
+    assert "hashpartitioning(o_orderpriority" in plan
+    rows = {r["o_orderpriority"]: r for r in df.collect()}
+    assert len(rows) == 5  # all five TPC-H priorities survive the join
