@@ -140,6 +140,36 @@ def blocked_jaccard_pairs(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The end product of the dedup pipeline: one keep/drop DECISION row per
+    document. Near-dup pairs (blocked-Jaccard screen) → transitive-closure
+    clusters (connected_components) → each cluster keeps its min-id
+    representative; documents with no near-dup keep themselves.
+
+    Scale: the label frame holds only documents that appear in some pair —
+    at real dup rates a small fraction of the corpus — so the decision join
+    is a skinny-side hash join against the full corpus, and the corpus side
+    never re-shuffles (left join on its own id). Downstream filters on
+    ``kept`` prune before any expensive read of the text column."""
+    edges = blocked_jaccard_pairs(df, id_col, text_col, block_cols, threshold=threshold)
+    labels = connected_components(edges, "id_a", "id_b").withColumnRenamed("node", "id")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id")).alias("cluster_rep"),
+            (F.col("label").isNull() | (F.col("label") == F.col("id"))).alias("kept"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

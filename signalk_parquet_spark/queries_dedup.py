@@ -320,6 +320,49 @@ def _dd_cc_sql() -> str:
     """
 
 
+# --- corpus keep-list: the dedup pipeline's end product ---------------------------
+def _dd_keep_sql() -> str:
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 20) AS BIGINT) AS len_bucket,
+             {_HSHINGLES_DD} AS sh
+      FROM documents
+    ), e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.len_bucket BETWEEN b.len_bucket - 1 AND b.len_bucket + 1
+           AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), sym AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ), reach(node, label) AS (
+      SELECT src AS node, src AS label FROM sym
+      UNION
+      SELECT s.src AS node, r.label AS label FROM sym s JOIN reach r ON r.node = s.dst
+    ), rep AS (
+      SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node
+    )
+    SELECT doc.doc_id AS id,
+           COALESCE(rep.cluster_rep, doc.doc_id) AS cluster_rep,
+           (rep.cluster_rep IS NULL OR rep.cluster_rep = doc.doc_id) AS kept
+    FROM documents doc LEFT JOIN rep ON rep.doc_id = doc.doc_id
+    """
+
+
+@register("dedup_keep_corpus", _dd_keep_sql())
+def dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation decision the whole dedup family exists to produce: one
+    row per document with its transitive-closure cluster representative and
+    a kept flag (cluster keeps min doc_id; near-dup-free documents keep
+    themselves). Composition of blocked_jaccard_pairs + connected_components
+    + a skinny left join back onto the corpus (operators.dedup.dedup_corpus);
+    the oracle re-derives the same fixpoint as a recursive CTE."""
+    from .operators.dedup import dedup_corpus
+
+    return dedup_corpus(load(spark, sf, "documents"), "doc_id", "text", ["lang"])
+
+
 @register("dedup_cluster_cc", _dd_cc_sql())
 def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERING (the step after pairwise dedup screens): take the

@@ -160,3 +160,24 @@ def test_blocked_jaccard_boundary_straddle_recall(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
              blocked_jaccard_pairs(d, "doc_id", "text", ["lang"], threshold=0.5).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+
+
+def test_dedup_corpus_transitive_keep_decision(spark):
+    """A~B and B~C (A and C never matching directly) must collapse to one
+    cluster keeping only A; a near-dup-free document keeps itself."""
+    from signalk_parquet_spark.operators.dedup import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    chain_b = base.replace("mu", "nu")          # ~base
+    chain_c = chain_b.replace("alpha", "omega")  # ~chain_b, farther from base
+    lone = "totally unrelated words live in this short document of its own kind"
+    rows = [(10, base), (20, chain_b), (30, chain_c), (40, lone)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    out = {r["id"]: r for r in dedup_corpus(df, "doc_id", "text", ["lang"]).collect()}
+    assert len(out) == 4  # one decision row per document, always
+    assert out[10]["kept"] and out[10]["cluster_rep"] == 10
+    assert not out[20]["kept"] and out[20]["cluster_rep"] == 10
+    assert not out[30]["kept"] and out[30]["cluster_rep"] == 10
+    assert out[40]["kept"] and out[40]["cluster_rep"] == 40
