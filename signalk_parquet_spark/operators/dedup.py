@@ -250,7 +250,10 @@ def connected_components(
         # job, one job per round instead of checkpoint + compare-join.
         cur_sum = new.agg(F.sum("label")).collect()[0][0]
         labels = new
-        if prev_sum is not None and cur_sum == prev_sum:
+        # cur_sum is None iff the graph is EMPTY (sum over zero rows) — break
+        # immediately or the None==None-never-true guard would spin max_iter
+        # rounds of Spark jobs over nothing
+        if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     sym.unpersist()

@@ -58,6 +58,57 @@ def migrate_position_reaggregation(
     return written
 
 
+def migrate_rollup_epoch(lake: Lake, tiers: list[str] | None = None, dry_run: bool = False) -> dict[str, int]:
+    """Flat→epoch layout migration for rollup tiers written before the
+    uniform-depth rule (Lake.write_rollup now always adds a trailing
+    epoch=<id> level; pre-epoch tiers have 5 partition levels). A pre-epoch
+    tier MUST be migrated before any new write lands in it: dynamic
+    partition overwrite only replaces epoch=0 subtrees, so old 5-level leaf
+    files would survive next to new 6-level ones and the mixed depth makes
+    the whole tier unreadable (Conflicting partition column names — which
+    Lake.read deliberately surfaces).
+
+    Per tier: read the (still-uniform) old subtree, rewrite through
+    write_rollup (lands under epoch=0), then delete the old epoch-less leaf
+    files — the same read-rewrite-swap shape as migrate_hive_layout.
+    Local roots only (os.walk/os.remove); an object-store lake would swap
+    via the store's batch-delete API instead."""
+    import os
+
+    root = lake.roots[0]
+    if tiers is None:
+        tiers = [
+            d.split("tier=", 1)[1]
+            for d in (lake._tier_dirs(root))
+            if not d.endswith("tier=raw")
+        ]
+    migrated: dict[str, int] = {}
+    for tier in tiers:
+        local = f"{root}/tier={tier}".removeprefix("file:")
+        # pre-epoch leaf files sit directly under day=*/ with no epoch= level
+        old_files = [
+            os.path.join(dirpath, f)
+            for dirpath, dirnames, files in os.walk(local)
+            if os.path.basename(dirpath).startswith("day=")
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        if not old_files:
+            migrated[tier] = 0
+            continue
+        df = lake.read(tier=tier)  # uniform 5-level read still works pre-write
+        n = df.count()
+        if not dry_run:
+            rows = df.select(
+                *[c for c in df.columns if c not in ("tier", "year", "day", "epoch")]
+            )
+            lake.write_rollup(rows, tier)
+            for f in old_files:
+                os.remove(f)
+        migrated[tier] = n
+    return migrated
+
+
 @dataclass
 class AutoDiscovery:
     """Query-driven path configuration: the first query against an

@@ -210,19 +210,23 @@ def parse_video_header(payload: bytes) -> dict | None:
         return None
 
 
-def image_header_features(payload: bytes) -> list[float]:
-    """DECODERS entry for modality='image': decoded (width, height,
-    bit_depth, channels) as the feature vector; NaNs when undecodable so
-    downstream filters can quarantine bad payloads instead of crashing."""
-    meta = parse_image_header(payload)
+def _image_features_from_header(meta: dict | None) -> list[float] | None:
     if meta is None:
-        return [float("nan")] * 4
+        return None
     return [
         float(meta["width"]),
         float(meta["height"]),
         float(meta["bit_depth"]),
         float(meta["channels"] if meta["channels"] is not None else float("nan")),
     ]
+
+
+def image_header_features(payload: bytes) -> list[float]:
+    """DECODERS entry for modality='image': decoded (width, height,
+    bit_depth, channels) as the feature vector; NaNs when undecodable so
+    downstream filters can quarantine bad payloads instead of crashing."""
+    feats = _image_features_from_header(parse_image_header(payload))
+    return feats if feats is not None else [float("nan")] * 4
 
 
 def audio_header_features(payload: bytes) -> list[float]:
@@ -266,9 +270,9 @@ def register_default_decoders() -> None:
         _MODE_DEPTH = {"1": 1, "I;16": 16, "I": 32, "F": 32}
 
         def _pil_features(payload: bytes) -> list[float]:
-            header = parse_image_header(payload)
-            if header is not None:
-                return image_header_features(payload)
+            feats = _image_features_from_header(parse_image_header(payload))
+            if feats is not None:
+                return feats
             with Image.open(io.BytesIO(payload)) as im:
                 return [
                     float(im.width),

@@ -159,10 +159,11 @@ def _import_all() -> None:
     # registered queries only. Rounds 1-2 burned both windows on the same
     # core/tpch/curation/text set (all green twice), leaving dedup/similarity/
     # advanced/tpch2 with zero driver rows — so those now register FIRST.
-    # dedup 6 + similarity 4 + advanced 13 + tpch2 14 = 37, + bucketed +
-    # spatial 6 (proximity_pairs non-empty proof) fills toward 50; the
-    # remainder comes from core. Previously double-green queries falling out
-    # of the window is the intended trade.
+    # r3 window: dedup 7 + similarity 4 + advanced 14 + tpch2 14 + bucketed 1
+    # + spatial 6 (proximity_pairs non-empty proof) = 46; core's first 4 fill
+    # 50. Union of the r1-r3 windows covers all 90 registered queries.
+    # Previously double-green queries falling out of the window is the
+    # intended trade. After ADDING a query, re-check list(queries())[:50].
     for mod in (
         "queries_dedup",
         "queries_similarity",

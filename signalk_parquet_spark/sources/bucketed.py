@@ -42,10 +42,18 @@ def write_bucketed(
         # the warehouse dir survives, so a fresh session's CTAS against the
         # same name fails with LOCATION_ALREADY_EXISTS. Drop + clear the
         # stale managed location (a real metastore deployment's DROP TABLE
-        # already removes it — the fs delete is then a no-op).
-        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        # already removes it — the fs delete is then a no-op). Resolve the
+        # database explicitly: managed locations live at
+        # <warehouse>[/<db>.db]/<table>, and the DROP must quote each name
+        # part or a qualified 'db.tbl' parses as one backticked identifier.
+        if "." in table:
+            db, name = table.rsplit(".", 1)
+        else:
+            db, name = spark.catalog.currentDatabase(), table
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        db_part = "" if db == "default" else f"/{db.lower()}.db"
+        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}{db_part}/{name.lower()}")
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)

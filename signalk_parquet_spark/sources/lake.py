@@ -196,27 +196,35 @@ class Lake:
 
     def _tier_dirs(self, root: str) -> list[str]:
         """List ``<root>/tier=*`` subtrees via the Hadoop FileSystem API (works
-        for local, file:, and object-store roots alike). A missing root yields
-        [] — the reference's hybrid→local fallback skips absent roots too."""
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(root)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
+        for local, file:, and object-store roots alike). A missing or
+        unreachable root yields [] — the reference's hybrid→local fallback
+        skips absent/failed roots too (HistoryAPI falls back to local when
+        the cloud supplement errors)."""
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(root)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return []
+            return sorted(
+                str(st.getPath())
+                for st in fs.listStatus(hpath)
+                if st.isDirectory() and st.getPath().getName().startswith("tier=")
+            )
+        except Exception:
+            # unreachable scheme/endpoint (no s3a jars, auth, network):
+            # degrade to the surviving roots, matching reference behavior
             return []
-        return sorted(
-            str(st.getPath())
-            for st in fs.listStatus(hpath)
-            if st.isDirectory() and st.getPath().getName().startswith("tier=")
-        )
 
     def _read_subtree(self, root: str, sub: str) -> DataFrame | None:
-        """Read one partition subtree; None when the subtree doesn't exist.
+        """Read one partition subtree; None when the subtree doesn't exist or
+        its root is unreachable (the hybrid→local fallback: connectivity or
+        auth failures on one root must not sink the other roots' data).
 
-        Only genuinely-missing-path analysis errors are skippable (the
-        hybrid→local fallback). Anything else — notably 'Conflicting
-        partition column names' from a malformed layout — must SURFACE: a
-        blanket except here once turned a layout bug into silently-empty
-        discovery results (round-2 advice, high)."""
+        The one error that must SURFACE is 'Conflicting partition column
+        names' — a malformed layout under a reachable root: a blanket except
+        here once turned that layout bug into silently-empty discovery
+        results (round-2 advice, high)."""
         from pyspark.errors import AnalysisException
 
         try:
@@ -229,7 +237,13 @@ class Lake:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
                 return None
-            raise
+            if "conflicting" in msg.lower():
+                raise
+            return None  # other analysis failures on this root: degrade
+        except Exception as e:
+            if "conflicting" in str(e).lower():
+                raise
+            return None  # unreachable root (connectivity/auth/missing fs jars)
 
     def _has_excluded_dirs(self) -> bool:
         """Driver-side check for maintenance subdirs in local roots (remote

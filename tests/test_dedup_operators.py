@@ -181,3 +181,25 @@ def test_dedup_corpus_transitive_keep_decision(spark):
     assert not out[20]["kept"] and out[20]["cluster_rep"] == 10
     assert not out[30]["kept"] and out[30]["cluster_rep"] == 10
     assert out[40]["kept"] and out[40]["cluster_rep"] == 40
+
+
+def test_dedup_corpus_no_pairs_keeps_everything(spark):
+    """An edge-free corpus (no near-dups at all) must terminate immediately
+    (the empty-graph sum(label) is None — the convergence guard must treat
+    that as converged, not spin max_iter rounds) and keep every document."""
+    rows = [
+        (1, "first entirely unique sentence about astronomy and planets"),
+        (2, "second text covering maritime navigation topics instead"),
+        (3, "third document on cooking techniques and kitchen tools"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    from signalk_parquet_spark.operators.dedup import connected_components, dedup_corpus
+
+    out = {r["id"]: r for r in dedup_corpus(df, "doc_id", "text", ["lang"]).collect()}
+    assert len(out) == 3
+    assert all(out[i]["kept"] and out[i]["cluster_rep"] == i for i in (1, 2, 3))
+
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_edges).count() == 0

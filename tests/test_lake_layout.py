@@ -69,3 +69,64 @@ def test_conflicting_layout_surfaces(spark, tmp_path):
     lk = Lake(spark, str(root))
     with pytest.raises(Exception, match="(?i)conflicting"):
         lk.read(tier="5s").count()
+
+
+def test_unreachable_root_degrades_to_local(spark, tmp_path):
+    """Hybrid→local fallback: a root whose filesystem can't even be
+    constructed (no s3a jars here) must not sink the healthy roots —
+    but layout conflicts under a REACHABLE root still raise (see
+    test_conflicting_layout_surfaces)."""
+    root = str(tmp_path / "lake")
+    lk = Lake(spark, root, "s3a://no-such-bucket-anywhere/lake")
+    raw = records_df(spark, scalar_series(T0, [1.0, 2.0, 3.0]))
+    lk.write_records(raw, tier="raw")
+    assert lk.read(tier="raw").count() == 3       # tier-scoped read
+    assert lk.read().count() == 3                 # tier=None discovery read
+    assert lk.discover_contexts() == ["vessels.test:self"]
+
+
+def test_migrate_rollup_epoch_flat_to_epoch0(spark, tmp_path):
+    """A pre-uniform-depth lake (rollup leaves directly under day=, no epoch
+    level) migrates to epoch=0 layout: same rows, old leaves gone, tier
+    readable again alongside new-format writes."""
+    import os
+    import shutil
+
+    from signalk_parquet_spark.operators.migrations import migrate_rollup_epoch
+
+    root = str(tmp_path / "old_lake")
+    lk = Lake(spark, root)
+    raw = records_df(spark, scalar_series(T0, [4.0, 5.0, 6.0, 7.0, 8.0]))
+    lk.write_records(raw, tier="raw")
+    lk.write_rollup(rollup_scalar(lk.read(tier="raw"), "5s"), tier="5s")
+    n_before = lk.read(tier="5s").count()
+    # devolve to the pre-epoch layout: hoist files out of epoch=0/
+    for dirpath, dirnames, files in os.walk(root):
+        if os.path.basename(dirpath) == "epoch=0":
+            for f in files:
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(dirpath, f), os.path.join(os.path.dirname(dirpath), f))
+    for dirpath, dirnames, _ in list(os.walk(root, topdown=False)):
+        if os.path.basename(dirpath) == "epoch=0":
+            shutil.rmtree(dirpath)
+    assert lk.read(tier="5s").count() == n_before  # old layout still uniform
+
+    dry = migrate_rollup_epoch(lk, dry_run=True)
+    assert dry["5s"] == n_before
+    got = migrate_rollup_epoch(lk)
+    assert got["5s"] == n_before
+    # old leaves gone, everything under epoch=0 again
+    stray = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(f"{root}/tier=5s")
+        if os.path.basename(d).startswith("day=")
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert stray == []
+    assert lk.read(tier="5s").count() == n_before
+    # a NEW write into the migrated tier keeps the tier readable (the exact
+    # mixed-depth failure the migration exists to prevent)
+    lk.write_rollup(rollup_scalar(lk.read(tier="raw"), "5s"), tier="5s")
+    assert lk.read(tier="5s").count() == n_before
+    assert migrate_rollup_epoch(lk)["5s"] == 0  # idempotent: nothing left to move
