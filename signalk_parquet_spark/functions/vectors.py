@@ -78,6 +78,28 @@ def hyperplane_bits(vec: Column, planes: list[list[int]], unroll: bool = False) 
     return bucket.cast("long")
 
 
-def make_planes(n_planes: int, dim: int) -> list[list[int]]:
-    """Deterministic pseudo-random integer hyperplanes (no RNG, engine-free)."""
-    return [[((i + 1) * (j + 2) * 2654435761 % 7) - 3 for i in range(dim)] for j in range(n_planes)]
+_M64 = (1 << 64) - 1
+
+
+def _splitmix(x: int) -> int:
+    """SplitMix64 finalizer — full-avalanche integer mixing (public domain
+    constant set; Steele et al., 'Fast Splittable Pseudorandom Number
+    Generators')."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def make_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic pseudo-random integer hyperplanes (no RNG, engine-free:
+    the weights are generated in Python and embedded as literals on BOTH
+    engines). ``seed`` selects an independent plane family — multi-table LSH
+    needs L genuinely independent tables. Per-weight SplitMix64 mixing
+    matters: an earlier multiplicative-mod-7 scheme made every table an
+    elementwise permutation of one base pattern (two seeds even collided),
+    so OR-amplification bought zero recall."""
+    return [
+        [(_splitmix((seed << 40) ^ (j << 20) ^ i) % 7) - 3 for i in range(dim)]
+        for j in range(n_planes)
+    ]

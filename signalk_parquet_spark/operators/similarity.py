@@ -77,6 +77,130 @@ def ann_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _table_buckets_pandas(df, tables):
+    """(id, emb) → one row per (id, table, bucket) via Arrow-batched numpy —
+    the many-plane regime where L×b HOF dot expressions are all interpreted
+    CodegenFallback (measured: 8 tables × 6 planes as Column expressions
+    cost ~7 s/query at sf0.1; this path well under 1 s).
+
+    PARITY-CRITICAL float discipline: the accumulation loops over the dim
+    axis IN ORDER with one vectorized add per element, which reproduces the
+    scalar left-to-right IEEE rounding of the Column/oracle form exactly —
+    a BLAS matmul's pairwise summation would differ in the last ulp and
+    could flip a bucket bit where a plane dot lands within rounding of 0.
+    Zero-weight terms are skipped (adding exact ±0.0 never changes the sum
+    or the >= 0 test — same argument as hyperplane_bits(unroll=True))."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(tables)
+    n_tables = len(tables)
+    schema = "id long, t int, bucket long"
+
+    def bucket_batches(it):
+        tbls = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emb = np.array(pdf["emb"].tolist(), dtype=np.float64)  # (n, d)
+            n = len(pdf)
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            for t, planes in enumerate(tbls):
+                for j, w in enumerate(planes):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for i, x in enumerate(w):
+                        if x:
+                            acc = acc + emb[:, i] * float(x)
+                    buckets[:, t] += (acc >= 0).astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select("id", "emb").mapInPandas(bucket_batches, schema=schema)
+
+
+def ann_topk_multitable(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multi-table LSH ANN (OR-amplification): L independent hyperplane
+    tables; a candidate only needs to collide with the query in ONE table.
+    Single-table LSH AND-amplifies (all n_planes bits must agree), whose
+    recall collapses when true neighbors aren't extremely close — multiple
+    tables trade a bounded candidate-set growth (≤ L×) for multiplicatively
+    better recall: miss probability (1 - p^b)^L drops geometrically in L.
+
+    Scale shape: each side expands to L (table, bucket) keys (Arrow-batched
+    bit computation, _table_buckets_pandas) — the join stays an EQUI join
+    on (table, bucket) with an L× larger but perfectly partitionable key
+    space; candidate pairs are deduped BEFORE the exact re-rank so each
+    survivor is scored once."""
+    tables = [make_planes(n_planes, dim, seed=t) for t in range(n_tables)]
+    coll = _with_norms(collection, id_col, vec_col, dim)
+    q = _with_norms(queries, id_col, vec_col, dim).select(
+        F.col("id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
+    )
+    qb = _table_buckets_pandas(
+        q.select(F.col("query_id").alias("id"), F.col("qemb").alias("emb")), tables
+    ).withColumnRenamed("id", "query_id")
+    cand = (
+        _table_buckets_pandas(coll, tables)
+        .join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(coll.select(F.col("id").alias("neighbor_id"), "emb", "n2"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qemb"), F.col("emb"), dim) / F.sqrt(F.col("qn2") * F.col("n2")),
+                round_digits,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the tuning loop for n_planes/n_probe at scale: per query,
+    |approx ∩ exact| / |exact| over the neighbor sets.
+
+    Both inputs are tiny (n_queries x k rows) regardless of collection
+    size, so this is a skinny equi-join + groupBy — evaluation cost never
+    scales with the corpus. The ratio is integer-derived, so it's exact
+    across engines (no rounding needed)."""
+    a = approx.select(query_col, neighbor_col).withColumn("hit", F.lit(1))
+    return (
+        exact.select(query_col, neighbor_col)
+        .join(a, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.count("hit").alias("n_hit"))
+        .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
+    )
+
+
 def stride_centroids(collection: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
     """Deterministic coarse quantizer: every stride-th id is a centroid.
     SQL-expressible, so IVF queries built on it keep an exact DuckDB oracle

@@ -203,3 +203,30 @@ def test_dedup_corpus_no_pairs_keeps_everything(spark):
 
     empty_edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty_edges).count() == 0
+
+
+def test_multitable_lsh_beats_single_table(spark):
+    """OR-amplification must pay off: multi-table LSH recall@5 against the
+    exact top-5 strictly beats the single-table variant on the bench
+    embeddings (whose near-uniform vectors are exactly the hard case that
+    collapses single-table recall)."""
+    from signalk_parquet_spark.queries_similarity import (
+        ann_lsh_bucketed,
+        ann_lsh_multitable,
+        knn_bruteforce,
+    )
+    from signalk_parquet_spark.operators.similarity import topk_recall
+
+    sf = "/root/testdata/sf0.01"
+    exact = knn_bruteforce(spark, sf)
+    exact.persist().count()
+
+    def mean_recall(approx):
+        rows = topk_recall(approx, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    single = mean_recall(ann_lsh_bucketed(spark, sf))
+    multi = mean_recall(ann_lsh_multitable(spark, sf))
+    exact.unpersist()
+    assert multi > single + 0.1, (single, multi)
+    assert multi >= 0.2, multi  # meaningfully useful, not marginally less bad
