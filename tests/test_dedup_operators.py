@@ -230,3 +230,20 @@ def test_multitable_lsh_beats_single_table(spark):
     exact.unpersist()
     assert multi > single + 0.1, (single, multi)
     assert multi >= 0.2, multi  # meaningfully useful, not marginally less bad
+
+
+def test_ivf_recall_measured(spark):
+    """topk_recall works across ANN variants: IVF at 3-probe recovers most
+    of the exact top-5 (its cell-local candidates are far better targeted
+    than hyperplane buckets on this data)."""
+    from signalk_parquet_spark.operators.similarity import topk_recall
+    from signalk_parquet_spark.queries_similarity import ann_ivf, knn_bruteforce
+
+    sf = "/root/testdata/sf0.01"
+    exact = knn_bruteforce(spark, sf)
+    exact.persist().count()
+    rows = topk_recall(ann_ivf(spark, sf), exact).collect()
+    exact.unpersist()
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.6, mean
+    assert all(0.0 <= r["recall"] <= 1.0 and r["n_exact"] == 5 for r in rows)
