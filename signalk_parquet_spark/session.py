@@ -26,17 +26,18 @@ def get_spark(app_name: str = "signalk-parquet-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # a many-query session (88 gate queries in one JVM) accumulates
+        # a many-query session (92 gate queries in one JVM) accumulates
         # whole-stage-codegen classes; with the default ~21 MB metaspace
         # high-water mark every growth step triggers a FULL GC with class
         # unloading — observed as random 10-20 s spikes attributed to
         # whichever query was running. Start the threshold high enough that
-        # steady-state codegen churn never crosses it.
+        # steady-state codegen churn never crosses it (512m sufficed for 88
+        # queries in r2; the r3 set's churn crossed it again mid-session).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:MetaspaceSize=512m -XX:MaxMetaspaceSize=2g",
+                "-XX:MetaspaceSize=1g -XX:MaxMetaspaceSize=3g",
             ),
         )
         .config("spark.ui.enabled", "false")
