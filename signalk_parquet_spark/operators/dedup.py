@@ -102,6 +102,7 @@ def blocked_jaccard_pairs(
     block_cols: list[str],
     len_bucket_width: int = 20,
     threshold: float = 0.5,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Length-and-attribute-blocked pairwise Jaccard (the cheap screen when
     a natural blocking key exists).
@@ -114,14 +115,22 @@ def blocked_jaccard_pairs(
     larger gaps imply a Jaccard far below useful thresholds. Each unordered
     pair matches exactly once (the exploded bucket values are distinct), so
     the join needs no de-dup and the key stays an EQUI join.
+
+    ``prepared``: an already-materialized shingle frame with columns
+    (id, *block_cols, len_bucket, shl) — pass it when several screens run
+    over one corpus in a session so the shingling (the dominant map-side
+    cost) is computed once (see queries_dedup._shingled_docs).
     """
-    d = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.floor(F.length(text_col) / len_bucket_width).alias("len_bucket"),
-        hashed_shingles(distinct_shingles(text_col)).alias("shl"),
-    ).persist()
-    d.count()
+    if prepared is not None:
+        d = prepared
+    else:
+        d = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            F.floor(F.length(text_col) / len_bucket_width).alias("len_bucket"),
+            hashed_shingles(distinct_shingles(text_col)).alias("shl"),
+        ).persist()
+        d.count()
     a = d.alias("a")
     b = d.withColumn(
         "len_bucket",

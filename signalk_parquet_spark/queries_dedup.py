@@ -21,6 +21,28 @@ _SHINGLES_DD = "list_distinct(list_transform(range(1, len(string_split(text,' ')
 #: 48-bit integer-hashed shingle set (functions.text.hashed_shingles twin)
 _HSHINGLES_DD = f"list_distinct(list_transform({_SHINGLES_DD}, s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)))"
 
+#: session-scoped memo for the shingled corpus — the dominant map-side cost
+#: of the whole dedup family (string shingles + md5 per shingle + 48-bit
+#: hashing over every document). ngram/minhash/simhash/cluster/keep all
+#: derive from this ONE persisted frame instead of re-shingling per query.
+_SHINGLED: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """(id, lang, len_bucket, sh, shl) — persisted once per (session, SF)."""
+    key = (id(spark), sf)
+    if key not in _SHINGLED:
+        d = load(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"),
+            "lang",
+            F.floor(F.length("text") / 20).alias("len_bucket"),
+            distinct_shingles("text").alias("sh"),
+        ).withColumn("shl", hashed_shingles(F.col("sh"))).persist()
+        d.count()  # materialize fully BEFORE any self-join: a partially-
+        # built cache + AQE intermittently dropped a candidate pair
+        _SHINGLED[key] = d
+    return _SHINGLED[key]
+
 
 # --- exact dedup ----------------------------------------------------------------
 @register(
@@ -64,32 +86,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (lang, length-bucket) equality so the join is an equi-join, not a cross.
     One side probes its ±1 adjacent buckets (explode → still an equi-key) so
     near-dups straddling a bucket boundary are not silently missed — the
-    proximity_pairs lat-band pattern (operators.dedup.blocked_jaccard_pairs)."""
-    d = load(spark, sf, "documents").select(
-        "doc_id",
-        "lang",
-        F.floor(F.length("text") / 20).alias("len_bucket"),
-        hashed_shingles(distinct_shingles("text")).alias("sh"),
-    ).persist()  # both self-join branches reuse the shingled form
-    d.count()  # materialize fully BEFORE the self-join: a partially-built
-    # cache + AQE intermittently dropped a candidate pair on first run
-    a = d.alias("a")
-    b = d.withColumn(
-        "len_bucket",
-        F.explode(
-            F.array(F.col("len_bucket") - 1, F.col("len_bucket"), F.col("len_bucket") + 1)
-        ),
-    ).alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    proximity_pairs lat-band pattern (operators.dedup.blocked_jaccard_pairs,
+    fed the session's shared shingle frame)."""
+    from .operators.dedup import blocked_jaccard_pairs
+
+    pairs = blocked_jaccard_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", ["lang"],
+        prepared=_shingled_docs(spark, sf).select("id", "lang", "len_bucket", "shl"),
     )
-    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
     return pairs.select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("jac")
-    ).filter(F.col("jac") >= 0.5)
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("jaccard").alias("jac"),
+    )
 
 
 # --- MinHash + LSH -------------------------------------------------------------------
@@ -143,13 +152,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (transform + array_min) — no explode, no Python. The band join is the
     only shuffle; at 100 TB the band-key space is huge so it stays balanced.
     """
-    d = load(spark, sf, "documents")
-    docs = (
-        d.select("doc_id", distinct_shingles("text").alias("sh"))
-        .withColumn("shl", hashed_shingles(F.col("sh")))  # derive, don't re-shingle
-        .persist()  # sig + 2 verify joins
-    )
-    docs.count()  # materialize fully before fan-out (see dedup_ngram note)
+    docs = _shingled_docs(spark, sf).select(
+        F.col("id").alias("doc_id"), "sh", "shl"
+    )  # session-shared shingle frame: sig + 2 verify joins reuse one cache
     sig = docs.select("doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))])
     for j in range(_BANDS):
         sig = sig.withColumn(
@@ -217,9 +222,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 16-bit sign-of-weighted-sum fingerprint over shingle
     md5 bits; candidate pairs share the exact fingerprint (an equality join —
     a Hamming-ball join would add rotations of the same pattern)."""
-    d = load(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", F.explode(distinct_shingles("text")).alias("s")
+    tok = _shingled_docs(spark, sf).select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("s")
     ).withColumn("h", F.md5("s"))
     aggs = []
     for b in range(_SIMHASH_BITS):
@@ -332,8 +336,10 @@ def _cc_labels(spark: SparkSession, sf: str) -> DataFrame:
 
     key = (id(spark), sf)
     if key not in _CC_LABELS:
-        d = load(spark, sf, "documents")
-        edges = blocked_jaccard_pairs(d, "doc_id", "text", ["lang"])
+        edges = blocked_jaccard_pairs(
+            load(spark, sf, "documents"), "doc_id", "text", ["lang"],
+            prepared=_shingled_docs(spark, sf).select("id", "lang", "len_bucket", "shl"),
+        )
         _CC_LABELS[key] = connected_components(edges, "id_a", "id_b")
     return _CC_LABELS[key]
 
