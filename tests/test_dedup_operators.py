@@ -247,3 +247,37 @@ def test_ivf_recall_measured(spark):
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert mean >= 0.6, mean
     assert all(0.0 <= r["recall"] <= 1.0 and r["n_exact"] == 5 for r in rows)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Differential ground truth: Spark min-label propagation must agree
+    with a Python union-find on random graphs (chains, cliques, isolated
+    pairs, self-contradicting orderings — whatever the seed produces)."""
+    import random
+
+    from signalk_parquet_spark.operators.dedup import connected_components
+
+    rnd = random.Random(42)
+    for _ in range(3):
+        n = 30
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # root stays the min id
+        want = {x: find(x) for x in parent}
+        assert got == want, (sorted(edges), got, want)

@@ -252,3 +252,15 @@ def test_minhash_lsh_finds_all_exact_duplicates(spark_global, docs, data):
     pairs = {(r["id_a"], r["id_b"]) for r in
              minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()}
     assert (dup_of, len(texts)) in pairs
+
+
+@given(st.integers(min_value=0, max_value=100))
+def test_make_planes_seed_families(seed):
+    from signalk_parquet_spark.functions.vectors import make_planes
+
+    a = make_planes(6, 32, seed=seed)
+    b = make_planes(6, 32, seed=seed + 1)
+    assert all(-3 <= w <= 3 for plane in a for w in plane)
+    assert a != b  # independent families, no seed collisions
+    assert a == make_planes(6, 32, seed=seed)  # deterministic
+    assert any(w != 0 for plane in a for w in plane)  # never degenerate
