@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from signalk_parquet_spark import registry
-from signalk_parquet_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from signalk_parquet_spark.operators.dedup import dedup_corpus, exact_dedup
 from signalk_parquet_spark.session import get_spark
 
 
@@ -40,14 +40,19 @@ def main() -> None:
     )
     n1 = kept.count()
 
-    # 2. dedup: drop exact copies, then LSH near-dups (keep lower doc_id)
+    # 2. dedup: drop exact copies, then resolve near-dups TRANSITIVELY —
+    # dedup_corpus turns the pair relation into one keep/drop decision per
+    # document via connected components (A~B, B~C => keep A only), where a
+    # naive per-pair drop of id_b both over-drops (B~C kills C even though
+    # B is already gone) and under-drops chains
     keepers = exact_dedup(kept, "doc_id", "text").select(
         F.col("keeper_id").alias("doc_id")
     )
     kept = kept.join(keepers, "doc_id")
-    near = minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.85)
-    losers = near.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = kept.join(losers, "doc_id", "left_anti")
+    decisions = dedup_corpus(kept, "doc_id", "text", ["lang"], threshold=0.85)
+    kept = kept.join(
+        decisions.filter("kept").select(F.col("id").alias("doc_id")), "doc_id"
+    )
     n2 = kept.count()
 
     # 3. deterministic split + decontamination (drop leaked test docs)
