@@ -217,30 +217,88 @@ def _dd_simhash_sql() -> str:
     """
 
 
+#: session memo for the 16-bit fingerprint frame (doc_id, simhash) — shared
+#: by the exact-collision and Hamming-ball gates
+_SIMHASH_FRAME: dict[tuple[int, str], DataFrame] = {}
+
+
+def _simhash_frame(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark), sf)
+    if key not in _SIMHASH_FRAME:
+        tok = _shingled_docs(spark, sf).select(
+            F.col("id").alias("doc_id"), F.explode("sh").alias("s")
+        ).withColumn("h", F.md5("s"))
+        aggs = []
+        for b in range(_SIMHASH_BITS):
+            digit = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
+            bit_set = digit.bitwiseAND(F.lit(1 << (b % 4))) > 0
+            aggs.append(F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"s{b}"))
+        acc = tok.groupBy("doc_id").agg(*aggs)
+        simhash = None
+        for b in range(_SIMHASH_BITS):
+            term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            simhash = term if simhash is None else simhash + term
+        sh = acc.select("doc_id", simhash.cast("long").alias("simhash")).persist()
+        sh.count()  # materialize fully before any self-join
+        _SIMHASH_FRAME[key] = sh
+    return _SIMHASH_FRAME[key]
+
+
 @register("dedup_simhash", _dd_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 16-bit sign-of-weighted-sum fingerprint over shingle
-    md5 bits; candidate pairs share the exact fingerprint (an equality join —
-    a Hamming-ball join would add rotations of the same pattern)."""
-    tok = _shingled_docs(spark, sf).select(
-        F.col("id").alias("doc_id"), F.explode("sh").alias("s")
-    ).withColumn("h", F.md5("s"))
-    aggs = []
-    for b in range(_SIMHASH_BITS):
-        digit = F.conv(F.substring("h", 1 + b // 4, 1), 16, 10).cast("int")
-        bit_set = digit.bitwiseAND(F.lit(1 << (b % 4))) > 0
-        aggs.append(F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"s{b}"))
-    acc = tok.groupBy("doc_id").agg(*aggs)
-    simhash = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    sh = acc.select("doc_id", simhash.cast("long").alias("simhash")).persist()
-    sh.count()  # materialize fully before the self-join
+    md5 bits; candidate pairs share the exact fingerprint (an equality join;
+    dedup_simhash_hamming1 widens to the distance-1 Hamming ball)."""
+    sh = _simhash_frame(spark, sf)
     a, b2 = sh.alias("a"), sh.alias("b")
     return a.join(
         b2, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), F.col("a.simhash"))
+
+
+def _dd_simhash_h1_sql() -> str:
+    base = _dd_simhash_sql()
+    core = base[: base.index("SELECT a.doc_id")]  # reuse the fingerprint CTEs
+    probe_list = ", ".join(
+        ["simhash"] + [f"xor(simhash, {1 << k})" for k in range(_SIMHASH_BITS)]
+    )
+    return f"""{core}, probes AS (
+      SELECT doc_id, simhash, unnest([{probe_list}]) AS probe FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hdist
+    FROM sh a JOIN probes b ON a.simhash = b.probe AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_simhash_hamming1", _dd_simhash_h1_sql())
+def dedup_simhash_hamming1(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-ball SimHash near-dup (the recall upgrade the exact-collision
+    gate documents as future work — now present): pairs within Hamming
+    distance ≤1 of the 16-bit fingerprint. One side explodes to its 17
+    probe values (self + 16 one-bit flips), so the ball query stays an
+    EQUI join — the ±1-bucket / lat-band probing pattern applied to bit
+    space. Each unordered pair matches exactly once (probe values are
+    distinct); distance comes from bit_count(xor) on survivors only."""
+    sh = _simhash_frame(spark, sf)
+    probes = sh.withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[F.col("simhash").bitwiseXOR(F.lit(1 << k)) for k in range(_SIMHASH_BITS)],
+            )
+        ),
+    )
+    a, b = sh.alias("a"), probes.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.probe")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hdist"),
+        )
+    )
 
 
 # --- edit-distance near-dup (prefix-blocked Levenshtein) -------------------------------
