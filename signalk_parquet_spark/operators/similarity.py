@@ -151,9 +151,30 @@ def ann_topk_multitable(
     q = _with_norms(queries, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
     )
-    qb = _table_buckets_pandas(
-        q.select(F.col("query_id").alias("id"), F.col("qemb").alias("emb")), tables
-    ).withColumnRenamed("id", "query_id")
+    # the query set is small BY CONTRACT (it broadcasts) — bucket it on the
+    # driver instead of paying a Python-worker launch for ~20 rows. Plain
+    # Python floats are IEEE doubles and the loop is the same left-to-right
+    # order, so buckets are bit-identical to the executor/oracle forms.
+    def _bits_py(vec: list[float], planes: list[list[int]]) -> int:
+        bucket = 0
+        for j, w in enumerate(planes):
+            acc = 0.0
+            for i, x in enumerate(w):
+                if x:
+                    acc += vec[i] * float(x)
+            if acc >= 0:
+                bucket += 1 << j
+        return bucket
+
+    q_rows = q.select("query_id", "qemb").collect()
+    qb = collection.sparkSession.createDataFrame(
+        [
+            (r["query_id"], t, _bits_py(r["qemb"], tables[t]))
+            for r in q_rows
+            for t in range(n_tables)
+        ],
+        "query_id long, t int, bucket long",
+    )
     cand = (
         _table_buckets_pandas(coll, tables)
         .join(F.broadcast(qb), ["t", "bucket"])

@@ -158,12 +158,13 @@ def _import_all() -> None:
     # Registration order MATTERS: the driver correctness-checks the first 50
     # registered queries only. Rounds 1-2 burned both windows on the same
     # core/tpch/curation/text set (all green twice), leaving dedup/similarity/
-    # advanced/tpch2 with zero driver rows — so those now register FIRST.
-    # r3 window: dedup 7 + similarity 4 + advanced 14 + tpch2 14 + bucketed 1
-    # + spatial 6 (proximity_pairs non-empty proof) = 46; core's first 4 fill
-    # 50. Union of the r1-r3 windows covers all 90 registered queries.
-    # Previously double-green queries falling out of the window is the
-    # intended trade. After ADDING a query, re-check list(queries())[:50].
+    # advanced/tpch2 with zero driver rows — so those modules register FIRST
+    # and new queries should land in them (or before queries_core). The
+    # modules pushed past 50 (core tail, tpch, curation, text) are exactly
+    # the ones already driver-green in rounds 1-2, so the union of all
+    # rounds' windows covers every registered query. After ADDING a query,
+    # re-check `list(queries())[:50]` contains everything still needing a
+    # driver row.
     for mod in (
         "queries_dedup",
         "queries_similarity",
