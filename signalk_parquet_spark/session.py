@@ -46,6 +46,21 @@ def get_spark(app_name: str = "signalk-parquet-spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reading a glob path (context=*) makes FileStreamSink probe the glob
+    # for _spark_metadata; the FileNotFoundException it catches INTERNALLY
+    # is still logged at WARN with a full stack trace — every pruned lake
+    # read looks like a failure. Raise just that logger to ERROR.
+    try:
+        jvm = spark._jvm
+        for logger in (
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",  # Spark 4
+            "org.apache.spark.sql.execution.streaming.FileStreamSink",  # Spark 3
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # cosmetic only; never fail session creation over logging
     return spark
 
 
