@@ -36,6 +36,9 @@ def _table_names(sf: str) -> tuple[str, str]:
 def ensure_bucketed_facts(spark: SparkSession, sf: str) -> tuple[str, str]:
     """Write lineitem+orders co-bucketed by order key (column-pruned to what
     the gate query reads), once per (session, SF)."""
+    import os
+    import tempfile
+
     li_t, od_t = _table_names(sf)
     key = (id(spark), sf)
     if key not in _READY:
@@ -45,8 +48,11 @@ def ensure_bucketed_facts(spark: SparkSession, sf: str) -> tuple[str, str]:
         od = load(spark, sf, "orders").select(
             F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
         )
-        write_bucketed(li, li_t, ["orderkey"], _N_BUCKETS)
-        write_bucketed(od, od_t, ["orderkey"], _N_BUCKETS)
+        # external tables under tmp: the caller's session may live in a
+        # read-only cwd, where the default managed-warehouse write fails
+        base = os.path.join(tempfile.gettempdir(), "skps_bucketed")
+        write_bucketed(li, li_t, ["orderkey"], _N_BUCKETS, path=os.path.join(base, li_t))
+        write_bucketed(od, od_t, ["orderkey"], _N_BUCKETS, path=os.path.join(base, od_t))
         _READY.add(key)
     return li_t, od_t
 

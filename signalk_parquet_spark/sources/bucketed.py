@@ -33,17 +33,22 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 32,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed+sorted parquet table. Sorting by the
-    bucket key inside each bucket file lets the join skip its Sort too."""
+    bucket key inside each bucket file lets the join skip its Sort too.
+
+    ``path`` makes the table EXTERNAL at that location — use it when the
+    process's working directory (where the default warehouse lives) may
+    not be writable, e.g. a caller-owned session in a read-only cwd."""
     spark = df.sparkSession
     if mode == "overwrite":
         # The default in-memory catalog forgets tables across sessions while
-        # the warehouse dir survives, so a fresh session's CTAS against the
+        # the table location survives, so a fresh session's CTAS against the
         # same name fails with LOCATION_ALREADY_EXISTS. Drop + clear the
-        # stale managed location (a real metastore deployment's DROP TABLE
-        # already removes it — the fs delete is then a no-op). Resolve the
-        # database explicitly: managed locations live at
+        # stale location (a real metastore deployment's DROP TABLE already
+        # removes managed locations — the fs delete is then a no-op).
+        # Resolve the database explicitly: managed locations live at
         # <warehouse>[/<db>.db]/<table>, and the DROP must quote each name
         # part or a qualified 'db.tbl' parses as one backticked identifier.
         if "." in table:
@@ -51,9 +56,13 @@ def write_bucketed(
         else:
             db, name = spark.catalog.currentDatabase(), table
         spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        db_part = "" if db == "default" else f"/{db.lower()}.db"
-        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}{db_part}/{name.lower()}")
+        if path is not None:
+            target = path
+        else:
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            db_part = "" if db == "default" else f"/{db.lower()}.db"
+            target = f"{wh}{db_part}/{name.lower()}"
+        loc = spark._jvm.org.apache.hadoop.fs.Path(target)
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
@@ -61,14 +70,16 @@ def write_bucketed(
     # one file per bucket it happens to see (tasks x buckets small files);
     # aligned, each bucket is exactly one file and the bucketed scan's task
     # count equals num_buckets
-    (
+    writer = (
         df.repartition(num_buckets, *[df[c] for c in bucket_cols])
         .write.mode(mode)
         .format("parquet")
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def cobucketed_join(
