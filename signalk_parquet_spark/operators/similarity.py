@@ -133,6 +133,7 @@ def ann_topk_multitable(
     n_planes: int = 8,
     dim: int = 64,
     round_digits: int = 4,
+    unroll_dim: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH ANN (OR-amplification): L independent hyperplane
     tables; a candidate only needs to collide with the query in ONE table.
@@ -145,10 +146,17 @@ def ann_topk_multitable(
     bit computation, _table_buckets_pandas) — the join stays an EQUI join
     on (table, bucket) with an L× larger but perfectly partitionable key
     space; candidate pairs are deduped BEFORE the exact re-rank so each
-    survivor is scored once."""
+    survivor is scored once.
+
+    ``dim`` is the true vector dimension (sizes the hyperplanes);
+    ``unroll_dim`` separately picks the SCORING expression form — None
+    keeps the HOF dot (small expression tree, compile-cheap: right when
+    candidate counts are modest), ``=dim`` emits unrolled multiply-add
+    chains (codegen-hot: right at >~10^6 scored pairs where per-row cost
+    dominates compile). Values are bit-identical either way."""
     tables = [make_planes(n_planes, dim, seed=t) for t in range(n_tables)]
-    coll = _with_norms(collection, id_col, vec_col, dim)
-    q = _with_norms(queries, id_col, vec_col, dim).select(
+    coll = _with_norms(collection, id_col, vec_col, unroll_dim)
+    q = _with_norms(queries, id_col, vec_col, unroll_dim).select(
         F.col("id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
     )
     # the query set is small BY CONTRACT (it broadcasts) — bucket it on the
@@ -189,7 +197,8 @@ def ann_topk_multitable(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qemb"), F.col("emb"), dim) / F.sqrt(F.col("qn2") * F.col("n2")),
+                dot(F.col("qemb"), F.col("emb"), unroll_dim)
+                / F.sqrt(F.col("qn2") * F.col("n2")),
                 round_digits,
             ).alias("cos"),
         )
