@@ -230,10 +230,15 @@ def connected_components(
     # the loop shuffles at session width and lets AQE coalesce collapse the
     # post-shuffle side to the data's real size — scoped to these queries
     # only, and at real scale (thousands of edge partitions) AQE keeps them.
+    # initialize at min(self, min(neighbor)) — exactly one propagate step,
+    # folded into the same single shuffle a distinct() init would cost, so
+    # clique-like components (the near-dup norm) typically converge one
+    # full round earlier. Labels are still always node ids present in the
+    # frame (sym is symmetric), preserving the pointer-jump totality below.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("min_nbr"))
+        .select("node", F.least(F.col("node"), F.col("min_nbr")).alias("label"))
         .localCheckpoint()
     )
     prev_sum: int | None = None
