@@ -91,8 +91,9 @@ def interval_join_pairs(spark: SparkSession, sf: str) -> DataFrame:
       FROM g
     ), sessions AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked
     )
     SELECT user_id, session_id, strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_start,

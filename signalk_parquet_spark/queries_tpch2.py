@@ -230,20 +230,25 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT l_partkey, val_u / 10000.0 AS value
     FROM pv
-    WHERE val_u > (SELECT CAST(sum(val_u) AS DOUBLE) * 0.001 FROM pv)
+    WHERE val_u > (SELECT CAST(sum(val_u) AS DOUBLE) * 1.2 / count(*) FROM pv)
     """,
 )
 def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11 shape (important-stock screen, partsupp→lineitem revenue):
-    per-part revenue kept only where it exceeds 0.1% of the global total.
-    The per-part aggregate computes ONCE (persist) and feeds both the global
-    scalar and the filter — not two scans of the fact table. Micro-unit
-    sums make the threshold comparison engine-exact (the global total is the
-    same exact integer on both sides before the one double multiply)."""
+    per-part revenue kept only where it exceeds 1.2x the mean per-part
+    share — the fraction DERIVES from the part count, TPC-H's 0.0001/SF
+    idea, so every SF asserts real rows (the r03 0-vs-0 driver row proved
+    nothing). The per-part aggregate computes ONCE (persist) and feeds both
+    the global scalar and the filter — not two scans of the fact table.
+    Micro-unit sums make the threshold comparison engine-exact (the global
+    total is the same exact integer on both sides before the one double
+    multiply)."""
     li = load(spark, sf, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(_vol_u()).alias("val_u")).persist()
     pv.count()  # materialize before the two consumers fork (CLAUDE.md gotcha)
-    total = pv.agg((F.sum("val_u").cast("double") * 0.001).alias("thresh"))
+    total = pv.agg(
+        (F.sum("val_u").cast("double") * 1.2 / F.count(F.lit(1))).alias("thresh")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("val_u") > F.col("thresh"))

@@ -26,8 +26,10 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v: Any) -> Any:
-    if isinstance(v, Decimal):
-        return float(v)
+    # Deliberately NOT coercing Decimal: DuckDB HUGEINT/DECIMAL surfaces as
+    # Decimal here and as decimal128 in the driver's Arrow hash — a Decimal
+    # vs int/float pair must FAIL locally exactly like it fails at the
+    # driver (the r03 sessionize_30m window-sum lesson, CLAUDE.md rule 6).
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     if isinstance(v, float) and math.isnan(v):
