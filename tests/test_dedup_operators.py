@@ -120,25 +120,35 @@ def test_ivf_numpy_assignment_matches_expr(spark):
     assert npy == expr
 
 
-def test_connected_components_transitive_closure(spark):
+# local_threshold=0 forces the distributed min-label loop; the default takes
+# the driver union-find fast path — both strategies must agree everywhere.
+@pytest.mark.parametrize("thr", [1_000_000, 0])
+def test_connected_components_transitive_closure(spark, thr):
     from signalk_parquet_spark.operators.dedup import connected_components
 
     # path graph 1-2-3 (1 and 3 never share an edge) + separate pair 7-8
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
     )
-    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, local_threshold=thr).collect()
+    }
     assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("thr", [1_000_000, 0])
+def test_connected_components_long_chain(spark, thr):
     from signalk_parquet_spark.operators.dedup import connected_components
 
     # diameter-9 chain: takes several propagation rounds, not one
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 19)], "id_a long, id_b long"
     )
-    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, local_threshold=thr).collect()
+    }
     assert set(labels.values()) == {10} and len(labels) == 10
 
 
@@ -249,10 +259,13 @@ def test_ivf_recall_measured(spark):
     assert all(0.0 <= r["recall"] <= 1.0 and r["n_exact"] == 5 for r in rows)
 
 
-def test_connected_components_matches_union_find(spark):
-    """Differential ground truth: Spark min-label propagation must agree
-    with a Python union-find on random graphs (chains, cliques, isolated
-    pairs, self-contradicting orderings — whatever the seed produces)."""
+@pytest.mark.parametrize("thr", [1_000_000, 0])
+def test_connected_components_matches_union_find(spark, thr):
+    """Differential ground truth: BOTH strategies (driver union-find fast
+    path and distributed min-label propagation) must agree with an
+    independent Python union-find on random graphs (chains, cliques,
+    isolated pairs, self-contradicting orderings — whatever the seed
+    produces)."""
     import random
 
     from signalk_parquet_spark.operators.dedup import connected_components
@@ -263,7 +276,10 @@ def test_connected_components_matches_union_find(spark):
         edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(25)]
         edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
         df = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(df, local_threshold=thr).collect()
+        }
 
         parent: dict[int, int] = {}
 
