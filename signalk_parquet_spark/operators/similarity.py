@@ -77,50 +77,78 @@ def ann_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _table_buckets_pandas(df, tables):
-    """(id, emb) → one row per (id, table, bucket) via Arrow-batched numpy —
-    the many-plane regime where L×b HOF dot expressions are all interpreted
-    CodegenFallback (measured: 8 tables × 6 planes as Column expressions
-    cost ~7 s/query at sf0.1; this path well under 1 s).
+def _fused_multitable_scan(coll, qids, qmat, qn2, qprobes, tables):
+    """(id, emb) collection → (query_id, neighbor_id, cos) in ONE Arrow-
+    batched map stage: per batch, compute every vector's bucket in every
+    table, test membership against the broadcast query probe sets, and
+    score the collisions — bucketing, candidate generation, dedup (a pair
+    can only arise in the batch holding the neighbor) and scoring all fuse
+    map-side, so the whole ANN query is one Python stage plus one top-k
+    shuffle. The r03 shape (bucket rows → broadcast equi-join → distinct →
+    two joins → window) was 5 shuffle-bounded stages whose fixed overhead
+    dwarfed the tiny per-stage work.
 
-    PARITY-CRITICAL float discipline: the accumulation loops over the dim
-    axis IN ORDER with one vectorized add per element, which reproduces the
-    scalar left-to-right IEEE rounding of the Column/oracle form exactly —
+    PARITY-CRITICAL float discipline: every accumulation loops over the
+    dim axis IN ORDER with one vectorized add per element, reproducing the
+    scalar left-to-right IEEE rounding of the Column/oracle forms exactly —
     a BLAS matmul's pairwise summation would differ in the last ulp and
-    could flip a bucket bit where a plane dot lands within rounding of 0.
-    Zero-weight terms are skipped (adding exact ±0.0 never changes the sum
-    or the >= 0 test — same argument as hyperplane_bits(unroll=True))."""
+    could flip a bucket bit (or a 4-decimal cosine) where a value lands
+    within rounding of a boundary. Including zero-weight plane terms is
+    exact: adding ±0.0 never changes a finite sum or the >= 0 test. The
+    cosine leaves here UNROUNDED (raw IEEE quotient of bit-exact parts);
+    rounding happens in Spark so the engine's own round semantics apply."""
     import numpy as np
     import pandas as pd
 
-    bc = df.sparkSession.sparkContext.broadcast(tables)
     n_tables = len(tables)
-    schema = "id long, t int, bucket long"
+    n_planes = len(tables[0])
+    # (d, L*b) weight matrix: accumulating along the dim axis updates ALL
+    # planes of ALL tables in one (n, L*b) fused step per dimension
+    wflat = np.array(
+        [[float(x) for x in plane] for table in tables for plane in table],
+        dtype=np.float64,
+    ).T  # (d, L*b)
+    shifts = np.tile(np.arange(n_planes, dtype=np.int64), n_tables)
+    qprobe_arr = np.array(qprobes, dtype=np.int64)  # (L, Q, n_flips)
+    bc = coll.sparkSession.sparkContext.broadcast(
+        (wflat, shifts, np.asarray(qids), qmat, qn2, qprobe_arr)
+    )
+    schema = "query_id long, neighbor_id long, cos double"
 
-    def bucket_batches(it):
-        tbls = bc.value
+    def score_batches(it):
+        b_w, b_shifts, b_qids, b_qmat, b_qn2, b_probes = bc.value
+        d = b_w.shape[0]
         for pdf in it:
             if len(pdf) == 0:
                 continue
             emb = np.array(pdf["emb"].tolist(), dtype=np.float64)  # (n, d)
+            ids = pdf["id"].to_numpy()
             n = len(pdf)
-            buckets = np.zeros((n, n_tables), dtype=np.int64)
-            for t, planes in enumerate(tbls):
-                for j, w in enumerate(planes):
-                    acc = np.zeros(n, dtype=np.float64)
-                    for i, x in enumerate(w):
-                        if x:
-                            acc = acc + emb[:, i] * float(x)
-                    buckets[:, t] += (acc >= 0).astype(np.int64) << j
+            acc = np.zeros((n, b_w.shape[1]), dtype=np.float64)
+            for i in range(d):
+                acc += emb[:, i : i + 1] * b_w[i][None, :]
+            bits = (acc >= 0).astype(np.int64) << b_shifts[None, :]
+            buckets = bits.reshape(n, n_tables, n_planes).sum(axis=2)  # (n, L)
+            hit = np.zeros((n, len(b_qids)), dtype=bool)
+            for t in range(n_tables):
+                # (n, 1, 1) == (1, Q, n_flips) → any over probes
+                hit |= (buckets[:, t, None, None] == b_probes[t][None, :, :]).any(-1)
+            hit &= ids[:, None] != b_qids[None, :]
+            rows, cols = np.nonzero(hit)
+            if len(rows) == 0:
+                continue
+            a, b = emb[rows], b_qmat[cols]  # (P, d) each
+            dacc = np.zeros(len(rows), dtype=np.float64)
+            nacc = np.zeros(len(rows), dtype=np.float64)
+            for i in range(d):
+                dacc += a[:, i] * b[:, i]
+                nacc += a[:, i] * a[:, i]
+            cos = dacc / np.sqrt(b_qn2[cols] * nacc)
             yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf["id"].to_numpy(), n_tables),
-                    "t": np.tile(np.arange(n_tables, dtype=np.int32), n),
-                    "bucket": buckets.reshape(-1),
-                }
+                {"query_id": b_qids[cols], "neighbor_id": ids[rows], "cos": cos}
             )
 
-    return df.select("id", "emb").mapInPandas(bucket_batches, schema=schema)
+    return coll.select("id", "emb").mapInPandas(score_batches, schema=schema)
 
 
 def ann_topk_multitable(
@@ -134,6 +162,7 @@ def ann_topk_multitable(
     dim: int = 64,
     round_digits: int = 4,
     unroll_dim: int | None = None,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Multi-table LSH ANN (OR-amplification): L independent hyperplane
     tables; a candidate only needs to collide with the query in ONE table.
@@ -142,23 +171,34 @@ def ann_topk_multitable(
     tables trade a bounded candidate-set growth (≤ L×) for multiplicatively
     better recall: miss probability (1 - p^b)^L drops geometrically in L.
 
-    Scale shape: each side expands to L (table, bucket) keys (Arrow-batched
-    bit computation, _table_buckets_pandas) — the join stays an EQUI join
-    on (table, bucket) with an L× larger but perfectly partitionable key
-    space; candidate pairs are deduped BEFORE the exact re-rank so each
-    survivor is scored once.
+    ``probe_radius`` adds MULTIPROBE: each query additionally probes every
+    bucket within that Hamming distance of its own (bit flips of the bucket
+    code), per table. A near neighbor most often misses by exactly one
+    disagreeing plane, so radius 1 multiplies per-table collision odds by
+    ~(1 + b·(1-p)/p) at a (1 + b)× probe-key cost — and the expansion is
+    QUERY-side only: the collection's bucket index is untouched and the
+    join stays an equi-join, so at 100 TB the cost is a slightly wider
+    broadcast, not a bigger shuffle (Lv et al., "Multi-Probe LSH", VLDB'07).
+
+    Scale shape: the collection NEVER shuffles — one Arrow-batched map
+    stage computes each vector's L buckets, tests them against the
+    broadcast query probe table, and scores the collisions in place
+    (_fused_multitable_scan); the only shuffle is the per-query top-k
+    window over the scored pairs (candidate-fraction x queries rows).
+    Each (query, neighbor) pair arises exactly once — in the batch that
+    holds the neighbor — so no distinct is needed. This requires the
+    query set to be driver-collectable (the broadcast contract all the
+    knn/ann operators here share); an unbounded query side would instead
+    use the (table, bucket) equi-join shape.
 
     ``dim`` is the true vector dimension (sizes the hyperplanes);
-    ``unroll_dim`` separately picks the SCORING expression form — None
-    keeps the HOF dot (small expression tree, compile-cheap: right when
-    candidate counts are modest), ``=dim`` emits unrolled multiply-add
-    chains (codegen-hot: right at >~10^6 scored pairs where per-row cost
-    dominates compile). Values are bit-identical either way."""
+    ``unroll_dim`` is accepted for signature stability but unused — the
+    fused scan scores in Arrow-batched numpy with oracle-identical
+    sequential IEEE accumulation (see _fused_multitable_scan)."""
+    import numpy as np
+
     tables = [make_planes(n_planes, dim, seed=t) for t in range(n_tables)]
-    coll = _with_norms(collection, id_col, vec_col, unroll_dim)
-    q = _with_norms(queries, id_col, vec_col, unroll_dim).select(
-        F.col("id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
-    )
+    coll = _with_norms(collection, id_col, vec_col, None)
     # the query set is small BY CONTRACT (it broadcasts) — bucket it on the
     # driver instead of paying a Python-worker launch for ~20 rows. Plain
     # Python floats are IEEE doubles and the loop is the same left-to-right
@@ -174,34 +214,32 @@ def ann_topk_multitable(
                 bucket += 1 << j
         return bucket
 
-    q_rows = q.select("query_id", "qemb").collect()
-    qb = collection.sparkSession.createDataFrame(
+    from itertools import combinations
+
+    flips = [0]
+    for r_ in range(1, probe_radius + 1):
+        for combo in combinations(range(n_planes), r_):
+            mask = 0
+            for j in combo:
+                mask |= 1 << j
+            flips.append(mask)
+
+    # qn2 comes from the SAME JVM expression the exact-knn gates use, so the
+    # query-side norm is the proven oracle-equal value, not a re-derivation
+    q_rows = _with_norms(queries, id_col, vec_col, None).select("id", "emb", "n2").collect()
+    qids = [r["id"] for r in q_rows]
+    qmat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    qn2 = np.array([r["n2"] for r in q_rows], dtype=np.float64)
+    qprobes = [
         [
-            (r["query_id"], t, _bits_py(r["qemb"], tables[t]))
+            [_bits_py(r["emb"], tables[t]) ^ flip for flip in flips]
             for r in q_rows
-            for t in range(n_tables)
-        ],
-        "query_id long, t int, bucket long",
-    )
-    cand = (
-        _table_buckets_pandas(coll, tables)
-        .join(F.broadcast(qb), ["t", "bucket"])
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("neighbor_id"))
-        .distinct()
-    )
-    pairs = (
-        cand.join(coll.select(F.col("id").alias("neighbor_id"), "emb", "n2"), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("qemb"), F.col("emb"), unroll_dim)
-                / F.sqrt(F.col("qn2") * F.col("n2")),
-                round_digits,
-            ).alias("cos"),
-        )
+        ]
+        for t in range(n_tables)
+    ]  # (L, Q, n_flips)
+    scored = _fused_multitable_scan(coll, qids, qmat, qn2, qprobes, tables)
+    pairs = scored.select(
+        "query_id", "neighbor_id", F.round("cos", round_digits).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

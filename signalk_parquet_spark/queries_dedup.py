@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import distinct_shingles, hashed_shingles, jaccard, minhash_signature
+from .memo import SessionMemo
 from .registry import load, register
 
 _SHINGLES_DD = "list_distinct(list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
@@ -25,23 +26,23 @@ _HSHINGLES_DD = f"list_distinct(list_transform({_SHINGLES_DD}, s -> CAST(concat(
 #: of the whole dedup family (string shingles + md5 per shingle + 48-bit
 #: hashing over every document). ngram/minhash/simhash/cluster/keep all
 #: derive from this ONE persisted frame instead of re-shingling per query.
-_SHINGLED: dict[tuple[int, str], DataFrame] = {}
+#: (memo.SessionMemo materializes fully BEFORE any self-join reuse: a
+#: partially-built cache + AQE intermittently dropped a candidate pair.)
+_SHINGLED = SessionMemo()
 
 
 def _shingled_docs(spark: SparkSession, sf: str) -> DataFrame:
     """(id, lang, len_bucket, sh, shl) — persisted once per (session, SF)."""
-    key = (id(spark), sf)
-    if key not in _SHINGLED:
-        d = load(spark, sf, "documents").select(
+    return _SHINGLED.get_or_build(
+        spark,
+        f"shingled|{sf}",
+        lambda: load(spark, sf, "documents").select(
             F.col("doc_id").alias("id"),
             "lang",
             F.floor(F.length("text") / 20).alias("len_bucket"),
             distinct_shingles("text").alias("sh"),
-        ).withColumn("shl", hashed_shingles(F.col("sh"))).persist()
-        d.count()  # materialize fully BEFORE any self-join: a partially-
-        # built cache + AQE intermittently dropped a candidate pair
-        _SHINGLED[key] = d
-    return _SHINGLED[key]
+        ).withColumn("shl", hashed_shingles(F.col("sh"))),
+    )
 
 
 # --- exact dedup ----------------------------------------------------------------
@@ -219,12 +220,11 @@ def _dd_simhash_sql() -> str:
 
 #: session memo for the 16-bit fingerprint frame (doc_id, simhash) — shared
 #: by the exact-collision and Hamming-ball gates
-_SIMHASH_FRAME: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH_FRAME = SessionMemo()
 
 
 def _simhash_frame(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark), sf)
-    if key not in _SIMHASH_FRAME:
+    def build() -> DataFrame:
         tok = _shingled_docs(spark, sf).select(
             F.col("id").alias("doc_id"), F.explode("sh").alias("s")
         ).withColumn("h", F.md5("s"))
@@ -238,10 +238,9 @@ def _simhash_frame(spark: SparkSession, sf: str) -> DataFrame:
         for b in range(_SIMHASH_BITS):
             term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
             simhash = term if simhash is None else simhash + term
-        sh = acc.select("doc_id", simhash.cast("long").alias("simhash")).persist()
-        sh.count()  # materialize fully before any self-join
-        _SIMHASH_FRAME[key] = sh
-    return _SIMHASH_FRAME[key]
+        return acc.select("doc_id", simhash.cast("long").alias("simhash"))
+
+    return _SIMHASH_FRAME.get_or_build(spark, f"simhash|{sf}", build)
 
 
 @register("dedup_simhash", _dd_simhash_sql())
@@ -385,21 +384,22 @@ def _dd_cc_sql() -> str:
 #: session-scoped memo for the near-dup cluster labels: dedup_cluster_cc and
 #: dedup_keep_corpus are two views of ONE pair-screen + connected-components
 #: computation (the most expensive pipeline in the dedup family, ~4-5 s at
-#: sf0.1); labels are localCheckpoint-backed, so reuse is a cache read.
-_CC_LABELS: dict[tuple[int, str], DataFrame] = {}
+#: sf0.1); labels come back already materialized (localCheckpoint-backed or
+#: a driver-solved local relation), so materialize=False.
+_CC_LABELS = SessionMemo()
 
 
 def _cc_labels(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import blocked_jaccard_pairs, connected_components
 
-    key = (id(spark), sf)
-    if key not in _CC_LABELS:
+    def build() -> DataFrame:
         edges = blocked_jaccard_pairs(
             load(spark, sf, "documents"), "doc_id", "text", ["lang"],
             prepared=_shingled_docs(spark, sf).select("id", "lang", "len_bucket", "shl"),
         )
-        _CC_LABELS[key] = connected_components(edges, "id_a", "id_b")
-    return _CC_LABELS[key]
+        return connected_components(edges, "id_a", "id_b")
+
+    return _CC_LABELS.get_or_build(spark, f"cc|{sf}", build, materialize=False)
 
 
 # --- corpus keep-list: the dedup pipeline's end product ---------------------------

@@ -51,7 +51,7 @@ _NANO_COLS_CACHE: dict[str, list[str]] = {}
 #: session-level table cache (the reference's LRU data buffers / file-list
 #: caches, cache-defaults.ts:9-37). Keyed by (session id, path); fully
 #: materialized at first use so self-joins never see a partially-built cache.
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:
@@ -92,9 +92,14 @@ def load(
 
     ensure_query_confs(spark)
     path = f"{sf_dir}/{table}.parquet"
-    cache_key = (id(spark), path)
+    # applicationId, not id(spark): CPython reuses addresses after a stopped
+    # session is collected, which could hand a new session a dead frame
+    app = spark.sparkContext.applicationId
+    cache_key = (app, path)
     if ts_range is None and cache_key in _TABLE_CACHE:
         return _TABLE_CACHE[cache_key]
+    for stale in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[stale]
     df = spark.read.parquet(path)
     nano_cols = _nano_timestamp_cols(path)
     if ts_range is not None:

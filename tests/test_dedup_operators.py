@@ -239,7 +239,9 @@ def test_multitable_lsh_beats_single_table(spark):
     multi = mean_recall(ann_lsh_multitable(spark, sf))
     exact.unpersist()
     assert multi > single + 0.1, (single, multi)
-    assert multi >= 0.2, multi  # meaningfully useful, not marginally less bad
+    # deployed config (10 tables x 8 planes, radius-1 multiprobe) must hold
+    # a genuinely useful recall on the near-uniform (hard-case) bench data
+    assert multi >= 0.5, multi
 
 
 def test_ivf_recall_measured(spark):
