@@ -243,3 +243,24 @@ def length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         _at(99).alias("p99"),
         F.max("n").alias("n_docs"),
     )
+
+
+# --- approximate aggregates (genuinely engine-specific: rows-only check) --------------
+def _approx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL) and approx percentiles — sketch outputs
+    are engine-specific by nature, so this query has NO DuckDB oracle and
+    takes the driver's weaker rows-only check (the exact twins are
+    distinct_and_stddev / bucket_median_1h). Registered LATE on purpose:
+    a no-oracle query would burn one of the driver's 50 checked slots
+    that an exact-oracle query can use (VERDICT r03 #4)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    )
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["approx_stats"] = (_approx_stats, None)
