@@ -72,8 +72,23 @@ def migrate_rollup_epoch(lake: Lake, tiers: list[str] | None = None, dry_run: bo
     write_rollup (lands under epoch=0), then delete the old epoch-less leaf
     files — the same read-rewrite-swap shape as migrate_hive_layout.
     Local roots only (os.walk/os.remove); an object-store lake would swap
-    via the store's batch-delete API instead."""
+    via the store's batch-delete API instead.
+
+    CRASH SAFETY (ADVICE r03): a failure between the rewrite and the
+    old-leaf deletion used to strand the tier mixed-depth — unreadable, and
+    a re-run died at the same lake.read. The migration now brackets the
+    rewrite with marker files at the tier root: ``_rollup_migrating`` is
+    created before write_rollup and atomically renamed to
+    ``_rollup_migrated`` after it. On re-run: a ``_rollup_migrated`` marker
+    means the rewrite is durable, so only the leftover flat leaves are
+    deleted (no lake.read needed); a ``_rollup_migrating`` marker means the
+    write was interrupted, and since a migration only ever starts from a
+    purely flat tier, every epoch= subtree under it belongs to that partial
+    write and is scrapped before redoing. Mixed depth WITHOUT a marker is
+    not this protocol's doing and raises with guidance instead of guessing
+    which side holds the truth."""
     import os
+    import shutil
 
     root = lake.roots[0]
     if tiers is None:
@@ -93,6 +108,40 @@ def migrate_rollup_epoch(lake: Lake, tiers: list[str] | None = None, dry_run: bo
             for f in files
             if f.endswith(".parquet")
         ]
+        epoch_dirs = [
+            dirpath
+            for dirpath, _dn, _f in os.walk(local)
+            if os.path.basename(dirpath).startswith("epoch=")
+        ]
+        start_m = os.path.join(local, "_rollup_migrating")
+        done_m = os.path.join(local, "_rollup_migrated")
+        if os.path.exists(done_m):
+            # rewrite durable; only the old-leaf deletion was interrupted
+            if dry_run:
+                migrated[tier] = len(old_files)
+                continue
+            for f in old_files:
+                os.remove(f)
+            os.remove(done_m)
+            migrated[tier] = lake.read(tier=tier).count()
+            continue
+        if os.path.exists(start_m):
+            if dry_run:
+                migrated[tier] = len(old_files)
+                continue
+            # interrupted mid-write: every epoch subtree came from that
+            # partial write (migration starts only from a pure flat layout)
+            for d in epoch_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            os.remove(start_m)
+        elif epoch_dirs and old_files:
+            raise RuntimeError(
+                f"tier={tier}: mixed flat+epoch layout without a migration "
+                "marker — not an interrupted migrate_rollup_epoch run. "
+                "Resolve manually: either the epoch= subtrees hold writes "
+                "that predate the migration (delete the flat leaves after "
+                "verifying coverage) or vice versa."
+            )
         if not old_files:
             migrated[tier] = 0
             continue
@@ -102,9 +151,12 @@ def migrate_rollup_epoch(lake: Lake, tiers: list[str] | None = None, dry_run: bo
             rows = df.select(
                 *[c for c in df.columns if c not in ("tier", "year", "day", "epoch")]
             )
+            open(start_m, "w").close()
             lake.write_rollup(rows, tier)
+            os.replace(start_m, done_m)  # atomic promote: rewrite is durable
             for f in old_files:
                 os.remove(f)
+            os.remove(done_m)
         migrated[tier] = n
     return migrated
 

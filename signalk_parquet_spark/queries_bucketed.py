@@ -25,7 +25,7 @@ from .sources.bucketed import cobucketed_join, write_bucketed
 #: this so a bucket slice approaches spark.sql.files.maxPartitionBytes
 _N_BUCKETS = 16
 
-_READY: set[tuple[int, str]] = set()
+_READY: set[tuple[str, str]] = set()
 
 
 def _table_names(sf: str) -> tuple[str, str]:
@@ -40,7 +40,8 @@ def ensure_bucketed_facts(spark: SparkSession, sf: str) -> tuple[str, str]:
     import tempfile
 
     li_t, od_t = _table_names(sf)
-    key = (id(spark), sf)
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
     if key not in _READY:
         li = load(spark, sf, "lineitem").select(
             F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
@@ -49,8 +50,14 @@ def ensure_bucketed_facts(spark: SparkSession, sf: str) -> tuple[str, str]:
             F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
         )
         # external tables under tmp: the caller's session may live in a
-        # read-only cwd, where the default managed-warehouse write fails
-        base = os.path.join(tempfile.gettempdir(), "skps_bucketed")
+        # read-only cwd, where the default managed-warehouse write fails.
+        # The dir is PER-APPLICATION (not a fixed world-shared path): two
+        # concurrent sessions on one host would otherwise race — one
+        # session's overwrite (DROP + recursive delete) yanking files out
+        # from under the other's live scans — and a predictable /tmp name is
+        # pre-creatable by another local user (ADVICE r03).
+        app_tag = re.sub(r"\W+", "_", app)
+        base = os.path.join(tempfile.gettempdir(), f"skps_bucketed_{app_tag}")
         write_bucketed(li, li_t, ["orderkey"], _N_BUCKETS, path=os.path.join(base, li_t))
         write_bucketed(od, od_t, ["orderkey"], _N_BUCKETS, path=os.path.join(base, od_t))
         _READY.add(key)

@@ -19,6 +19,7 @@ year/day add ~366/year.
 
 from __future__ import annotations
 
+import logging
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,8 @@ from .hive_paths import (
 )
 
 PARTITION_COLS = ("tier", "context", "path", "year", "day")
+
+_LOG = logging.getLogger(__name__)
 
 
 class Lake:
@@ -236,14 +239,19 @@ class Lake:
         except AnalysisException as e:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return None
+                return None  # the one expected skip case: root has no such subtree
             if "conflicting" in msg.lower():
                 raise
-            return None  # other analysis failures on this root: degrade
+            # a genuine schema problem (e.g. an incompatible mergeSchema type
+            # conflict) must not silently drop this root from discovery —
+            # surface it in the log before degrading (ADVICE r03)
+            _LOG.warning("lake: dropping root %s from discovery: %s", sub, msg)
+            return None
         except Exception as e:
             if "conflicting" in str(e).lower():
                 raise
-            return None  # unreachable root (connectivity/auth/missing fs jars)
+            _LOG.warning("lake: unreachable root %s: %s", sub, e)
+            return None  # connectivity/auth/missing fs jars
 
     def _has_excluded_dirs(self) -> bool:
         """Driver-side check for maintenance subdirs in local roots (remote

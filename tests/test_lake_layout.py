@@ -130,3 +130,90 @@ def test_migrate_rollup_epoch_flat_to_epoch0(spark, tmp_path):
     lk.write_rollup(rollup_scalar(lk.read(tier="raw"), "5s"), tier="5s")
     assert lk.read(tier="5s").count() == n_before
     assert migrate_rollup_epoch(lk)["5s"] == 0  # idempotent: nothing left to move
+
+
+def _devolve_epoch0(root):
+    """Hoist rollup leaves out of epoch=0/ — fabricates the pre-epoch layout."""
+    import os
+    import shutil
+
+    for dirpath, _dirnames, files in os.walk(root):
+        if os.path.basename(dirpath) == "epoch=0":
+            for f in files:
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(dirpath, f),
+                        os.path.join(os.path.dirname(dirpath), f),
+                    )
+    for dirpath, _dirnames, _ in list(os.walk(root, topdown=False)):
+        if os.path.basename(dirpath) == "epoch=0":
+            shutil.rmtree(dirpath)
+
+
+def test_migrate_rollup_epoch_crash_resume(spark, tmp_path):
+    """The migration's marker protocol must recover BOTH interruption points
+    (r03 ADVICE: a crash between rewrite and old-leaf deletion stranded the
+    tier mixed-depth and unrecoverable):
+    - after the rewrite (done marker): re-run deletes the leftover flat
+      leaves without re-reading the mixed tier;
+    - during the rewrite (start marker): re-run scraps the partial epoch
+      subtrees and redoes the tier from the still-intact flat leaves;
+    - mixed depth with NO marker is foreign state and must raise."""
+    import os
+
+    import pytest
+
+    from signalk_parquet_spark.operators.migrations import migrate_rollup_epoch
+
+    root = str(tmp_path / "crash_lake")
+    lk = Lake(spark, root)
+    raw = records_df(spark, scalar_series(T0, [4.0, 5.0, 6.0, 7.0, 8.0]))
+    lk.write_records(raw, tier="raw")
+    lk.write_rollup(rollup_scalar(lk.read(tier="raw"), "5s"), tier="5s")
+    n = lk.read(tier="5s").count()
+    tier_dir = f"{root}/tier=5s"
+
+    # --- crash AFTER the rewrite: epoch=0 written, flat leaves not yet
+    # deleted, done marker present (the os.replace promote already ran)
+    _devolve_epoch0(root)
+    flat = migrate_rollup_epoch(lk, dry_run=True)  # sanity: purely flat now
+    assert flat["5s"] == n
+    # replay the migration's own first two steps by hand
+    df = lk.read(tier="5s")
+    rows = df.select(*[c for c in df.columns if c not in ("tier", "year", "day", "epoch")])
+    open(os.path.join(tier_dir, "_rollup_migrating"), "w").close()
+    lk.write_rollup(rows, tier="5s")
+    os.replace(
+        os.path.join(tier_dir, "_rollup_migrating"),
+        os.path.join(tier_dir, "_rollup_migrated"),
+    )
+    # "crash" here; re-run resumes by deleting flat leaves only
+    got = migrate_rollup_epoch(lk)
+    assert got["5s"] == n
+    assert lk.read(tier="5s").count() == n
+    assert not os.path.exists(os.path.join(tier_dir, "_rollup_migrated"))
+
+    def _fresh_rows():
+        # re-derive from the CURRENT flat leaves — a plan captured before a
+        # migration run references files that run deleted
+        df = lk.read(tier="5s")
+        return df.select(
+            *[c for c in df.columns if c not in ("tier", "year", "day", "epoch")]
+        )
+
+    # --- crash DURING the rewrite: partial epoch=0 beside flat leaves,
+    # start marker present → scrapped and redone from the flat leaves
+    _devolve_epoch0(root)
+    partial = _fresh_rows().limit(1).collect()
+    open(os.path.join(tier_dir, "_rollup_migrating"), "w").close()
+    lk.write_rollup(spark.createDataFrame(partial), tier="5s")  # a partial write
+    got = migrate_rollup_epoch(lk)
+    assert got["5s"] == n
+    assert lk.read(tier="5s").count() == n
+
+    # --- mixed depth with no marker: refuse to guess
+    _devolve_epoch0(root)
+    partial = _fresh_rows().limit(1).collect()
+    lk.write_rollup(spark.createDataFrame(partial), tier="5s")
+    with pytest.raises(RuntimeError, match="without a migration"):
+        migrate_rollup_epoch(lk)
