@@ -1,0 +1,202 @@
+"""Warehouse / training-data pipeline analytics beyond the reference's
+surface (BASELINE extension set): cohort retention, conversion funnels,
+embedding centroids, and IDF-weighted term scoring — the batch shapes an
+LLM-data curation stack runs next to dedup/similarity.
+
+Scale notes: every query is hash-aggregation + equi-join only (cohort and
+funnel shuffle on user_id once; the centroid is a posexplode + two-level
+agg; tf-idf is two hash aggs and a broadcast of the tiny vocabulary) — no
+cross joins, no windows over unbounded partitions, no driver loops.
+Exactness: counts are integers; every ratio/mean is integer-derived in a
+fixed operation order, so the DuckDB oracle matches bit-for-bit (CLAUDE.md
+rules 2/3/6 — micro-unit sums for float aggregation, BIGINT casts for
+DuckDB's HUGEINT sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+_HOUR_MS = 3600_000
+
+
+# --- weekly cohort retention ---------------------------------------------------------
+@register(
+    "cohort_retention",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    ), cohort AS (
+      SELECT user_id, min(act_week) AS cohort_week FROM act GROUP BY 1
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%dT%H:%M:%SZ') AS cohort_week,
+           (epoch_ms(a.act_week) - epoch_ms(c.cohort_week)) // {_WEEK_MS} AS week_n,
+           count(*) AS n_users
+    FROM cohort c JOIN act a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-active ISO
+    week, counted in each later week they return. Week offsets are exact
+    integer divisions of millisecond differences (UTC, no DST — week
+    boundaries are exact multiples), so the whole result is integer-exact."""
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    act = e.select("user_id", F.date_trunc("week", "ts").alias("act_week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("cohort_week"),
+            (
+                (F.unix_millis("act_week") - F.unix_millis("cohort_week"))
+                / F.lit(_WEEK_MS)
+            ).cast("long").alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- click -> purchase conversion funnel ----------------------------------------------
+@register(
+    "funnel_conversion",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, date_trunc('day', ts) AS day
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), converted AS (
+      SELECT DISTINCT c.event_id
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id
+       AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+       AND epoch_ms(p.ts) < epoch_ms(c.ts) + {_HOUR_MS}
+    )
+    SELECT strftime(c.day, '%Y-%m-%dT%H:%M:%SZ') AS day,
+           count(*) AS n_clicks,
+           count(v.event_id) AS n_converted,
+           CAST(count(v.event_id) AS DOUBLE) / count(*) AS conv_rate
+    FROM clicks c LEFT JOIN converted v USING (event_id)
+    GROUP BY 1
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel: fraction of clicks followed by a purchase from the
+    same user within one hour (half-open window), per day. The click⋈purchase
+    pairing goes through the bucketized interval join (operators.asof.
+    interval_join — never a theta/cross join), then collapses to EXISTS
+    semantics via a distinct + left join. conv_rate is an int/int division —
+    exact on both engines."""
+    from .operators.asof import interval_join
+
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("cts"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    pairs = interval_join(
+        clicks.select("event_id", "user_id", "cts"), purchases,
+        ["user_id"], "cts", "pts", _HOUR_MS,
+    )
+    dt = F.unix_millis("pts") - F.unix_millis("cts")
+    converted = (
+        pairs.filter((dt >= 0) & (dt < _HOUR_MS)).select("event_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        clicks.join(converted, "event_id", "left")
+        .groupBy(F.date_format("day", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("hit").alias("n_converted"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+        )
+    )
+
+
+# --- per-label embedding centroid (exact micro-unit mean) ------------------------------
+@register(
+    "vector_centroid",
+    """
+    WITH ex AS (
+      SELECT label, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v_u
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    )
+    SELECT label, pos,
+           CAST(sum(v_u) AS DOUBLE) / count(*) / 1000000 AS mean_v,
+           count(*) AS n_vecs
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def vector_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) — the
+    building block of cluster summaries / IVF codebooks. Element values sum
+    as micro-unit integers (order-independent, engine-exact — CLAUDE.md
+    rule 2), then one double division chain; the posexplode + two-key hash
+    agg is a single shuffle at any scale."""
+    e = load(spark, sf, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    ).select(
+        "label", "pos", F.round(F.col("v") * 1_000_000, 0).cast("long").alias("v_u")
+    )
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        (F.sum("v_u").cast("double") / F.count(F.lit(1)) / F.lit(1_000_000)).alias("mean_v"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# --- IDF-weighted top terms per source -------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT source, token, tf, df, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY score DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per source by inverse-document-frequency weight —
+    tf x (N/df) with the classic log() dropped in favor of the exact
+    integer-derived ratio (libm log differs across engines at ~1 ulp,
+    CLAUDE.md rule 4; the RANKING is identical since log is monotone).
+    Two hash aggs; the per-token document-frequency table is vocabulary-
+    sized and broadcasts."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "source", "token", "tf", "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "token", "tf", "df", "score")
+    )

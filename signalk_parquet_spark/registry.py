@@ -174,6 +174,7 @@ def _import_all() -> None:
         "queries_dedup",
         "queries_similarity",
         "queries_advanced",
+        "queries_pipeline",
         "queries_tpch2",
         "queries_bucketed",
         "queries_spatial",
