@@ -326,3 +326,17 @@ def test_cobucketed_gate_query_plan_and_shape(spark):
     assert "hashpartitioning(o_orderpriority" in plan
     rows = {r["o_orderpriority"]: r for r in df.collect()}
     assert len(rows) == 5  # all five TPC-H priorities survive the join
+
+
+def test_pipeline_gates_plan_shapes(spark):
+    """The queries_pipeline gates keep their SCALE.md shapes: no cartesian
+    or nested-loop joins anywhere; tfidf's vocabulary-sized df table joins
+    broadcast; the funnel's click-purchase pairing stays an equi join."""
+    qs = registry.queries()
+    for name in ("cohort_retention", "funnel_conversion", "vector_centroid",
+                 "tfidf_top_terms"):
+        plan = formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    tfidf_plan = formatted_plan(qs["tfidf_top_terms"](spark, SF))
+    assert "BroadcastHashJoin" in tfidf_plan, "df table must broadcast"
