@@ -327,12 +327,13 @@ def ivf_topk(
     local[32]):
       "expr"  — pure Column expressions, engine-exact (DuckDB-oracle-safe).
                 HOF dot (dim=None) 215 s; unrolled (dim=64) 47 s.
-      "numpy" — Arrow-batched mapInPandas, one (batch x dim)@(dim x K)
-                matmul per batch, no join at all: 4 s. BLAS pairwise
-                summation differs from sequential float order in the last
-                ulp, so cell choice can flip where two centroids are
-                near-equidistant — fine for real ANN deployments, not for
-                exact cross-engine parity."""
+      "numpy" — Arrow-batched mapInPandas, no join at all: 4 s. As of r4
+                the accumulation is dim-ordered one-add-per-element (the
+                _fused_multitable_scan discipline) instead of a BLAS
+                matmul, so every distance is BIT-IDENTICAL to the expr/
+                oracle form — parity-grade AND the fast path; argmin ties
+                resolve to the lowest cid on both paths because equal
+                IEEE inputs give equal distances."""
     coll = _with_norms(collection, id_col, vec_col, dim)
     # |c|^2 once per centroid, not per pair — same float as the oracle's
     # per-pair list_dot_product(cemb, cemb), so parity is unaffected
@@ -378,27 +379,44 @@ def ivf_topk(
 
 def _assign_numpy(coll: DataFrame, centroids: DataFrame) -> DataFrame:
     """Vectorized cell assignment: centroid matrix to every executor via a
-    broadcast variable, argmin over one BLAS matmul per Arrow batch. This is
-    the only similarity stage where built-in expressions genuinely can't
-    keep up (interpreted HOF per pair vs one matmul per batch, ~70x)."""
+    broadcast variable, argmin over a dim-ordered accumulation per Arrow
+    batch. This is the only similarity stage where built-in expressions
+    genuinely can't keep up (interpreted HOF per pair vs vectorized numpy,
+    ~70x).
+
+    PARITY-CRITICAL: the dot products accumulate along the dim axis IN
+    ORDER with one vectorized add per element — the same left-to-right
+    IEEE rounding as the expr/oracle HOF dot — so d = |c|^2 - 2 e.c is
+    bit-identical to the Column form and argmin tie behavior (lowest cid)
+    matches exactly. A BLAS matmul's pairwise summation would differ in
+    the last ulp and could flip the cell where two centroids are
+    near-equidistant (the pre-r4 caveat, now gone)."""
     import numpy as np
 
     spark = coll.sparkSession
     cent_rows = centroids.orderBy("cid").collect()  # K x dim, K is small
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([r["cemb"] for r in cent_rows], dtype=np.float64)  # (K, d)
-    cnorm = (cmat * cmat).sum(axis=1)  # |c|^2, (K,)
+    dim = cmat.shape[1]
+    # |c|^2 in the same sequential order as the oracle's list_dot_product
+    cnorm = np.zeros(len(cids), dtype=np.float64)
+    for i in range(dim):
+        cnorm += cmat[:, i] * cmat[:, i]
     bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
 
     schema = "id long, emb array<double>, n2 double, cid long"
 
     def assign_batches(it):
         b_cids, b_cmat, b_cnorm = bc.value
+        d_ = b_cmat.shape[1]
         for pdf in it:
             if len(pdf) == 0:
                 continue
             emb = np.array(pdf["emb"].tolist(), dtype=np.float64)  # (n, d)
-            d = b_cnorm[None, :] - 2.0 * (emb @ b_cmat.T)  # (n, K)
+            acc = np.zeros((len(pdf), len(b_cids)), dtype=np.float64)
+            for i in range(d_):
+                acc += emb[:, i : i + 1] * b_cmat[None, :, i]
+            d = b_cnorm[None, :] - 2.0 * acc  # (n, K), bit-equal to expr form
             pick = d.argmin(axis=1)  # ties -> lowest index == lowest cid
             out = pdf[["id", "emb", "n2"]].copy()
             out["cid"] = b_cids[pick]

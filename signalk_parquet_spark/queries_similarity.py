@@ -356,11 +356,17 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     deterministic stride coarse quantizer (SQL-expressible, so the oracle is
     exact — swap in operators.similarity.kmeans_centroids for a learned one),
     map-side argmin cell assignment, 3-cell probe, exact cosine re-rank.
-    Same output contract as knn_bruteforce/ann_lsh_bucketed."""
+    Same output contract as knn_bruteforce/ann_lsh_bucketed. Assignment runs
+    the numpy path — since r4 it accumulates dim-ordered, so it is
+    bit-identical to the expr/oracle form AND the deployment-speed path
+    (no more parity-vs-speed trade)."""
     from .operators.similarity import ivf_topk, stride_centroids
 
     e = load(spark, sf, "embeddings")
     cent = stride_centroids(e, "vec_id", "embedding", _STRIDE)
     q = e.filter(F.col("vec_id") < _NQ)
-    out = ivf_topk(e, q, cent, "vec_id", "embedding", k=_TOPK, n_probe=_NPROBE, dim=_DIM)
+    out = ivf_topk(
+        e, q, cent, "vec_id", "embedding",
+        k=_TOPK, n_probe=_NPROBE, dim=_DIM, assign="numpy",
+    )
     return out.withColumnRenamed("cos", "cos4")

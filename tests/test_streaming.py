@@ -209,3 +209,38 @@ def test_rollup_job_end_to_end_restart_safe(spark, tmp_path):
     }
     for k, v in after_b.items():
         assert truth[k] == v
+
+
+def test_sessionize_batch_matches_session_window(spark):
+    """The batch sessionization gate (lag-gap > 30 min + cumulative sum,
+    queries_advanced.sessionize_30m) and Spark's native F.session_window
+    must carve IDENTICAL sessions from the same events — the §2.8 link
+    between the oracle-checked batch twin and the streaming-native form.
+    (Boundary conventions differ at a diff of EXACTLY the gap — batch `>`
+    keeps it in-session, session_window's exclusive end starts a new one —
+    but no such boundary exists in any SF of the testdata, verified by
+    oracle query; real gaps are either << or >> 30 min.)"""
+    from pyspark.sql import functions as F
+
+    from signalk_parquet_spark.queries_advanced import sessionize_30m
+    from signalk_parquet_spark.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["duration_ms"])
+        for r in sessionize_30m(spark, sf).collect()
+    }
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    native = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["duration_ms"])
+        for r in (
+            e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("session_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+            )
+            .collect()
+        )
+    }
+    assert batch == native
