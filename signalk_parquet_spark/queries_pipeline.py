@@ -200,3 +200,61 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "token", "tf", "df", "score")
     )
+
+
+# --- window functions beyond rank/dense_rank/ntile -------------------------------------
+@register(
+    "window_funcs_extended",
+    """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best,
+           first_value(o_orderkey) OVER w AS best,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_funcs_extended(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value / first_value / last_value —
+    completes the §2.5 window surface beyond ranking_functions. The ORDER BY
+    is made unique (orderkey tie-break) so every function is deterministic;
+    percent_rank and cume_dist are integer-derived ratios, engine-exact.
+    last_value/nth_value use an explicit unbounded frame (the default frame
+    ends at CURRENT ROW on both engines, which would make them degenerate)."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_best"),
+        F.first("o_orderkey").over(w).alias("best"),
+        F.last("o_orderkey").over(wfull).alias("worst"),
+    )
+
+
+# --- set operation: INTERSECT ----------------------------------------------------------
+@register(
+    "intersect_buyers_clickers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect_buyers_clickers(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT set op (users who both clicked and purchased) — completes
+    §2.6 alongside UNION ALL (union_by_name) and EXCEPT (anti_join_users).
+    Catalyst plans it as a left-semi aggregate join, never a cross product."""
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
