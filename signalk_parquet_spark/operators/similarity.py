@@ -327,13 +327,20 @@ def ivf_topk(
     local[32]):
       "expr"  — pure Column expressions, engine-exact (DuckDB-oracle-safe).
                 HOF dot (dim=None) 215 s; unrolled (dim=64) 47 s.
-      "numpy" — Arrow-batched mapInPandas, no join at all: 4 s. As of r4
-                the accumulation is dim-ordered one-add-per-element (the
-                _fused_multitable_scan discipline) instead of a BLAS
-                matmul, so every distance is BIT-IDENTICAL to the expr/
-                oracle form — parity-grade AND the fast path; argmin ties
-                resolve to the lowest cid on both paths because equal
-                IEEE inputs give equal distances."""
+      "numpy" — ONE Arrow-batched map stage for the whole query (r4): cell
+                assignment, probe membership, and cosine scoring fuse like
+                _fused_multitable_scan, leaving a single top-k shuffle.
+                Every accumulation is dim-ordered one-add-per-element, so
+                distances and cosines are BIT-IDENTICAL to the expr/oracle
+                forms — parity-grade AND the fast path; argmin ties resolve
+                to the lowest cid on both paths because equal IEEE inputs
+                give equal distances. Requires the query set to be
+                driver-collectable (the shared broadcast contract)."""
+    if assign == "numpy":
+        return _fused_ivf_topk(
+            collection, queries, centroids, id_col, vec_col,
+            k, n_probe, round_digits, dim,
+        )
     coll = _with_norms(collection, id_col, vec_col, dim)
     # |c|^2 once per centroid, not per pair — same float as the oracle's
     # per-pair list_dot_product(cemb, cemb), so parity is unaffected
@@ -343,19 +350,16 @@ def ivf_topk(
         # d = |c|^2 - 2 e.c, written exactly as the DuckDB oracle writes it
         return F.col("cn2") - F.lit(2.0) * dot(emb, F.col("cemb"), dim)
 
-    if assign == "numpy":
-        assign_df = _assign_numpy(coll, centroids)
-    else:
-        assign_df = (
-            coll.crossJoin(cent)
-            .groupBy("id")
-            .agg(
-                F.min(F.struct(_d(F.col("emb")).alias("d"), F.col("cid").alias("cid"))).alias("m"),
-                F.first("emb").alias("emb"),
-                F.first("n2").alias("n2"),
-            )
-            .select("id", "emb", "n2", F.col("m.cid").alias("cid"))
+    assign_df = (
+        coll.crossJoin(cent)
+        .groupBy("id")
+        .agg(
+            F.min(F.struct(_d(F.col("emb")).alias("d"), F.col("cid").alias("cid"))).alias("m"),
+            F.first("emb").alias("emb"),
+            F.first("n2").alias("n2"),
         )
+        .select("id", "emb", "n2", F.col("m.cid").alias("cid"))
+    )
     q = _with_norms(queries, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("emb").alias("qemb"), F.col("n2").alias("qn2")
     )
@@ -377,49 +381,101 @@ def ivf_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _assign_numpy(coll: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Vectorized cell assignment: centroid matrix to every executor via a
-    broadcast variable, argmin over a dim-ordered accumulation per Arrow
-    batch. This is the only similarity stage where built-in expressions
-    genuinely can't keep up (interpreted HOF per pair vs vectorized numpy,
-    ~70x).
+def _fused_ivf_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    round_digits: int,
+    dim: int | None,
+) -> DataFrame:
+    """The whole IVF query as ONE Arrow-batched map stage + one top-k
+    shuffle: per batch, assign each vector's cell (argmin over dim-ordered
+    distance accumulation), test the cell against the broadcast
+    query-probe matrix, and score the collisions in place — the
+    _fused_multitable_scan shape applied to IVF. The collection never
+    shuffles and each (query, neighbor) pair arises exactly once.
 
-    PARITY-CRITICAL: the dot products accumulate along the dim axis IN
-    ORDER with one vectorized add per element — the same left-to-right
-    IEEE rounding as the expr/oracle HOF dot — so d = |c|^2 - 2 e.c is
-    bit-identical to the Column form and argmin tie behavior (lowest cid)
-    matches exactly. A BLAS matmul's pairwise summation would differ in
-    the last ulp and could flip the cell where two centroids are
-    near-equidistant (the pre-r4 caveat, now gone)."""
+    PARITY-CRITICAL float discipline (same as the multitable scan): every
+    accumulation — centroid norms, assignment distances, the driver-side
+    query probe distances, and the cosine dot/norm — runs dim-ordered with
+    one add per element, reproducing the expr/oracle HOF forms bit-for-bit
+    (a BLAS matmul's pairwise summation could flip an argmin where two
+    centroids are near-equidistant, the pre-r4 caveat). Probe selection
+    sorts (d, cid) exactly like the expr path's row_number window; cosines
+    leave the workers UNROUNDED so Spark's own round applies."""
     import numpy as np
 
-    spark = coll.sparkSession
     cent_rows = centroids.orderBy("cid").collect()  # K x dim, K is small
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([r["cemb"] for r in cent_rows], dtype=np.float64)  # (K, d)
-    dim = cmat.shape[1]
-    # |c|^2 in the same sequential order as the oracle's list_dot_product
+    d_ = cmat.shape[1]
     cnorm = np.zeros(len(cids), dtype=np.float64)
-    for i in range(dim):
+    for i in range(d_):  # |c|^2 in the oracle's sequential order
         cnorm += cmat[:, i] * cmat[:, i]
-    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
 
-    schema = "id long, emb array<double>, n2 double, cid long"
+    q_rows = _with_norms(queries, id_col, vec_col, dim).select("id", "emb", "n2").collect()
+    qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    qn2 = np.array([r["n2"] for r in q_rows], dtype=np.float64)
 
-    def assign_batches(it):
-        b_cids, b_cmat, b_cnorm = bc.value
-        d_ = b_cmat.shape[1]
+    # driver-side probe cells, the same (d, cid) ordering as the expr
+    # window; plain-Python float ops are the same IEEE doubles
+    probe_mask = np.zeros((len(cids), len(qids)), dtype=bool)  # (K, Q)
+    cid_to_idx = {int(c): j for j, c in enumerate(cids)}
+    for qi, r in enumerate(q_rows):
+        qe = r["emb"]
+        ds = []
+        for j in range(len(cids)):
+            acc = 0.0
+            for i in range(d_):
+                acc += qe[i] * cmat[j, i]
+            ds.append((cnorm[j] - 2.0 * acc, int(cids[j])))
+        for _, cid in sorted(ds)[:n_probe]:
+            probe_mask[cid_to_idx[cid], qi] = True
+
+    spark = collection.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm, qids, qmat, qn2, probe_mask))
+    coll = _with_norms(collection, id_col, vec_col, dim)
+    schema = "query_id long, neighbor_id long, cos double"
+
+    def score_batches(it):
+        import pandas as pd
+
+        b_cids, b_cmat, b_cnorm, b_qids, b_qmat, b_qn2, b_probe = bc.value
+        dd = b_cmat.shape[1]
         for pdf in it:
             if len(pdf) == 0:
                 continue
             emb = np.array(pdf["emb"].tolist(), dtype=np.float64)  # (n, d)
+            ids = pdf["id"].to_numpy()
             acc = np.zeros((len(pdf), len(b_cids)), dtype=np.float64)
-            for i in range(d_):
+            for i in range(dd):
                 acc += emb[:, i : i + 1] * b_cmat[None, :, i]
-            d = b_cnorm[None, :] - 2.0 * acc  # (n, K), bit-equal to expr form
-            pick = d.argmin(axis=1)  # ties -> lowest index == lowest cid
-            out = pdf[["id", "emb", "n2"]].copy()
-            out["cid"] = b_cids[pick]
-            yield out
+            dmat = b_cnorm[None, :] - 2.0 * acc  # bit-equal to the expr form
+            pick = dmat.argmin(axis=1)  # ties -> lowest index == lowest cid
+            hit = b_probe[pick]  # (n, Q): query probes this vector's cell
+            hit &= ids[:, None] != b_qids[None, :]
+            rows, cols = np.nonzero(hit)
+            if len(rows) == 0:
+                continue
+            a, b = emb[rows], b_qmat[cols]
+            dacc = np.zeros(len(rows), dtype=np.float64)
+            nacc = np.zeros(len(rows), dtype=np.float64)
+            for i in range(dd):
+                dacc += a[:, i] * b[:, i]
+                nacc += a[:, i] * a[:, i]
+            cos = dacc / np.sqrt(b_qn2[cols] * nacc)
+            yield pd.DataFrame(
+                {"query_id": b_qids[cols], "neighbor_id": ids[rows], "cos": cos}
+            )
 
-    return coll.mapInPandas(assign_batches, schema=schema)
+    scored = coll.select("id", "emb").mapInPandas(score_batches, schema=schema)
+    pairs = scored.select(
+        "query_id", "neighbor_id", F.round("cos", round_digits).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
