@@ -138,14 +138,17 @@ def test_write_records_one_file_per_partition(spark, tmp_path):
     assert lake.read(tier="raw").count() == 200
 
 
-def test_ann_ivf_assignment_broadcasts_centroids(spark):
-    """The N x K assignment must be a broadcast of the centroid side (the
-    intended BroadcastNestedLoopJoin) — never a shuffled CartesianProduct —
-    and the candidate join must be a broadcast hash equi-join on the cell."""
+def test_ann_ivf_is_one_fused_map_stage(spark):
+    """The fused numpy IVF path runs assignment + probe-membership + scoring
+    in ONE Arrow-batched map over the collection scan: no join of any kind,
+    and the only algorithmic shuffle is the top-k window — with a partial
+    per-partition WindowGroupLimit ahead of it so only k rows per query per
+    partition cross the wire."""
     plan = formatted_plan(registry.queries()["ann_ivf"](spark, SF))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") >= 2  # assignment + probes (subtrees may print twice)
-    assert "BroadcastHashJoin" in plan  # probe-cell candidates
+    assert "Join" not in plan  # assignment/probes fused into the map stage
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange
 
 
 def test_decontaminate_is_hash_equi_join(spark):
