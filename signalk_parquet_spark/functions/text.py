@@ -35,18 +35,23 @@ def distinct_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(shingles(tokens(text), n))
 
 
+def hashed_grams(gram_arr: Column) -> Column:
+    """POSITIONAL 48-bit integer hashes of a gram array — order- and
+    multiplicity-preserving (no distinct), for operators that window over
+    the hash SEQUENCE (winnowing)."""
+    return F.transform(
+        gram_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+
+
 def hashed_shingles(shingle_arr: Column) -> Column:
     """Shingle set as 48-bit integer hashes (md5 prefix) — pairwise
     intersection on longs is several times cheaper than on strings, which is
     the inner loop of every pairwise-verify dedup join. Collision odds at 48
     bits are negligible for per-doc set sizes, and both engines derive the
     same values so differential parity is exact."""
-    return F.array_distinct(
-        F.transform(
-            shingle_arr,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-        )
-    )
+    return F.array_distinct(hashed_grams(shingle_arr))
 
 
 def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

@@ -51,6 +51,38 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / F.sqrt(norm_sq(a, dim) * norm_sq(b, dim))
 
 
+def int8_quantize(vec: Column | str) -> Column:
+    """Symmetric int8 scalar quantization: q_i = floor(clamp(x,-1,1)*127+0.5)
+    ∈ [-127, 127] — the 4x memory-compression path for embedding columns at
+    scale (float32 → int8 before any PQ refinement). floor(x+0.5) instead of
+    round(): the product and shift are exact IEEE doubles computed
+    identically on both engines, while round()'s half-way rule differs
+    between Spark (HALF_UP) and other engines (CLAUDE.md rule 2)."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(
+        c,
+        lambda x: F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x.cast("double"))) * 127
+            + F.lit(0.5)
+        ).cast("int"),
+    )
+
+
+def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Integer dot product of two int-array columns as a long — EXACT, so
+    quantized similarity scores need no rounding to hash-match an oracle."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    acc = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc + (a.getItem(i) * b.getItem(i)).cast("long")
+    return acc
+
+
 def hyperplane_bits(vec: Column, planes: list[list[int]], unroll: bool = False) -> Column:
     """LSH random-hyperplane bucket id: bit_j = (vec · plane_j) >= 0.
 

@@ -1,0 +1,112 @@
+"""Span-level dedup operators (BASELINE extension set): exact substring-span
+duplication stats (the window-hash form of exact-substring dedup from
+"Deduplicating Training Data Makes Language Models Better", Lee et al. 2022)
+and winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+MOSS sketch).
+
+Both reduce a document to a SMALL set of integer hashes and find duplication
+through equality joins on those hashes — never a pairwise text comparison:
+
+- substring spans: every K-word window, hashed; a span that appears in more
+  than one document is literally copied text. The per-window frequency table
+  shuffles on a 48-bit key space (balanced at any scale), and the per-doc
+  roll-up is a second hash agg. Output is per-document duplication stats —
+  the signal used to strip boilerplate/copypasta before training.
+- winnowing: positional n-gram hashes, then the minimum of each w-wide
+  window of hashes, de-duplicated. Guarantees any shared run of at least
+  w+n-1 tokens produces at least one shared fingerprint, while storing only
+  ~2/(w+1) of the hashes — the sketch that makes span-level matching
+  affordable at corpus scale. Candidate pairs come from an equi-join on the
+  fingerprint value.
+
+Scale: both operators are explode -> hash-agg -> equi-join pipelines; no
+cross joins, no windows over unbounded partitions, no Python. At 100 TB the
+explode factor (~n_tokens per doc) is the same one every tokenizer pass
+already pays, and the frequency tables shuffle-partition cleanly on the
+hash keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hashed_grams, shingles, tokens
+
+
+def _window_hashes(text_col, k: int) -> F.Column:
+    """Distinct 48-bit hashes of every k-word window of the document."""
+    return F.array_distinct(hashed_grams(shingles(tokens(text_col), k)))
+
+
+def substring_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span stats: of the document's distinct K-word
+    windows, how many also occur in at least one OTHER document (or more than
+    once — any window with corpus frequency > 1 is duplicated text).
+
+    Returns (id, n_spans, n_dup_spans, dup_frac); documents shorter than K
+    tokens have no windows and drop out (both engines agree: exploding an
+    empty array yields no rows). dup_frac is an exact integer ratio.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_window_hashes(text_col, k)).alias("wh")
+    )
+    freq = ex.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        ex.join(freq, "wh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias("dup_frac"),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, w: int = 4
+) -> DataFrame:
+    """(id, fp) rows: the document's winnowed fingerprint set — the distinct
+    minima of each w-wide window over the POSITIONAL n-gram hash sequence
+    (order matters, so the grams are not de-duplicated before windowing)."""
+    h = hashed_grams(shingles(tokens(text_col), n))
+    fps = F.when(
+        F.size(h) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - (w - 1)),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowed fingerprints
+    — the candidate set for span-level plagiarism/copy detection. The join
+    is an equality join on the fingerprint value; each unordered pair meets
+    once per shared fingerprint (fingerprint sets are distinct per doc), so
+    the group-count IS the shared-fingerprint count."""
+    fp = winnowing_fingerprints(df, id_col, text_col, n, w)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

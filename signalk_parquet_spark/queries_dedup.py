@@ -18,7 +18,10 @@ from .functions.text import distinct_shingles, hashed_shingles, jaccard, minhash
 from .memo import SessionMemo
 from .registry import load, register
 
-_SHINGLES_DD = "list_distinct(list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
+#: POSITIONAL word-3-gram list (order/multiplicity preserved — winnowing
+#: windows over this sequence); _SHINGLES_DD is its de-duplicated set form
+_SHINGLES_POS_DD = "list_transform(range(1, len(string_split(text,' '))-1), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
+_SHINGLES_DD = f"list_distinct({_SHINGLES_POS_DD})"
 #: 48-bit integer-hashed shingle set (functions.text.hashed_shingles twin)
 _HSHINGLES_DD = f"list_distinct(list_transform({_SHINGLES_DD}, s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)))"
 
@@ -453,6 +456,89 @@ def dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("label").isNull() | (F.col("label") == F.col("id"))).alias("kept"),
         )
     )
+
+
+# --- exact substring-span duplication (Lee et al. 2022, window-hash form) ---------
+_SPAN_K = 8  # words per window
+
+#: distinct hashed 8-word windows (DuckDB twin of operators.spans._window_hashes)
+_SPANS_DD = (
+    f"list_transform(list_distinct(list_transform(range(1, len(string_split(text,' '))-{_SPAN_K - 2}), "
+    f"i -> array_to_string((string_split(text,' '))[i:i+{_SPAN_K - 1}], ' '))), "
+    "s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT))"
+)
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SPANS_DD} AS whs FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(whs) AS wh FROM d
+    ), freq AS (
+      SELECT wh, count(*) AS c FROM ex GROUP BY 1
+    )
+    SELECT ex.doc_id AS id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+    FROM ex JOIN freq f USING (wh)
+    GROUP BY 1
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-span duplication stats, per document: the fraction of
+    its distinct 8-word windows that occur anywhere else in the corpus —
+    the window-hash form of exact-substring dedup (Lee et al. 2022), i.e.
+    literally-copied text rather than whole-document similarity. Explode →
+    hash-agg frequency table → per-doc roll-up; both shuffles key on the
+    48-bit window hash / doc_id, balanced at any scale
+    (operators.spans.substring_span_stats)."""
+    from .operators.spans import substring_span_stats
+
+    return substring_span_stats(load(spark, sf, "documents"), "doc_id", "text", _SPAN_K)
+
+
+# --- winnowing fingerprint pairs (Schleimer et al., SIGMOD 2003) -------------------
+_WIN_W = 4  # fingerprint window over the 3-gram hash sequence
+
+#: positional (non-distinct) hashed 3-gram sequence, then distinct window minima
+_WINNOW_DD = (
+    "list_distinct(list_transform(range(1, len(hs)-%d), i -> list_min(hs[i:i+%d])))"
+    % (_WIN_W - 2, _WIN_W - 1)
+)
+
+
+@register(
+    "dedup_winnowing",
+    f"""
+    WITH hseq AS (
+      SELECT doc_id,
+             list_transform({_SHINGLES_POS_DD},
+                            s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)) AS hs
+      FROM documents
+    ), fps AS (
+      SELECT doc_id, {_WINNOW_DD} AS fp_set FROM hseq
+    ), ex AS (
+      SELECT doc_id, unnest(fp_set) AS fp FROM fps
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-sketch near-dup pairs (the MOSS fingerprint): each document
+    keeps only the distinct minima of 4-wide windows over its POSITIONAL
+    3-gram hash sequence (~2/(w+1) of the hashes), guaranteeing any shared
+    token run of length ≥ w+n-1 yields a shared fingerprint; pairs sharing
+    ≥2 fingerprints survive. Candidates come from an equi-join on the
+    fingerprint value — the sketch that makes span-level matching affordable
+    at corpus scale (operators.spans.winnowing_pairs)."""
+    from .operators.spans import winnowing_pairs
+
+    return winnowing_pairs(load(spark, sf, "documents"), "doc_id", "text", 3, _WIN_W, 2)
 
 
 @register("dedup_cluster_cc", _dd_cc_sql())

@@ -241,6 +241,84 @@ def window_funcs_extended(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- stratified deterministic sampling -------------------------------------------------
+#: per-language keep rates: downsample the over-represented languages, keep
+#: the rest whole (the training-mix re-balancing knob). floor(rate * 2^32)
+#: thresholds keep the compare in exact integer space.
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
+
+
+def _sample_thresholds_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * (1 << 32))}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE lang {cases} ELSE {1 << 32} END"
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id AS id, lang AS stratum,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', lang)), 1, 8))
+                AS BIGINT) < {_sample_thresholds_sql()} AS kept
+    FROM documents
+    """,
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic downsampling: keep a document iff the
+    32-bit md5 prefix of ``doc_id|lang`` is below its language's
+    floor(rate*2^32) threshold (en 25%, zh 50%, others kept whole) — the
+    training-mix re-balancing step. Map-only, zero shuffle, and hash-stable
+    under retries/re-runs, unlike a rand() sample
+    (operators.sampling.stratified_sample)."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf, "documents"), "doc_id", "lang", _SAMPLE_RATES
+    )
+
+
+# --- token-stream packing (GPT-style sequence chunking) --------------------------------
+_PACK_BUDGET = 512  # tokens per training chunk
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tok,
+             COALESCE(CAST(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS cum_before
+      FROM d
+    )
+    SELECT doc_id AS id, lang AS shard, n_tok,
+           cum_before // {_PACK_BUDGET} AS chunk_id,
+           cum_before % {_PACK_BUDGET} AS tok_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-stream chunking (GPT-style sequence packing): per language
+    shard, documents concatenate in doc_id order and the stream is cut into
+    512-token chunks; each document is tagged with the chunk it starts in
+    and its offset within it. One window prefix-sum per shard + integer
+    div/mod — exact and deterministic; partitioning by shard keeps every
+    window bounded (no global ORDER BY at 100 TB). The DuckDB window sum is
+    HUGEINT and must be cast (CLAUDE.md rule 6)
+    (operators.sampling.pack_token_stream)."""
+    from .operators.sampling import pack_token_stream
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    return pack_token_stream(d, "doc_id", "lang", "n_tok", _PACK_BUDGET)
+
+
 # --- set operation: INTERSECT ----------------------------------------------------------
 @register(
     "intersect_buyers_clickers",

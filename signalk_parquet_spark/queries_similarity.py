@@ -370,3 +370,52 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         k=_TOPK, n_probe=_NPROBE, dim=_DIM, assign="numpy",
     )
     return out.withColumnRenamed("cos", "cos4")
+
+
+# --- int8 scalar-quantized ANN (the memory-compression scale path) ---------------------
+def _dd_sq_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127 + 0.5) AS INT)) AS qv
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_id, qv AS qa FROM e WHERE vec_id < {_NQ}
+    ), pairs AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qs.qa) + 1),
+                                          i -> CAST(qs.qa[i] AS BIGINT) * e.qv[i])) AS BIGINT) AS iscore
+      FROM qs JOIN e ON e.vec_id <> qs.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, iscore, rank FROM r WHERE rank <= {_TOPK}
+    """
+
+
+@register("ann_scalar_quant", _dd_sq_sql())
+def ann_scalar_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k similarity over int8 scalar-quantized embeddings — the 4x
+    memory-compression deployment path (quantize once at ingest; score with
+    integer dot products). Same broadcast-queries map-only shape as
+    knn_bruteforce, but the scores are EXACT integers: no float summation
+    order, no rounding, so the oracle hash-matches with zero tolerance —
+    and at 100 TB the collection cache shrinks 4x while the inner loop
+    becomes integer multiply-adds (functions.vectors.int8_quantize/int_dot)."""
+    from .functions.vectors import int8_quantize, int_dot
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", int8_quantize("embedding").alias("qv")
+    )
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        int_dot(F.col("qa"), F.col("qv"), _DIM).alias("iscore"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("iscore").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)

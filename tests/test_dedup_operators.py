@@ -299,3 +299,62 @@ def test_connected_components_matches_union_find(spark, thr):
                 parent[max(ra, rb)] = min(ra, rb)  # root stays the min id
         want = {x: find(x) for x in parent}
         assert got == want, (sorted(edges), got, want)
+
+
+def test_substring_span_stats_full_and_zero_dup(spark):
+    from signalk_parquet_spark.operators.spans import substring_span_stats
+
+    w = " ".join(f"w{i}" for i in range(12))  # 12 tokens -> 5 distinct 8-windows
+    other = " ".join(f"x{i}" for i in range(12))
+    rows = [(1, w), (2, w), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in substring_span_stats(df, "doc_id", "text", 8).collect()}
+    assert out[1]["n_spans"] == 5 and out[1]["dup_frac"] == 1.0  # fully copied
+    assert out[2]["dup_frac"] == 1.0
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Any shared token run of length >= w + n - 1 (= 6 for n=3, w=4) must
+    produce at least one shared fingerprint — the winnowing guarantee."""
+    from signalk_parquet_spark.operators.spans import winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    a = "one two three four five " + shared + " six seven eight nine ten"
+    b = "red green blue cyan magenta " + shared + " yellow black white pink gray"
+    c = "nothing in common with the others at all in any way whatsoever"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnowing_pairs(df, "doc_id", "text", 3, 4, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_stratified_sample_deterministic_and_scoped(spark):
+    from signalk_parquet_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = stratified_sample(df, "doc_id", "lang", {"en": 0.25}).collect()
+    out2 = stratified_sample(df, "doc_id", "lang", {"en": 0.25}).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # hash-stable
+    by = {}
+    for r in out1:
+        by.setdefault(r["stratum"], []).append(r["kept"])
+    assert all(by["fr"])  # default rate 1.0 keeps everything
+    frac_en = sum(by["en"]) / len(by["en"])
+    assert 0.1 < frac_en < 0.4  # ~25% of the md5-uniform hash space
+
+
+def test_pack_token_stream_invariants(spark):
+    from signalk_parquet_spark.operators.sampling import pack_token_stream
+
+    rows = [(i, "s", 10 + (i * 7) % 90) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    out = sorted(pack_token_stream(df, "doc_id", "shard", "n_tok", 256).collect(),
+                 key=lambda r: r["id"])
+    cum = 0
+    for r in out:
+        assert r["chunk_id"] == cum // 256 and r["tok_offset"] == cum % 256
+        cum += r["n_tok"]
+    assert out[-1]["chunk_id"] > 0  # the stream really spans multiple chunks

@@ -343,3 +343,26 @@ def test_pipeline_gates_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     tfidf_plan = formatted_plan(qs["tfidf_top_terms"](spark, SF))
     assert "BroadcastHashJoin" in tfidf_plan, "df table must broadcast"
+
+
+def test_sample_stratified_is_map_only(spark):
+    """The deterministic sampler must be a pure projection over the cached
+    table — no Exchange beyond the table cache's one-time spread."""
+    plan = formatted_plan(registry.queries()["sample_stratified"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Token-stream packing is ONE window over the shard key: exactly one
+    hash-partitioned exchange, no joins."""
+    plan = formatted_plan(registry.queries()["pack_sequences"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # tree + detail print
+
+
+def test_winnowing_and_spans_are_equi_joins(spark):
+    for name in ("dedup_winnowing", "dedup_substring_spans"):
+        plan = formatted_plan(registry.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
