@@ -21,13 +21,21 @@ def tokens(text: Column | str, sep: str = " ") -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; empty array when the doc is shorter
-    than n tokens. Stays JVM-side via higher-order functions."""
+    than n tokens. Stays JVM-side via higher-order functions.
+
+    Formulated as arrays_zip of the n shifted slices, NOT as a transform
+    over an index sequence whose lambda slices ``toks``: a lambda body that
+    references an outer EXPRESSION re-evaluates it once per element in
+    Spark's interpreted HOF path (the winnowing operator measured ~50x on
+    exactly this shape), which for a tokenizer would mean re-splitting the
+    document once per window — O(tokens²) on long documents. Each slice
+    here is evaluated exactly once and the lambda touches only its own
+    struct argument."""
+    m = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
     return F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
 
 
