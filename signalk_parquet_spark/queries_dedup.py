@@ -195,6 +195,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- MinHash sketch-quality evaluation --------------------------------------------------
+def _dd_minhash_est_sql() -> str:
+    # candidate CTEs shared with the LSH gate; add the per-position
+    # signature-agreement estimator next to the exact Jaccard
+    base = _dd_minhash_sql()
+    core = base[: base.index("SELECT c.doc_a")]
+    matches = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_K))
+    return f"""{core.rstrip()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(({matches}) AS DOUBLE) / {_K} AS est_jac,
+           CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
+             / (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl))) AS exact_jac
+    FROM cand c
+    JOIN docs da ON da.doc_id = c.doc_a
+    JOIN docs db ON db.doc_id = c.doc_b
+    JOIN sigraw sa ON sa.doc_id = c.doc_a
+    JOIN sigraw sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register("minhash_estimate_error", _dd_minhash_est_sql())
+def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality evaluation for MinHash (the dedup-side analogue of
+    ann_recall): for every LSH candidate pair, the signature-agreement
+    Jaccard estimate (matching positions / k — the unbiased MinHash
+    estimator) next to the exact set Jaccard, so the k=8 sketch's error is
+    MEASURED, not assumed. Both values are exact integer ratios — the whole
+    result hash-matches with zero tolerance. At scale this query is how you
+    pick k: run it on a sample, read the error distribution, size the
+    signature."""
+    docs = _shingled_docs(spark, sf).select(F.col("id").alias("doc_id"), "sh", "shl")
+    sig = docs.select(
+        "doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))]
+    )
+    for j in range(_BANDS):
+        sig = sig.withColumn(
+            f"band{j}", F.md5(F.concat(F.col(f"mh{2 * j}"), F.lit("|"), F.col(f"mh{2 * j + 1}")))
+        )
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_val"))
+                for j in range(_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    matches = None
+    for i in range(_K):
+        term = F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    sa = sig.select("doc_id", *[f"mh{i}" for i in range(_K)]).alias("sa")
+    sb = sig.select("doc_id", *[f"mh{i}" for i in range(_K)]).alias("sb")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shl").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shl").alias("sh_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(_K)).alias("est_jac"),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("exact_jac"),
+        )
+    )
+
+
 # --- SimHash ---------------------------------------------------------------------------
 _SIMHASH_BITS = 16
 
