@@ -2,8 +2,10 @@
 """End-to-end LLM training-data curation demo over the synthetic corpus:
 
   quality scoring -> repetition filter -> exact + MinHash-LSH dedup ->
-  deterministic train/val/test split -> eval decontamination ->
-  embedding-space diversity balancing -> per-language quotas
+  copied-span screening -> deterministic train/val/test split ->
+  eval decontamination -> embedding-space diversity balancing ->
+  per-language quotas -> stratified mix re-balancing ->
+  token-stream packing into training chunks
 
 Every stage is the same operator the gate queries verify against DuckDB;
 this script just chains them the way a pipeline run would. Run with:
@@ -20,6 +22,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.operators.dedup import dedup_corpus, exact_dedup
+from signalk_parquet_spark.operators.sampling import pack_token_stream, stratified_sample
+from signalk_parquet_spark.operators.spans import substring_span_stats
 from signalk_parquet_spark.session import get_spark
 
 
@@ -55,6 +59,15 @@ def main() -> None:
     )
     n2 = kept.count()
 
+    # 2b. copied-span screen: drop documents that are mostly duplicated
+    # 8-word windows even when no WHOLE document matched (boilerplate /
+    # quote farms — the Lee et al. exact-substring signal)
+    spans = substring_span_stats(kept, "doc_id", "text").filter(
+        F.col("dup_frac") <= 0.5
+    )
+    kept = kept.join(spans.select(F.col("id").alias("doc_id")), "doc_id")
+    n2b = kept.count()
+
     # 3. deterministic split + decontamination (drop leaked test docs)
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     kept = kept.withColumn(
@@ -82,13 +95,33 @@ def main() -> None:
     quota = q["curation_quota"](spark, sf)
     n5 = quota.count()
 
+    # 6. mix re-balancing: deterministically downsample the dominant
+    # language, then pack the surviving train docs into 512-token chunks
+    sample = stratified_sample(kept, "doc_id", "lang", {"en": 0.5})
+    kept = kept.join(
+        sample.filter("kept").select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    n6 = kept.count()
+    packed = pack_token_stream(
+        kept.filter(F.col("split") == "train").select(
+            "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        ),
+        "doc_id", "lang", "n_tok", budget=512,
+    )
+    n_chunks = packed.select("shard", "chunk_id").distinct().count()
+    n7 = packed.count()
+
     print(f"documents: {n0}")
     print(f"after quality+repetition filters: {n1}")
     print(f"after exact+near dedup: {n2}")
+    print(f"after copied-span screen: {n2b}")
     print(f"after decontamination: {n3}  splits: {split_counts}")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
-    assert n0 >= n1 >= n2 >= n3 > 0
+    print(f"after mix re-balancing: {n6}")
+    print(f"packed train docs: {n7} into {n_chunks} x 512-token chunks")
+    assert n0 >= n1 >= n2 >= n2b >= n3 > 0
+    assert n6 <= n3 and n7 > 0 and n_chunks > 0
 
 
 if __name__ == "__main__":
