@@ -107,13 +107,32 @@ def winnowing_pairs(
     n: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    max_df: int | None = 30,
 ) -> DataFrame:
     """Document pairs sharing at least ``min_shared`` winnowed fingerprints
     — the candidate set for span-level plagiarism/copy detection. The join
     is an equality join on the fingerprint value; each unordered pair meets
     once per shared fingerprint (fingerprint sets are distinct per doc), so
-    the group-count IS the shared-fingerprint count."""
+    the group-count IS the shared-fingerprint count.
+
+    ``max_df`` drops STOP-fingerprints appearing in more than that many
+    documents before the self-join (the MOSS boilerplate filter). This is
+    the scale guard, not a tuning knob: a fingerprint shared by d docs
+    contributes d(d-1)/2 join pairs, so corpus-wide boilerplate makes the
+    join quadratic in corpus size (measured: 30x docs -> 73x wall uncapped,
+    -> ~10x capped, same output at bench scale where no bucket exceeds 24).
+    A fingerprint in thousands of documents has no pair-discriminating
+    value anyway — the signal near-dups share is their UNCOMMON spans. The
+    hot set is tiny, so the guard is a broadcast anti-join."""
     fp = winnowing_fingerprints(df, id_col, text_col, n, w)
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))

@@ -581,6 +581,7 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- winnowing fingerprint pairs (Schleimer et al., SIGMOD 2003) -------------------
 _WIN_W = 4  # fingerprint window over the 3-gram hash sequence
+_WIN_MAX_DF = 30  # stop-fingerprint cap (operators.spans.winnowing_pairs)
 
 #: positional (non-distinct) hashed 3-gram sequence, then distinct window minima
 _WINNOW_DD = (
@@ -599,8 +600,12 @@ _WINNOW_DD = (
       FROM documents
     ), fps AS (
       SELECT doc_id, {_WINNOW_DD} AS fp_set FROM hseq
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, unnest(fp_set) AS fp FROM fps
+    ), hot AS (
+      SELECT fp FROM ex0 GROUP BY fp HAVING count(*) > {_WIN_MAX_DF}
+    ), ex AS (
+      SELECT ex0.* FROM ex0 ANTI JOIN hot USING (fp)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
     FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -618,7 +623,9 @@ def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     at corpus scale (operators.spans.winnowing_pairs)."""
     from .operators.spans import winnowing_pairs
 
-    return winnowing_pairs(load(spark, sf, "documents"), "doc_id", "text", 3, _WIN_W, 2)
+    return winnowing_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", 3, _WIN_W, 2, _WIN_MAX_DF
+    )
 
 
 @register("dedup_cluster_cc", _dd_cc_sql())
