@@ -71,15 +71,17 @@ def int8_quantize(vec: Column | str) -> Column:
 def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Integer dot product of two int-array columns as a long — EXACT, so
     quantized similarity scores need no rounding to hash-match an oracle."""
+    # widen BEFORE multiplying (int32 x int32 silently wraps in non-ANSI
+    # mode; the oracle multiplies BIGINTs, so the shapes match too)
     if dim is None:
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
     acc = F.lit(0).cast("long")
     for i in range(dim):
-        acc = acc + (a.getItem(i) * b.getItem(i)).cast("long")
+        acc = acc + a.getItem(i).cast("long") * b.getItem(i).cast("long")
     return acc
 
 

@@ -358,3 +358,26 @@ def test_pack_token_stream_invariants(spark):
         assert r["chunk_id"] == cum // 256 and r["tok_offset"] == cum % 256
         cum += r["n_tok"]
     assert out[-1]["chunk_id"] > 0  # the stream really spans multiple chunks
+
+
+def test_winnowing_stop_fingerprint_cap(spark):
+    """max_df must drop boilerplate fingerprints (shared by > max_df docs)
+    while keeping pairs that share uncommon spans."""
+    from signalk_parquet_spark.operators.spans import winnowing_pairs
+
+    boiler = "common header text repeated on every single page here"
+    # tails fully distinct per doc, so docs 1-8 share ONLY boilerplate grams
+    rows = [(i, boiler + f" tail{i}a tail{i}b tail{i}c tail{i}d tail{i}e") for i in range(1, 9)]
+    # docs 100/101 share a long UNCOMMON run on top of the boilerplate
+    rare = "remarkably distinctive shared passage nobody else has anywhere"
+    rows += [(100, boiler + " " + rare), (101, boiler + " " + rare)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              winnowing_pairs(df, "doc_id", "text", 3, 4, min_shared=1, max_df=5).collect()}
+    assert (100, 101) in capped  # uncommon shared span survives the cap
+    # boilerplate-only pairs (both docs < 9) must all be gone: their only
+    # shared fingerprints come from the >5-doc header
+    assert not any(a < 9 and b < 9 for a, b in capped)
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                winnowing_pairs(df, "doc_id", "text", 3, 4, min_shared=1, max_df=None).collect()}
+    assert any(a < 9 and b < 9 for a, b in uncapped)  # cap is what removed them
