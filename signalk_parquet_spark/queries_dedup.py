@@ -515,6 +515,53 @@ def _dd_keep_sql() -> str:
     """
 
 
+def _dd_keep_longest_sql() -> str:
+    base = _dd_keep_sql()
+    core = base[: base.index("SELECT doc.doc_id")]
+    return f"""{core.rstrip()}, lbl AS (
+      SELECT doc.doc_id, COALESCE(rep.cluster_rep, doc.doc_id) AS cluster_rep, doc.n_chars
+      FROM documents doc LEFT JOIN rep ON rep.doc_id = doc.doc_id
+    ), pick AS (
+      SELECT doc_id, cluster_rep,
+             row_number() OVER (PARTITION BY cluster_rep
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM lbl
+    )
+    SELECT l.doc_id AS id, l.cluster_rep,
+           k.doc_id AS keeper_id, l.doc_id = k.doc_id AS kept
+    FROM lbl l JOIN pick k ON k.cluster_rep = l.cluster_rep AND k.rn = 1
+    """
+
+
+@register("dedup_keep_longest", _dd_keep_longest_sql())
+def dedup_keep_longest(spark: SparkSession, sf: str) -> DataFrame:
+    """dedup_keep_corpus with a pluggable keeper POLICY: each near-dup
+    cluster keeps its LONGEST document (n_chars, doc_id tie-break) instead
+    of the min id — the policy real curation stacks want, since the longest
+    variant usually subsumes truncated copies. Shares the session-memoized
+    CC labels with dedup_cluster_cc/dedup_keep_corpus; the keeper pick is
+    one row_number window over cluster_rep plus a skinny self-join of the
+    per-cluster winner back onto the labeled corpus."""
+    from pyspark.sql import Window
+
+    labels = _cc_labels(spark, sf).withColumnRenamed("node", "id")
+    lbl = (
+        load(spark, sf, "documents")
+        .select(F.col("doc_id").alias("id"), "n_chars")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster_rep"), "n_chars")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(F.col("n_chars").desc(), "id")
+    pick = (
+        lbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_rep", F.col("id").alias("keeper_id"))
+    )
+    return lbl.join(pick, "cluster_rep").select(
+        "id", "cluster_rep", "keeper_id", (F.col("id") == F.col("keeper_id")).alias("kept")
+    )
+
+
 @register("dedup_keep_corpus", _dd_keep_sql())
 def dedup_keep_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The curation decision the whole dedup family exists to produce: one
