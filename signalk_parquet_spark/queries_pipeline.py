@@ -319,6 +319,45 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_token_stream(d, "doc_id", "lang", "n_tok", _PACK_BUDGET)
 
 
+# --- skew-safe salted aggregation (driver-checked face of operators/skew) --------------
+@register(
+    "skew_salted_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1000000 AS DOUBLE) AS avg_v
+    FROM events GROUP BY 1
+    """,
+)
+def skew_salted_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type stats THROUGH the two-phase salted aggregation
+    (operators.skew.salted_agg) — the manual skew path for keys so hot that
+    even AQE's split shuffle blocks land on one reducer. The salt is random,
+    but the result is EXACT anyway: values sum as micro-unit integers
+    (order-free — CLAUDE.md rule 2), so any partial grouping merges to the
+    same totals and the plain-GROUP-BY oracle hash-matches. That exactness
+    under re-partitioning is precisely what makes the pattern safe to drop
+    into a 100 TB pipeline."""
+    from .operators.skew import salted_agg
+
+    e = load(spark, sf, "events").withColumn(
+        "v_u", F.round(F.col("value") * 1_000_000, 0).cast("long")
+    )
+    return salted_agg(
+        e,
+        ["event_type"],
+        partials={"s": F.sum("v_u"), "n": F.count(F.lit(1))},
+        merges={
+            "n_events": F.sum("n"),
+            "avg_v": (F.sum("s").cast("double") / F.sum("n") / F.lit(1_000_000)).cast(
+                "double"
+            ),
+        },
+        buckets=16,
+    )
+
+
 # --- set operation: INTERSECT ----------------------------------------------------------
 @register(
     "intersect_buyers_clickers",
