@@ -149,6 +149,70 @@ def blocked_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    prepared: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07): finds EVERY pair with Jaccard ≥
+    ``threshold`` inside each block — no length-bucket recall trade.
+
+    Each document explodes only the first ``|S| - ceil(t·|S|) + 1``
+    elements of its hash-sorted shingle set (the prefix); two sets with
+    Jaccard ≥ t provably share a prefix element under the common order, so
+    an equi-join on prefix tokens generates a candidate superset, and the
+    exact-Jaccard verify keeps precisely the answer. Scale: the inverted
+    prefix index shuffles on the 48-bit shingle hash (balanced key space);
+    candidates are pairs sharing an actual shingle. Measured at sf0.1:
+    374k blocked candidates vs 146k prefix candidates for the same 79-pair
+    answer — only 2.6x here because the bench corpus draws from a ~30-word
+    vocabulary, so even prefix shingles repeat; on natural text (large
+    vocabulary, Zipfian shingles) prefix tokens are rare and the candidate
+    set approaches the true pair count, which is why AllPairs is the
+    canonical corpus-scale algorithm. The blocked screen stays the cheaper
+    choice when a trustworthy blocking key exists; this operator is the
+    EXACT fallback when none does.
+
+    ``prepared``: (id, *block_cols, shl) frame (shl need not be sorted —
+    sorting happens here); defaults to shingling ``df``.
+    """
+    if prepared is not None:
+        d = prepared
+    else:
+        d = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            hashed_shingles(distinct_shingles(text_col)).alias("shl"),
+        )
+    d = d.select(
+        "id", *block_cols, F.sort_array("shl").alias("shl")
+    ).withColumn(
+        "pre",
+        F.slice(
+            F.col("shl"),
+            1,
+            (F.size("shl") - F.ceil(F.size("shl") * F.lit(threshold)) + 1).cast("int"),
+        ),
+    )
+    ex = d.select("id", *block_cols, F.explode("pre").alias("tok"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_pairs(
+        cand, d.select("id", "shl"), threshold
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str,

@@ -195,6 +195,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- exact set-similarity join via prefix filtering (AllPairs/PPJoin) -------------------
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_HSHINGLES_DD} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-language Jaccard self-join via prefix filtering
+    (operators.dedup.prefix_jaccard_pairs — AllPairs/PPJoin). Unlike the
+    length-blocked screen, this provably finds EVERY pair with jac ≥ 0.5:
+    the oracle is the brute-force quadratic join, and the prefix-filtered
+    plan must reproduce it exactly — the differential proof that the
+    inverted-index candidate generation loses nothing. At scale the prefix
+    index shuffles on the shingle-hash key space and candidates are pairs
+    sharing an actual shingle, not a length coincidence."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", ["lang"], 0.5,
+        prepared=_shingled_docs(spark, sf).select("id", "lang", "shl"),
+    )
+
+
 # --- MinHash sketch-quality evaluation --------------------------------------------------
 def _dd_minhash_est_sql() -> str:
     # candidate CTEs shared with the LSH gate; add the per-position

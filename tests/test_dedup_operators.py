@@ -381,3 +381,36 @@ def test_winnowing_stop_fingerprint_cap(spark):
     uncapped = {(r["id_a"], r["id_b"]) for r in
                 winnowing_pairs(df, "doc_id", "text", 3, 4, min_shared=1, max_df=None).collect()}
     assert any(a < 9 and b < 9 for a, b in uncapped)  # cap is what removed them
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    """The prefix-filtered set-similarity join must equal the quadratic
+    brute-force join exactly (AllPairs correctness) on adversarial data:
+    near-dups, exact dups, disjoint docs, and very different lengths."""
+    import itertools
+    from signalk_parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    rng_state = 7
+    for i in range(40):
+        rng_state = (rng_state * 1103515245 + 12345) % (1 << 31)
+        n = 6 + rng_state % 25
+        toks = [words[(rng_state // (j + 1)) % 30] for j in range(n)]
+        rows.append((i, " ".join(toks)))
+    rows += [(100, rows[0][1]), (101, rows[1][1] + " extra tail")]  # dup + near-dup
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("xx")
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           prefix_jaccard_pairs(df, "doc_id", "text", ["lang"], 0.5).collect()}
+    # brute force over collected shingle sets
+    from signalk_parquet_spark.functions.text import distinct_shingles, hashed_shingles
+    sets = {r["doc_id"]: set(r["shl"]) for r in df.select(
+        "doc_id", hashed_shingles(distinct_shingles("text")).alias("shl")).collect()}
+    want = set()
+    for x, y in itertools.combinations(sorted(sets), 2):
+        a, b = sets[x], sets[y]
+        if a and b and len(a & b) / len(a | b) >= 0.5:
+            want.add((x, y))
+    assert got == want and (0, 100) in want
