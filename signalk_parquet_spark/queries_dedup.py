@@ -147,6 +147,29 @@ def _dd_minhash_sql() -> str:
     """
 
 
+#: session memo for the (doc_id, mh0..k, band0..b) signature frame — shared
+#: by dedup_minhash_lsh and minhash_estimate_error (identical 15-line
+#: derivation otherwise duplicated per query, plus its codegen)
+_SIG_FRAME = SessionMemo()
+
+
+def _sig_frame(spark: SparkSession, sf: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = _shingled_docs(spark, sf).select(F.col("id").alias("doc_id"), "sh")
+        sig = docs.select(
+            "doc_id",
+            *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))],
+        )
+        for j in range(_BANDS):
+            sig = sig.withColumn(
+                f"band{j}",
+                F.md5(F.concat(F.col(f"mh{2 * j}"), F.lit("|"), F.col(f"mh{2 * j + 1}"))),
+            )
+        return sig
+
+    return _SIG_FRAME.get_or_build(spark, f"sig|{sf}", build)
+
+
 @register("dedup_minhash_lsh", _dd_minhash_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → k-min-hash signature → band keys →
@@ -157,13 +180,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     only shuffle; at 100 TB the band-key space is huge so it stays balanced.
     """
     docs = _shingled_docs(spark, sf).select(
-        F.col("id").alias("doc_id"), "sh", "shl"
+        F.col("id").alias("doc_id"), "shl"
     )  # session-shared shingle frame: sig + 2 verify joins reuse one cache
-    sig = docs.select("doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))])
-    for j in range(_BANDS):
-        sig = sig.withColumn(
-            f"band{j}", F.md5(F.concat(F.col(f"mh{2 * j}"), F.lit("|"), F.col(f"mh{2 * j + 1}")))
-        )
+    sig = _sig_frame(spark, sf)
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -257,14 +276,8 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
     result hash-matches with zero tolerance. At scale this query is how you
     pick k: run it on a sample, read the error distribution, size the
     signature."""
-    docs = _shingled_docs(spark, sf).select(F.col("id").alias("doc_id"), "sh", "shl")
-    sig = docs.select(
-        "doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _K))]
-    )
-    for j in range(_BANDS):
-        sig = sig.withColumn(
-            f"band{j}", F.md5(F.concat(F.col(f"mh{2 * j}"), F.lit("|"), F.col(f"mh{2 * j + 1}")))
-        )
+    docs = _shingled_docs(spark, sf).select(F.col("id").alias("doc_id"), "shl")
+    sig = _sig_frame(spark, sf)
     band_rows = sig.select(
         "doc_id",
         F.explode(
