@@ -6,8 +6,11 @@ signatures) is real and tested. DECODE is real for all three modalities:
 pure-Python header parsers for PNG/JPEG/GIF/BMP images, a stdlib-`wave`
 WAV parser, and an ISO-BMFF box walker for MP4 video (moov/mvhd duration,
 tkhd dimensions) are registered into DECODERS at import. PIL backstops
-image formats the header parser can't read (import-gated); frame/sample
-PIXEL access still needs a codec library — plug it in the same way.
+image formats the header parser can't read (import-gated). PIXEL access
+is real for 8-bit PNG (stdlib zlib + numpy unfiltering —
+decode_png_pixels / image_pixel_features under DECODERS["image_pixels"]);
+JPEG/video frame decode still needs a codec library — plug it in the
+same way.
 
 Scale design: media rows are large, so operators here
   - never collect() or explode binaries;
@@ -257,6 +260,121 @@ def video_header_features(payload: bytes) -> list[float]:
     ]
 
 
+def decode_png_pixels(payload: bytes):
+    """REAL pixel decode for 8-bit non-interlaced PNG (gray, gray+alpha,
+    RGB, RGBA, palette) using only stdlib zlib + numpy: concatenate IDAT,
+    inflate, undo the per-scanline filters (None/Sub/Up/Average/Paeth per
+    the PNG spec), apply PLTE for palette images. Returns an (H, W, C)
+    uint8 array, or None for anything out of scope (16-bit, interlaced,
+    truncated) — callers quarantine rather than crash.
+
+    Scale note: Sub/Average/Paeth unfiltering is sequential per pixel, so
+    this pure-Python path is for modest thumbnails/previews; a codec
+    library slots into DECODERS for production-size images. Up/None rows
+    vectorize with numpy."""
+    import zlib
+
+    import numpy as np
+
+    if sniff_format(payload) != "png" or payload[12:16] != b"IHDR":
+        return None
+    try:
+        w, h = struct.unpack(">II", payload[16:24])
+        depth, color_type, _comp, _filt, interlace = payload[24:29]
+        if depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None or w == 0 or h == 0:
+            return None
+        # walk chunks for PLTE + IDAT
+        idat, plte = b"", None
+        i = 8
+        while i + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            tag = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + length]
+            if tag == b"IDAT":
+                idat += body
+            elif tag == b"PLTE":
+                plte = body
+            elif tag == b"IEND":
+                break
+            i += 12 + length
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        bpp = channels
+        for row in range(h):
+            f = raw[row * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=row * (stride + 1) + 1
+            ).copy()
+            if f == 0:
+                pass
+            elif f == 2:  # Up — vectorizes
+                line += prev
+            elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+                cur = line.astype(np.int32)
+                pv = prev.astype(np.int32)
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    if f == 1:
+                        cur[x] = (cur[x] + a) & 0xFF
+                    elif f == 3:
+                        cur[x] = (cur[x] + (a + pv[x]) // 2) & 0xFF
+                    else:  # Paeth
+                        b = pv[x]
+                        c = pv[x - bpp] if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        cur[x] = (cur[x] + pred) & 0xFF
+                line = cur.astype(np.uint8)
+            else:
+                return None
+            out[row] = line
+            prev = line
+        px = out.reshape(h, w, channels)
+        if color_type == 3:  # palette lookup -> RGB
+            if plte is None:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            px = pal[px[:, :, 0]]
+        return px
+    except (struct.error, IndexError, zlib.error, ValueError):
+        return None
+
+
+def image_pixel_features(payload: bytes) -> list[float]:
+    """DECODERS-style entry scoring actual PIXELS, not header fields:
+    (width, height, channels, mean, std, min, max) of the luma plane
+    (ITU-R BT.601 weights for color images). NaNs when the payload is not
+    an 8-bit PNG this decoder covers."""
+    import numpy as np
+
+    px = decode_png_pixels(payload)
+    if px is None:
+        return [float("nan")] * 7
+    h, w, c = px.shape
+    arr = px.astype(np.float64)
+    if c >= 3:
+        luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    else:
+        luma = arr[:, :, 0]
+    return [
+        float(w),
+        float(h),
+        float(c),
+        float(luma.mean()),
+        float(luma.std()),
+        float(luma.min()),
+        float(luma.max()),
+    ]
+
+
 def register_default_decoders() -> None:
     """Register the real image/audio/video decoders. For images the header
     parser is authoritative for (width, height, bit_depth, channels) so the
@@ -286,6 +404,8 @@ def register_default_decoders() -> None:
         DECODERS["image"] = image_header_features
     DECODERS["audio"] = audio_header_features
     DECODERS["video"] = video_header_features
+    # pixel-level image scoring (no media library needed for 8-bit PNG)
+    DECODERS["image_pixels"] = image_pixel_features
 
 
 register_default_decoders()

@@ -446,3 +446,117 @@ def test_threshold_spatial_operators(spark):
         {"lat_col": lat, "lon_col": lon, "south": 47.0, "north": 48.0, "west": 8.0, "east": 9.0},
     )
     assert df.filter(outside_box).count() == 1
+
+
+def _png_with_pixels(pixels, color_type, filters, plte=None):
+    """Encode a REAL PNG from an (H, W, C) uint8 array, applying the given
+    per-row filter types — so the decoder's unfiltering is tested against
+    independently-computed filtered bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    c = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for row in range(h):
+        f = filters[row % len(filters)]
+        cur = flat[row]
+        out = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                out[x] = cur[x]
+            elif f == 1:
+                out[x] = cur[x] - a
+            elif f == 2:
+                out[x] = cur[x] - b
+            elif f == 3:
+                out[x] = cur[x] - (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[x] = cur[x] - pred
+        raw.append(f)
+        raw.extend((out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", bytes(plte))
+    png += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return png
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels must invert every PNG filter type exactly."""
+    import numpy as np
+
+    from signalk_parquet_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_with_pixels(px, color_type=2, filters=filters)
+        got = decode_png_pixels(payload)
+        assert got is not None and np.array_equal(got, px), f"filters={filters}"
+    # grayscale and RGBA shapes
+    g = rng.randint(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_png_with_pixels(g, 0, [4])), g)
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_png_with_pixels(rgba, 6, [3])), rgba)
+
+
+def test_png_pixel_decode_palette_and_features():
+    import numpy as np
+
+    from signalk_parquet_spark.operators.multimodal import (
+        decode_png_pixels, image_pixel_features,
+    )
+
+    # 2-entry palette: index 0 -> red, 1 -> white
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8).reshape(2, 2, 1)
+    payload = _png_with_pixels(idx, color_type=3, filters=[0],
+                               plte=[255, 0, 0, 255, 255, 255])
+    got = decode_png_pixels(payload)
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (255, 0, 0) and tuple(got[0, 1]) == (255, 255, 255)
+
+    flat = np.full((4, 4, 3), 128, dtype=np.uint8)
+    w, h, c, mean, std, mn, mx = image_pixel_features(_png_with_pixels(flat, 2, [1]))
+    assert (w, h, c) == (4.0, 4.0, 3.0)
+    assert mean == mx == mn and std == 0.0  # uniform image
+    # non-PNG payloads degrade to NaN, never raise
+    assert all(f != f for f in image_pixel_features(b"\xff\xd8\xffnot-a-png"))
+
+
+def test_pixel_decode_through_spark_pipeline(spark):
+    """The pixel decoder runs inside the same mapInPandas plumbing as the
+    header decoders — modality='image_pixels' rows score actual pixels."""
+    import numpy as np
+
+    from signalk_parquet_spark.operators.multimodal import MEDIA_SCHEMA, decode_features
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red -> luma 0.299*255 everywhere
+    payload = _png_with_pixels(px, color_type=2, filters=[0])
+    rows = [(1, "image_pixels", "image/png", payload, 2, 2, None, "{}")]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_features(df).collect()[0]["features"]
+    w, h, c, mean, std, mn, mx = feats
+    assert (w, h, c) == (2.0, 2.0, 3.0)
+    assert mean == pytest.approx(0.299 * 255) and std == 0.0
