@@ -375,6 +375,39 @@ def image_pixel_features(payload: bytes) -> list[float]:
     ]
 
 
+def audio_sample_features(payload: bytes) -> list[float]:
+    """Sample-level WAV scoring (stdlib wave + numpy, no media library):
+    (channels, sample_rate, duration_s, rms, peak) over the actual PCM
+    samples normalized to [-1, 1]. 16-bit and 8-bit PCM; NaNs otherwise."""
+    import wave
+
+    import numpy as np
+
+    if sniff_format(payload) != "wav":
+        return [float("nan")] * 5
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+            frames = w.readframes(n)
+            if width == 2:
+                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 1:  # 8-bit WAV is unsigned
+                x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            else:
+                return [float("nan")] * 5
+            if x.size == 0:
+                return [float(w.getnchannels()), float(rate), 0.0, 0.0, 0.0]
+            return [
+                float(w.getnchannels()),
+                float(rate),
+                float(n) / rate,
+                float(np.sqrt(np.mean(x * x))),
+                float(np.max(np.abs(x))),
+            ]
+    except (wave.Error, EOFError, ValueError):
+        return [float("nan")] * 5
+
+
 def register_default_decoders() -> None:
     """Register the real image/audio/video decoders. For images the header
     parser is authoritative for (width, height, bit_depth, channels) so the
@@ -404,8 +437,9 @@ def register_default_decoders() -> None:
         DECODERS["image"] = image_header_features
     DECODERS["audio"] = audio_header_features
     DECODERS["video"] = video_header_features
-    # pixel-level image scoring (no media library needed for 8-bit PNG)
+    # pixel/sample-level scoring (no media library needed)
     DECODERS["image_pixels"] = image_pixel_features
+    DECODERS["audio_samples"] = audio_sample_features
 
 
 register_default_decoders()

@@ -560,3 +560,29 @@ def test_pixel_decode_through_spark_pipeline(spark):
     w, h, c, mean, std, mn, mx = feats
     assert (w, h, c) == (2.0, 2.0, 3.0)
     assert mean == pytest.approx(0.299 * 255) and std == 0.0
+
+
+def test_audio_sample_features_known_signal():
+    """Sample-level WAV decode: a full-scale square wave has rms == peak
+    == 1.0 (within int16 quantization); silence has rms == peak == 0."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pt
+
+    from signalk_parquet_spark.operators.multimodal import audio_sample_features
+
+    buf = io.BytesIO()
+    x = np.tile(np.array([32767, -32768], dtype="<i2"), 4000)
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(x.tobytes())
+    ch, rate, dur, rms, peak = audio_sample_features(buf.getvalue())
+    assert (ch, rate, dur) == (1.0, 8000.0, 1.0)
+    assert rms == _pt.approx(1.0, abs=1e-4) and peak == _pt.approx(1.0, abs=1e-4)
+    sil = audio_sample_features(_wav_bytes(100, 8000))
+    assert sil[3] == 0.0 and sil[4] == 0.0
+    assert all(f != f for f in audio_sample_features(b"RIFFxxxxNOPE"))
