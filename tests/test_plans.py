@@ -366,3 +366,12 @@ def test_winnowing_and_spans_are_equi_joins(spark):
         plan = formatted_plan(registry.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ann_scalar_quant_is_broadcast_map_topk(spark):
+    """int8 ANN mirrors the knn shape: broadcast query set (no shuffle of
+    the collection), partial top-k ahead of the single window exchange."""
+    plan = formatted_plan(registry.queries()["ann_scalar_quant"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # != join over broadcast queries
+    assert "WindowGroupLimit" in plan
