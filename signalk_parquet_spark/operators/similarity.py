@@ -245,6 +245,77 @@ def ann_topk_multitable(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semantic_keep(
+    collection: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    cluster-then-threshold — assign every embedding to its nearest centroid
+    cell, compare pairs only WITHIN a cell, and drop any vector whose cell
+    holds a lower-id vector with cosine ≥ tau. Returns (id, cid, keep).
+
+    The drop rule is the one-pass variant of SemDeDup's per-cluster
+    keep-one: deterministic (lowest id wins), embarrassingly parallel, no
+    iteration — the min-id member of every cell is always kept.
+
+    Scale shape: centroids are driver-collected BY CONTRACT (a coarse
+    quantizer is k ~ sqrt(N) rows, same broadcast contract as the knn/ann
+    query sets) and inlined as literals, so cell assignment is a MAP-ONLY
+    argmin over K distance expressions — no crossJoin, no assignment
+    shuffle (the expr-path IVF pays a groupBy(id) for the same step). The
+    only shuffles are the within-cell equi-join on cid and the dropped-set
+    distinct; K grows with the corpus, so cells stay bounded and the
+    self-join never degenerates toward all-pairs — exactly the property
+    that makes SemDeDup tractable where embedding_neardup's blocking key
+    is given, not learned.
+
+    Parity: distances are d = |c|² − 2·e·c with |c|² accumulated on the
+    driver in sequential IEEE order (same value as the oracle's
+    list_dot_product(c, c)); argmin ties resolve to the lowest cid via
+    struct ordering, matching the oracle's (d, cid) row_number sort.
+    Cosine-vs-tau is a threshold on a continuum (CLAUDE.md rule 4)."""
+    cent_rows = centroids.orderBy("cid").collect()
+    e = _with_norms(collection, id_col, vec_col, dim)
+    choices = []
+    for r in cent_rows:
+        cvec = [float(x) for x in r["cemb"]]
+        cn2 = 0.0
+        for x in cvec:  # sequential IEEE order == oracle's list_dot_product
+            cn2 += x * x
+        clit = F.array(*[F.lit(x) for x in cvec])
+        d = F.lit(cn2) - F.lit(2.0) * dot(F.col("emb"), clit, dim)
+        choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
+    # materialize the assignment once: it feeds BOTH sides of the self-join
+    # plus the final keep-join, and a persisted frame must be fully built
+    # before self-join reuse (CLAUDE.md: AQE + partial cache dropped pairs)
+    assign = e.withColumn("cid", F.array_min(F.array(*choices))["cid"]).persist()
+    assign.count()
+    a = assign.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("n2").alias("n2_a"), "cid",
+    )
+    b = assign.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("n2").alias("n2_b"), "cid",
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b"), dim) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    dropped = (
+        a.join(b, ["cid"])
+        .filter((F.col("id_a") < F.col("id_b")) & (cos >= tau))
+        .select(F.col("id_b").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        assign.select("id", "cid")
+        .join(dropped, assign["id"] == dropped["dropped_id"], "left")
+        .select("id", "cid", F.col("dropped_id").isNull().alias("keep"))
+    )
+
+
 def topk_recall(
     approx: DataFrame,
     exact: DataFrame,

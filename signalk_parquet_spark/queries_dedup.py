@@ -720,6 +720,57 @@ def dedup_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEM_TAU = 0.4  # drops 30/27/151 docs at sf0.001/0.01/0.1 — real signal at every SF
+_SEM_STRIDE = 125  # stride quantizer: 4 cells at 500 vecs, 16 at 2k (SQL-expressible)
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {_SEM_STRIDE} = 0
+    ), ad AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(e.emb, c.cemb) AS d
+      FROM e CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb)
+            / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) >= {_SEM_TAU}
+    )
+    SELECT d.doc_id, a.cid, dr.vec_id IS NULL AS keep
+    FROM documents d
+    JOIN assign a ON a.vec_id = d.doc_id
+    LEFT JOIN dropped dr ON dr.vec_id = d.doc_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup of the documents corpus via its embeddings
+    (Abbas et al. 2023): nearest-centroid cell assignment (map-only — the
+    coarse quantizer inlines as literals), within-cell cosine ≥ {tau}
+    against any lower-id member drops a document, keep/drop joined back to
+    `documents` by id. The lexical family (exact/minhash/simhash) catches
+    copies; this catches REPHRASINGS the others can't see — the remaining
+    dedup rung of a training-data pipeline
+    (operators.similarity.semantic_keep). The stride quantizer keeps the
+    oracle SQL-expressible; production would swap in
+    operators.similarity.kmeans_centroids unchanged."""
+    from .operators.similarity import semantic_keep, stride_centroids
+
+    e = load(spark, sf, "embeddings")
+    cent = stride_centroids(e, "vec_id", "embedding", _SEM_STRIDE)
+    kept = semantic_keep(e, cent, "vec_id", "embedding", _SEM_TAU)
+    d = load(spark, sf, "documents").select("doc_id")
+    return d.join(kept, d["doc_id"] == kept["id"]).select("doc_id", "cid", "keep")
+
+
 @register("dedup_cluster_cc", _dd_cc_sql())
 def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERING (the step after pairwise dedup screens): take the

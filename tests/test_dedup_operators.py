@@ -414,3 +414,61 @@ def test_prefix_jaccard_matches_bruteforce(spark):
         if a and b and len(a & b) / len(a | b) >= 0.5:
             want.add((x, y))
     assert got == want and (0, 100) in want
+
+
+def test_semantic_keep_matches_bruteforce(spark):
+    """semantic_keep (SemDeDup) must equal a driver-side brute-force of the
+    same rule — argmin cell assignment (lowest-cid tie-break), drop iff a
+    lower-id same-cell vector has cosine >= tau — and the min-id member of
+    every cell is always kept."""
+    import itertools
+    import math
+
+    from signalk_parquet_spark.operators.similarity import semantic_keep
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.99, 0.1, 0.0, 0.0],    # near 0 -> dropped
+        2: [0.0, 1.0, 0.0, 0.0],
+        3: [0.05, 0.99, 0.0, 0.0],   # near 2 -> dropped
+        4: [0.6, 0.62, 0.0, 0.0],    # between cones
+        5: [-1.0, 0.05, 0.0, 0.0],   # anti-parallel: same cell, low cos -> kept
+        6: [0.0, 0.0, 1.0, 0.0],     # orthogonal to everything
+    }
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    tau = 0.9
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cdf = spark.createDataFrame(cents, "cid long, cemb array<double>")
+    got = {
+        r["id"]: (r["cid"], r["keep"])
+        for r in semantic_keep(df, cdf, "vec_id", "embedding", tau).collect()
+    }
+
+    def assign(v):
+        return min(
+            (sum(c * c for c in ce) - 2 * sum(a * b for a, b in zip(v, ce)), cid)
+            for cid, ce in cents
+        )[1]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    cells = {i: assign(v) for i, v in vecs.items()}
+    want = {}
+    for i, v in vecs.items():
+        dropped = any(
+            cells[j] == cells[i] and j < i and cos(vecs[j], v) >= tau for j in vecs
+        )
+        want[i] = (cells[i], not dropped)
+    assert got == want
+    # sanity on the fixture itself: both decisions occur, and every cell's
+    # min-id member is kept
+    assert {k for k, (_, kp) in want.items() if not kp} == {1, 3}
+    for c in {0, 1}:
+        members = [i for i in vecs if cells[i] == c]
+        assert want[min(members)][1] is True
