@@ -252,6 +252,7 @@ def semantic_keep(
     vec_col: str,
     tau: float,
     dim: int | None = None,
+    mode: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     cluster-then-threshold — assign every embedding to its nearest centroid
@@ -277,7 +278,24 @@ def semantic_keep(
     driver in sequential IEEE order (same value as the oracle's
     list_dot_product(c, c)); argmin ties resolve to the lowest cid via
     struct ordering, matching the oracle's (d, cid) row_number sort.
-    Cosine-vs-tau is a threshold on a continuum (CLAUDE.md rule 4)."""
+    Cosine-vs-tau is a threshold on a continuum (CLAUDE.md rule 4).
+
+    mode= picks the execution strategy (both BIT-IDENTICAL — measured
+    ramps in SCALE.md):
+      "expr"  — pure Column expressions. Assignment inlines K literal
+                distance chains, so per-row cost grows with K: fine for
+                the small-K oracle gate, quadratic-ish once K scales
+                with N (the SemDeDup contract).
+      "numpy" — the deployment path: ONE Arrow-batched map stage assigns
+                cells (dim-ordered accumulation, argmin over ascending
+                cids == the (d, cid) sort), then ONE shuffle groups each
+                cell and an applyInPandas stage makes every keep/drop
+                decision locally — zero joins in the whole operator.
+                Per-cell pairwise cosines accumulate dim-ordered, so
+                every value matches the expr/oracle form bit-for-bit
+                (the _fused_multitable_scan float discipline)."""
+    if mode == "numpy":
+        return _semantic_keep_fused(collection, centroids, id_col, vec_col, tau)
     cent_rows = centroids.orderBy("cid").collect()
     e = _with_norms(collection, id_col, vec_col, dim)
     choices = []
@@ -314,6 +332,79 @@ def semantic_keep(
         .join(dropped, assign["id"] == dropped["dropped_id"], "left")
         .select("id", "cid", F.col("dropped_id").isNull().alias("keep"))
     )
+
+
+def _semantic_keep_fused(
+    collection: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+) -> DataFrame:
+    """semantic_keep's numpy deployment path: map-only cell assignment +
+    one groupBy(cid) shuffle + per-cell local keep decisions. See
+    semantic_keep's docstring for the parity contract.
+
+    Skew note: a cell of m members costs m² local work, so a pathological
+    concentration (exact-duplicate floods) lands on one task — at corpus
+    scale run exact_dedup FIRST (it removes byte-identical copies with a
+    hash-groupBy), which bounds concentration to genuine near-dup mass."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = centroids.orderBy("cid").collect()  # ascending: argmin tie -> lowest cid
+    cids = np.array([int(r["cid"]) for r in cent_rows], dtype=np.int64)
+    cmat = np.array([[float(x) for x in r["cemb"]] for r in cent_rows], dtype=np.float64)
+    d_ = cmat.shape[1]
+    cnorm = np.zeros(len(cids), dtype=np.float64)
+    for i in range(d_):  # |c|^2 in the oracle's sequential order
+        cnorm += cmat[:, i] * cmat[:, i]
+    bc = collection.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
+
+    e = collection.select(F.col(id_col).alias("id"), as_double(vec_col).alias("emb"))
+
+    def assign_batches(it):
+        b_cids, b_cmat, b_cnorm = bc.value
+        dd = b_cmat.shape[1]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            emb = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(pdf), len(b_cids)), dtype=np.float64)
+            for i in range(dd):
+                acc += emb[:, i : i + 1] * b_cmat[None, :, i]
+            dmat = b_cnorm[None, :] - 2.0 * acc
+            pick = dmat.argmin(axis=1)  # first minimum == lowest cid (sorted)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cid": b_cids[pick], "emb": pdf["emb"]}
+            )
+
+    assigned = e.mapInPandas(assign_batches, schema="id long, cid long, emb array<double>")
+
+    def keep_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        m = len(pdf)
+        if m <= 1:
+            keep = np.ones(m, dtype=bool)
+        else:
+            emb = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            dd = emb.shape[1]
+            dacc = np.zeros((m, m), dtype=np.float64)
+            nacc = np.zeros(m, dtype=np.float64)
+            for i in range(dd):  # dim-ordered: bit-equal to the HOF forms
+                ci = emb[:, i]
+                dacc += ci[:, None] * ci[None, :]
+                nacc += ci * ci
+            cos = dacc / np.sqrt(nacc[:, None] * nacc[None, :])
+            near = cos >= tau
+            keep = ~np.array(
+                [near[r, :r].any() for r in range(m)]  # any LOWER-id partner
+            )
+        return pd.DataFrame(
+            {"id": pdf["id"].to_numpy(), "cid": pdf["cid"].to_numpy(), "keep": keep}
+        )
+
+    return assigned.groupBy("cid").applyInPandas(keep_group, "id long, cid long, keep boolean")
 
 
 def topk_recall(

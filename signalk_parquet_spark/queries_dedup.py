@@ -761,12 +761,15 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     dedup rung of a training-data pipeline
     (operators.similarity.semantic_keep). The stride quantizer keeps the
     oracle SQL-expressible; production would swap in
-    operators.similarity.kmeans_centroids unchanged."""
+    operators.similarity.kmeans_centroids unchanged. Runs the fused numpy
+    mode — bit-identical to the expr form (dim-ordered accumulation; the
+    mode-equivalence test pins it) and the shape that scales: map-only
+    assignment + one groupBy(cid) + local per-cell decisions, zero joins."""
     from .operators.similarity import semantic_keep, stride_centroids
 
     e = load(spark, sf, "embeddings")
     cent = stride_centroids(e, "vec_id", "embedding", _SEM_STRIDE)
-    kept = semantic_keep(e, cent, "vec_id", "embedding", _SEM_TAU)
+    kept = semantic_keep(e, cent, "vec_id", "embedding", _SEM_TAU, mode="numpy")
     d = load(spark, sf, "documents").select("doc_id")
     return d.join(kept, d["doc_id"] == kept["id"]).select("doc_id", "cid", "keep")
 

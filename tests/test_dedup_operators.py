@@ -446,6 +446,11 @@ def test_semantic_keep_matches_bruteforce(spark):
         r["id"]: (r["cid"], r["keep"])
         for r in semantic_keep(df, cdf, "vec_id", "embedding", tau).collect()
     }
+    fused = {
+        r["id"]: (r["cid"], r["keep"])
+        for r in semantic_keep(df, cdf, "vec_id", "embedding", tau, mode="numpy").collect()
+    }
+    assert fused == got  # the deployment path is decision-identical
 
     def assign(v):
         return min(
