@@ -375,3 +375,19 @@ def test_ann_scalar_quant_is_broadcast_map_topk(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # != join over broadcast queries
     assert "WindowGroupLimit" in plan
+
+
+def test_semantic_dedup_fused_is_single_exchange_no_joins(spark):
+    """The numpy SemDeDup path must be: map-only assignment (mapInPandas)
+    -> ONE groupBy(cid) exchange -> local per-cell decisions
+    (FlatMapGroupsInPandas). Zero joins anywhere — the property that makes
+    it scale (SCALE.md: 30x data -> 1.2x wall)."""
+    plan = formatted_plan(registry.queries()["dedup_semantic"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # one hash exchange (the groupBy(cid)); the only join anywhere is the
+    # gate's broadcast of the skinny documents id side
+    assert plan.count("hashpartitioning(cid") == 1
+    assert plan.count("BroadcastHashJoin Inner") == 1  # tree line; detail echoes the name
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
