@@ -158,3 +158,115 @@ def streaming_ema(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
 #   late-arriving back-exports should go through the BATCH rollup path
 #   (operators/rollups) instead of the stream.
 # ---------------------------------------------------------------------------
+
+
+# --- streaming MinHash near-dup dedup -------------------------------------------------
+NEARDUP_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("agreement", T.DoubleType()),
+    ]
+)
+#: per-bucket state: parallel arrays of kept doc ids and their FULL
+#: signatures (k hashes joined with '|') — one entry per first-seen doc
+_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def make_neardup_fn(agree: float, max_bucket: int):
+    """applyInPandasWithState function for one LSH (band, bucket) group.
+
+    For each incoming doc (id order within the batch — deterministic):
+    compare its full MinHash signature against every signature kept in this
+    bucket; agreement fraction >= ``agree`` emits a match event and keeps
+    the state unchanged (the dup is NOT added — matching the batch family's
+    keep-lowest-id rule); otherwise the doc joins the bucket state, capped
+    at ``max_bucket`` entries (the winnowing max_df lesson: an uncapped hot
+    bucket grows O(n) state and O(n²) compares)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, sigs = state.get if state.exists else ([], [])
+        ids, sigs = list(ids), [s.split("|") for s in sigs]
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                sig = row["sig"].split("|")
+                hit = None
+                for kept_id, kept_sig in zip(ids, sigs):
+                    n_eq = sum(1 for a, b in zip(sig, kept_sig) if a == b)
+                    if n_eq / len(sig) >= agree:
+                        hit = (kept_id, n_eq / len(sig))
+                        break
+                if hit is not None:
+                    out.append(
+                        {
+                            "doc_id": int(row["doc_id"]),
+                            "dup_of": int(hit[0]),
+                            "band": int(key[0]),
+                            "agreement": hit[1],
+                        }
+                    )
+                elif len(ids) < max_bucket:
+                    ids.append(int(row["doc_id"]))
+                    sigs.append(sig)
+        state.update((ids, ["|".join(s) for s in sigs]))
+        yield pd.DataFrame(out, columns=[f.name for f in NEARDUP_MATCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_neardup_minhash(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    agree: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection ACROSS micro-batches — the
+    near-dup rung of the dedup ladder for continuous ingest (the batch twin
+    is operators.dedup.minhash_lsh_pairs; streaming_dedup covers only exact
+    key re-delivery). Each doc's k-hash signature is banded; every (band,
+    band-key) bucket is a stateful group holding the signatures of its
+    first-seen docs, and an arriving doc matching any kept signature at
+    >= ``agree`` row-agreement emits a match event instead of joining the
+    state. Emits the match stream (doc_id, dup_of, band, agreement);
+    consumers drop distinct doc_ids (a doc colliding with its dup in
+    several bands emits one event per colliding band).
+
+    Scale: state is partitioned by (band, bucket) hash across the state
+    store exactly like the batch band join shuffles — ~one entry per
+    distinct content per band, capped per bucket; production sets a state
+    TTL via GroupStateTimeout/RocksDB rather than growing forever.
+
+    Signature/banding reuse the batch family's engine-portable forms
+    (functions.text: md5-slice MinHash over hashed 3-gram shingles), so a
+    doc's streaming signature is IDENTICAL to its batch signature — the
+    test pins streaming matches == batch LSH candidate pairs."""
+    from ..functions.text import distinct_shingles, minhash_signature
+
+    r = k // bands
+    sig_cols = minhash_signature(distinct_shingles(text_col), k)
+    sig = F.concat_ws("|", *sig_cols)
+    band_keys = F.array(
+        *[F.md5(F.concat_ws("|", *sig_cols[b * r : (b + 1) * r])) for b in range(bands)]
+    )
+    exploded = stream.select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig"), F.posexplode(band_keys)
+    ).withColumnsRenamed({"pos": "band", "col": "bkey"})
+    return exploded.groupBy("band", "bkey").applyInPandasWithState(
+        make_neardup_fn(agree, max_bucket),
+        NEARDUP_MATCH_SCHEMA,
+        _NEARDUP_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

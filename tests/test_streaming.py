@@ -244,3 +244,77 @@ def test_sessionize_batch_matches_session_window(spark):
         )
     }
     assert batch == native
+
+
+def test_streaming_neardup_minhash_across_batches(spark, tmp_path):
+    """Near-dup detection across micro-batches: a batch-2 near-copy of a
+    batch-1 document must emit a match event pointing at the EARLIER
+    batch's doc. The full decision set is checked against a driver-side
+    replication of the rule over batch-computed signatures (arrival order,
+    per-bucket state, agree threshold), so the test doesn't hardcode hash
+    luck."""
+    from signalk_parquet_spark.functions.text import distinct_shingles, minhash_signature
+    from signalk_parquet_spark.streaming.stateful import streaming_neardup_minhash
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "pack my box with five dozen liquor jugs before the winter arrives"
+    batches = [
+        [(1, a), (2, b)],
+        [(3, a.replace("today", "tonight")), (4, "completely different words without overlap here")],
+    ]
+    src = str(tmp_path / "nd_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = streaming_neardup_minhash(stream, k=8, bands=4, agree=0.5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["dup_of"], r["band"])
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    }
+
+    # driver-side replication over batch-computed signatures
+    all_docs = [d for bat in batches for d in bat]
+    sig_rows = (
+        spark.createDataFrame(all_docs, schema)
+        .select(
+            "doc_id",
+            *[c.alias(f"mh{i}") for i, c in enumerate(
+                minhash_signature(distinct_shingles("text"), 8))],
+        )
+        .collect()
+    )
+    sigs = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in sig_rows}
+    state: dict[tuple[int, tuple], list[int]] = {}
+    want = set()
+    for bat in batches:
+        for doc_id, _ in sorted(bat):
+            sig = sigs[doc_id]
+            for band in range(4):
+                bkey = (band, tuple(sig[band * 2 : band * 2 + 2]))
+                kept = state.setdefault(bkey, [])
+                hit = next(
+                    (kid for kid in kept
+                     if sum(x == y for x, y in zip(sig, sigs[kid])) / 8 >= 0.5),
+                    None,
+                )
+                if hit is not None:
+                    want.add((doc_id, hit, band))
+                else:
+                    kept.append(doc_id)
+    assert got == want
+    # and the semantic point: the near-copy matched across the batch line
+    assert any(d == 3 and dup == 1 for d, dup, _ in got), got
+    assert not any(d in (2, 4) for d, _, _ in got)
