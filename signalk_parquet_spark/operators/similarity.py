@@ -245,6 +245,26 @@ def ann_topk_multitable(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
+    """Nearest-centroid cell id as a pure Column over driver-collected
+    centroid rows (cid, cemb) — the map-only assignment the SemDeDup family
+    shares. d = |c|² − 2·e·c with |c|² accumulated on the driver in
+    sequential IEEE order (same value as an oracle's list_dot_product(c, c));
+    argmin ties resolve to the lowest cid via struct ordering, matching a
+    (d, cid) row_number sort. Per-row cost grows with K — the numpy fused
+    assignment is the large-K path."""
+    choices = []
+    for r in cent_rows:
+        cvec = [float(x) for x in r["cemb"]]
+        cn2 = 0.0
+        for x in cvec:  # sequential IEEE order == oracle's list_dot_product
+            cn2 += x * x
+        clit = F.array(*[F.lit(x) for x in cvec])
+        d = F.lit(cn2) - F.lit(2.0) * dot(emb, clit, dim)
+        choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
+    return F.array_min(F.array(*choices))["cid"]
+
+
 def semantic_keep(
     collection: DataFrame,
     centroids: DataFrame,
@@ -298,19 +318,10 @@ def semantic_keep(
         return _semantic_keep_fused(collection, centroids, id_col, vec_col, tau)
     cent_rows = centroids.orderBy("cid").collect()
     e = _with_norms(collection, id_col, vec_col, dim)
-    choices = []
-    for r in cent_rows:
-        cvec = [float(x) for x in r["cemb"]]
-        cn2 = 0.0
-        for x in cvec:  # sequential IEEE order == oracle's list_dot_product
-            cn2 += x * x
-        clit = F.array(*[F.lit(x) for x in cvec])
-        d = F.lit(cn2) - F.lit(2.0) * dot(F.col("emb"), clit, dim)
-        choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
     # materialize the assignment once: it feeds BOTH sides of the self-join
     # plus the final keep-join, and a persisted frame must be fully built
     # before self-join reuse (CLAUDE.md: AQE + partial cache dropped pairs)
-    assign = e.withColumn("cid", F.array_min(F.array(*choices))["cid"]).persist()
+    assign = e.withColumn("cid", cell_argmin_col(cent_rows, F.col("emb"), dim)).persist()
     assign.count()
     a = assign.select(
         F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),

@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import distinct_shingles, hashed_shingles, jaccard, minhash_signature
+from .functions.vectors import as_double as as_double_vec
+from .functions.vectors import dot as vec_dot
+from .functions.vectors import norm_sq as vec_norm_sq
 from .memo import SessionMemo
 from .registry import load, register
 
@@ -772,6 +775,77 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     kept = semantic_keep(e, cent, "vec_id", "embedding", _SEM_TAU, mode="numpy")
     d = load(spark, sf, "documents").select("doc_id")
     return d.join(kept, d["doc_id"] == kept["id"]).select("doc_id", "cid", "keep")
+
+
+_SEM_SLICE = 300  # recall-evaluation slice: all true pairs among vec_id < 300
+
+
+@register(
+    "semdedup_recall",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {_SEM_STRIDE} = 0
+    ), ad AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(e.emb, c.cemb) AS d
+      FROM e CROSS JOIN c WHERE e.vec_id < {_SEM_SLICE}
+    ), assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad
+      ) WHERE rn = 1
+    ), tp AS (
+      SELECT a.cid = b.cid AS captured
+      FROM assign a JOIN assign b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb)
+            / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) >= {_SEM_TAU}
+    )
+    SELECT count(*) AS n_true,
+           CAST(sum(CASE WHEN captured THEN 1 ELSE 0 END) AS BIGINT) AS n_captured,
+           CAST(sum(CASE WHEN captured THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+    FROM tp
+    """,
+)
+def semdedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair recall of SemDeDup's cell blocking — the honest-evaluation twin
+    of ann_recall/minhash_estimate_error for the semantic-dedup gate: of all
+    TRUE cosine-≥-tau pairs in a fixed evaluation slice (brute-force ground
+    truth over vec_id < {slice}), what fraction share a cell and are
+    therefore visible to dedup_semantic? Measured: 0.58 at K=4 cells
+    (sf0.01) → 0.125 at K=16 (sf0.1) — the K-vs-recall trade a deployment
+    tunes (more cells = cheaper pairs stage, more cross-cell misses; real
+    embedding corpora cluster far more tightly than this near-uniform
+    synthetic). Counts and the integer-derived ratio are engine-exact."""
+    from .operators.similarity import cell_argmin_col
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("emb")
+    ).withColumn("n2", vec_norm_sq(F.col("emb")))
+    cent_rows = (
+        e.filter(F.col("vec_id") % _SEM_STRIDE == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        .orderBy("cid")
+        .collect()
+    )
+    sl = e.filter(F.col("vec_id") < _SEM_SLICE).withColumn(
+        "cid", cell_argmin_col(cent_rows, F.col("emb"))
+    ).persist()
+    sl.count()
+    a = sl.select(F.col("vec_id").alias("ida"), F.col("emb").alias("ea"),
+                  F.col("n2").alias("n2a"), F.col("cid").alias("cida"))
+    b = sl.select(F.col("vec_id").alias("idb"), F.col("emb").alias("eb"),
+                  F.col("n2").alias("n2b"), F.col("cid").alias("cidb"))
+    cos = vec_dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("n2a") * F.col("n2b"))
+    tp = a.join(b, F.col("ida") < F.col("idb")).filter(cos >= _SEM_TAU).select(
+        (F.col("cida") == F.col("cidb")).alias("captured")
+    )
+    return tp.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("captured"), 1).otherwise(0)).cast("long").alias("n_captured"),
+        (F.sum(F.when(F.col("captured"), 1).otherwise(0)).cast("double")
+         / F.count(F.lit(1))).alias("recall"),
+    )
 
 
 @register("dedup_cluster_cc", _dd_cc_sql())
