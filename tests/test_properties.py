@@ -264,3 +264,35 @@ def test_make_planes_seed_families(seed):
     assert a != b  # independent families, no seed collisions
     assert a == make_planes(6, 32, seed=seed)  # deterministic
     assert any(w != 0 for plane in a for w in plane)  # never degenerate
+
+
+# --- SemDeDup mode equivalence on tie-prone inputs -----------------------------------
+_VEC3 = st.lists(st.sampled_from([-1.0, 0.0, 1.0]), min_size=4, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_VEC3.filter(lambda v: any(x != 0.0 for x in v)), min_size=2, max_size=10),
+    st.integers(min_value=1, max_value=3),
+)
+def test_semantic_keep_modes_agree_on_ties(spark_global, vecs, n_cent):
+    """expr and numpy SemDeDup must make IDENTICAL decisions on adversarial
+    tie-prone data: components drawn from {-1, 0, 1} make equidistant
+    centroids and duplicate vectors common, exercising the lowest-cid
+    argmin tie-break and the cos=1 exact-duplicate drop on both paths.
+    (Zero vectors are excluded — embeddings are non-zero by contract;
+    cosine against a zero vector is NaN and NaN-vs-threshold ordering
+    differs between Spark SQL and numpy.)"""
+    from signalk_parquet_spark.operators.similarity import semantic_keep
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    cents = [(j, vecs[j % len(vecs)]) for j in range(n_cent)]
+    cdf = spark.createDataFrame(cents, "cid long, cemb array<double>")
+    expr = {(r["id"], r["cid"], r["keep"])
+            for r in semantic_keep(df, cdf, "vec_id", "embedding", 0.5).collect()}
+    fused = {(r["id"], r["cid"], r["keep"])
+             for r in semantic_keep(df, cdf, "vec_id", "embedding", 0.5, mode="numpy").collect()}
+    assert expr == fused
