@@ -372,6 +372,47 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumnRenamed("cos", "cos4")
 
 
+def _dd_ivf_recall_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), xq AS (SELECT vec_id AS query_id, emb AS ea FROM e WHERE vec_id < {_NQ}),
+    xr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_DD_COS.replace("eb", "e.emb")}, 4) DESC, e.vec_id
+               ) AS rank
+        FROM xq q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {_TOPK}
+    ),
+    ar AS (
+      SELECT query_id, neighbor_id FROM ({_dd_ivf_sql()})
+    )
+    SELECT xr.query_id,
+           count(*) AS n_exact,
+           count(ar.neighbor_id) AS n_hit,
+           CAST(count(ar.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM xr LEFT JOIN ar
+      ON ar.query_id = xr.query_id AND ar.neighbor_id = xr.neighbor_id
+    GROUP BY xr.query_id
+    """
+
+
+@register("ivf_recall", _dd_ivf_recall_sql())
+def ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@{k} of the IVF rung against the exact top-k — completes the
+    honest-evaluation set (ann_recall covers the LSH rung, this covers
+    IVF): the number a deployment watches while tuning n_probe vs the
+    number of cells. Per-query ratios are exact integer-derived values on
+    both engines (deterministic 4-decimal + id tie-break top-k inputs).
+    The exact side re-reads the session-memoized knn_bruteforce frame."""
+    from .operators.similarity import topk_recall
+
+    return topk_recall(ann_ivf(spark, sf), knn_bruteforce(spark, sf))
+
+
 # --- int8 scalar-quantized ANN (the memory-compression scale path) ---------------------
 def _dd_sq_sql() -> str:
     return f"""
