@@ -2,7 +2,8 @@
 """End-to-end LLM training-data curation demo over the synthetic corpus:
 
   quality scoring -> repetition filter -> exact + MinHash-LSH dedup ->
-  copied-span screening -> deterministic train/val/test split ->
+  copied-span screening -> semantic (SemDeDup) dedup ->
+  deterministic train/val/test split ->
   eval decontamination -> embedding-space diversity balancing ->
   per-language quotas -> stratified mix re-balancing ->
   token-stream packing into training chunks
@@ -23,6 +24,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.operators.dedup import dedup_corpus, exact_dedup
 from signalk_parquet_spark.operators.sampling import pack_token_stream, stratified_sample
+from signalk_parquet_spark.operators.similarity import semantic_keep, stride_centroids
 from signalk_parquet_spark.operators.spans import substring_span_stats
 from signalk_parquet_spark.session import get_spark
 
@@ -67,6 +69,20 @@ def main() -> None:
     )
     kept = kept.join(spans.select(F.col("id").alias("doc_id")), "doc_id")
     n2b = kept.count()
+
+    # 2c. SEMANTIC dedup (SemDeDup): the lexical rungs above can't see
+    # rephrasings — cluster the documents' embeddings into cells and drop
+    # any doc whose cell holds a lower-id doc at cosine >= 0.4 (numpy mode:
+    # map-only assignment + one groupBy, zero joins)
+    emb = registry.load(spark, sf, "embeddings")
+    sem = semantic_keep(
+        emb, stride_centroids(emb, "vec_id", "embedding", 125),
+        "vec_id", "embedding", 0.4, mode="numpy",
+    )
+    kept = kept.join(
+        sem.filter("keep").select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    n2c = kept.count()
 
     # 3. deterministic split + decontamination (drop leaked test docs)
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -115,12 +131,13 @@ def main() -> None:
     print(f"after quality+repetition filters: {n1}")
     print(f"after exact+near dedup: {n2}")
     print(f"after copied-span screen: {n2b}")
+    print(f"after semantic dedup: {n2c}")
     print(f"after decontamination: {n3}  splits: {split_counts}")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
     print(f"after mix re-balancing: {n6}")
     print(f"packed train docs: {n7} into {n_chunks} x 512-token chunks")
-    assert n0 >= n1 >= n2 >= n2b >= n3 > 0
+    assert n0 >= n1 >= n2 >= n2b >= n2c >= n3 > 0
     assert n6 <= n3 and n7 > 0 and n_chunks > 0
 
 
