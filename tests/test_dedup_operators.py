@@ -477,3 +477,24 @@ def test_semantic_keep_matches_bruteforce(spark):
     for c in {0, 1}:
         members = [i for i in vecs if cells[i] == c]
         assert want[min(members)][1] is True
+
+
+def test_semantic_keep_with_learned_quantizer(spark):
+    """The 'production swaps in kmeans_centroids unchanged' claim: the
+    learned quantizer must plug into both semantic_keep modes, and the two
+    modes must still agree decision-for-decision (bit-identical distances
+    are only guaranteed per mode-pair; the DECISIONS must match)."""
+    from signalk_parquet_spark.operators.similarity import kmeans_centroids, semantic_keep
+    from signalk_parquet_spark.registry import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_centroids(e, "vec_id", "embedding", k=4, seed=7)
+    assert cents.count() == 4
+    expr = {(r["id"], r["cid"], r["keep"])
+            for r in semantic_keep(e, cents, "vec_id", "embedding", 0.4).collect()}
+    fused = {(r["id"], r["cid"], r["keep"])
+             for r in semantic_keep(e, cents, "vec_id", "embedding", 0.4, mode="numpy").collect()}
+    assert expr == fused
+    ids = {i for i, _, _ in expr}
+    assert len(ids) == e.count()  # exactly one decision per vector
+    assert any(not k for _, _, k in expr)  # the threshold actually bites
