@@ -362,7 +362,7 @@ def test_pack_sequences_single_shard_shuffle(spark):
 
 
 def test_winnowing_and_spans_are_equi_joins(spark):
-    for name in ("dedup_winnowing", "dedup_substring_spans"):
+    for name in ("dedup_winnowing", "dedup_substring_spans", "dedup_jaccard_prefix"):
         plan = formatted_plan(registry.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
