@@ -108,3 +108,41 @@ def test_schema_quarantine_split(spark):
     clean, quarantined = quarantine_unparseable(dirty, diag)
     assert clean.count() == 3 and quarantined.count() == 1
     assert quarantined.first()["value_num"] == "not-a-number"
+
+
+def test_streaming_neardup_state_survives_query_restart(spark, tmp_path):
+    """Near-dup state must RECOVER FROM THE CHECKPOINT across two separate
+    query runs (not micro-batches of one run): batch 2 arrives in a brand-new
+    query and its near-copy must still match batch 1's doc — the property
+    that makes continuous-ingest dedup restart-safe. Parquet sink: the
+    memory sink cannot recover from checkpoints (CLAUDE.md)."""
+    from signalk_parquet_spark.streaming.stateful import streaming_neardup_minhash
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    src = str(tmp_path / "nd_src")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_neardup_minhash(stream, k=8, bands=4, agree=0.5)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, a)], schema).coalesce(1).write.parquet(src)
+    run_once()  # first run: doc 1 becomes bucket state, no matches
+    spark.createDataFrame(
+        [(3, a.replace("today", "tonight"))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # NEW query, same checkpoint: state must come back
+
+    got = {(r["doc_id"], r["dup_of"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(3, 1)}, got
