@@ -263,6 +263,11 @@ def streaming_neardup_minhash(
     band_keys = F.array(
         *[F.md5(F.concat_ws("|", *sig_cols[b * r : (b + 1) * r])) for b in range(bands)]
     )
+    # docs too short to shingle (< 3 tokens) have EMPTY signature parts and
+    # would all collide in one degenerate bucket; the batch family never
+    # pairs them either (empty-set Jaccard is NULL, dropped by the verify
+    # threshold), so drop them here for batch/stream decision consistency
+    stream = stream.filter(F.size(F.split(F.col(text_col), " ")) >= 3)
     exploded = stream.select(
         F.col(id_col).alias("doc_id"), sig.alias("sig"), F.posexplode(band_keys)
     ).withColumnsRenamed({"pos": "band", "col": "bkey"})
