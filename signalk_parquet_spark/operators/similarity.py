@@ -452,15 +452,27 @@ def stride_centroids(collection: DataFrame, id_col: str, vec_col: str, stride: i
 
 
 def kmeans_centroids(
-    collection: DataFrame, id_col: str, vec_col: str, k: int = 16, seed: int = 7
+    collection: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    seed: int = 7,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """Learned coarse quantizer via Spark MLlib k-means (the real scale path:
     the model fits on a sample, transform is map-side). Deterministic for a
-    fixed seed WITHIN Spark, but not SQL-expressible — operator tests only."""
+    fixed seed WITHIN Spark, but not SQL-expressible — operator tests only.
+
+    ``fit_fraction`` caps the fit cost at corpus scale: k-means quality
+    needs only a representative sample (centroids are means — a 1% sample
+    of 10^9 vectors estimates them as well as the full pass costs 100x
+    more); None fits on everything (test scale)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import DoubleType
 
+    if fit_fraction is not None:
+        collection = collection.sample(False, fit_fraction, seed)
     vecs = collection.select(
         F.col(id_col).alias("id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),

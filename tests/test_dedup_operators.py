@@ -488,8 +488,8 @@ def test_semantic_keep_with_learned_quantizer(spark):
     from signalk_parquet_spark.registry import load
 
     e = load(spark, "/root/testdata/sf0.001", "embeddings")
-    cents = kmeans_centroids(e, "vec_id", "embedding", k=4, seed=7)
-    assert cents.count() == 4
+    cents = kmeans_centroids(e, "vec_id", "embedding", k=4, seed=7, fit_fraction=0.5)
+    assert cents.count() == 4  # sampled fit still yields k centroids
     expr = {(r["id"], r["cid"], r["keep"])
             for r in semantic_keep(e, cents, "vec_id", "embedding", 0.4).collect()}
     fused = {(r["id"], r["cid"], r["keep"])
