@@ -418,6 +418,103 @@ def _semantic_keep_fused(
     return assigned.groupBy("cid").applyInPandas(keep_group, "id long, cid long, keep boolean")
 
 
+def pq_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Product-Quantization top-k over int8-quantized embeddings — the
+    16x-compression rung of the ANN ladder (exact → LSH → IVF → int8 SQ →
+    PQ). Each vector's int8 form is split into ``n_sub`` subspaces; each
+    subspace is encoded as the id of its nearest codeword (codewords =
+    stride-selected vectors' subvectors, so an oracle can rebuild the
+    codebook in SQL); queries score candidates with ADC — a per-(query,
+    subspace) lookup table of query·codeword dot products, so the scan
+    reads ``n_sub`` SMALL INTS per vector instead of the full embedding
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011).
+
+    EVERYTHING IS INTEGER: the int8 quantizer is exact IEEE arithmetic,
+    encoding distances are |c|² − 2·x·c over int products (widened to
+    long), LUT entries are integer dots, and the ADC score is a fixed sum
+    of ``n_sub`` longs — no float summation order, no rounding, so an
+    oracle hash-matches with zero tolerance (the ann_scalar_quant
+    discipline extended to the compressed rung). Ties: encoding argmin
+    resolves to the lowest codeword id (struct ordering), ranking to the
+    lowest neighbor_id.
+
+    Scale shape: the codebook and query LUTs are driver-built BY CONTRACT
+    (n_sub × K × queries integers — the broadcast contract of the ann
+    family); the collection encodes map-only against codeword literals and
+    scores map-only against the broadcast LUT frame, so the only shuffle
+    is the top-k window. At 100 TB the encoded table (n_sub bytes/vector
+    + id) is what a deployment persists — 16x smaller than the int8 cache,
+    64x smaller than float64."""
+    from ..functions.vectors import int8_quantize, int_dot
+
+    e = collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
+    # codebook: stride-selected vectors' subvectors, ascending id == ascending
+    # codeword id, so argmin ties resolve identically in SQL (ORDER BY d, cid)
+    cw_rows = e.filter(F.col("id") % stride == 0).orderBy("id").collect()
+    cods = []  # per subspace: list of (cid, subvec, |c|^2)
+    for m in range(n_sub):
+        lo = m * sub_dim
+        cods.append(
+            [
+                (int(r["id"]), r["qv"][lo : lo + sub_dim],
+                 sum(c * c for c in r["qv"][lo : lo + sub_dim]))
+                for r in cw_rows
+            ]
+        )
+
+    enc = e
+    for m in range(n_sub):
+        sub = F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
+        choices = [
+            F.struct(
+                (F.lit(cc) - F.lit(2) * int_dot(sub, F.array(*[F.lit(int(c)) for c in cv])))
+                .cast("long").alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+                F.lit(j).alias("j"),
+            )
+            for j, (cid, cv, cc) in enumerate(cods[m])
+        ]
+        enc = enc.withColumn(f"code{m}", F.array_min(F.array(*choices))["j"])
+    enc = enc.drop("qv")
+
+    # per-(query, subspace) ADC lookup tables, position-aligned with codes
+    q_rows = (
+        queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
+        .orderBy("id").collect()
+    )
+    spark = collection.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        luts = []
+        for m in range(n_sub):
+            lo = m * sub_dim
+            qsub = r["qv"][lo : lo + sub_dim]
+            luts.append([sum(int(a) * int(c) for a, c in zip(qsub, cv)) for _, cv, _ in cods[m]])
+        lut_rows.append((int(r["id"]), *luts))
+    lut_schema = "query_id long, " + ", ".join(f"lut{m} array<long>" for m in range(n_sub))
+    lut = spark.createDataFrame(lut_rows, lut_schema)
+
+    score = None
+    for m in range(n_sub):
+        term = F.element_at(F.col(f"lut{m}"), F.col(f"code{m}").cast("int") + 1)
+        score = term if score is None else score + term
+    pairs = enc.join(F.broadcast(lut), F.col("id") != F.col("query_id")).select(
+        "query_id", F.col("id").alias("neighbor_id"), score.alias("pq_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def topk_recall(
     approx: DataFrame,
     exact: DataFrame,

@@ -182,6 +182,7 @@ def _import_all() -> None:
         "queries_tpch",
         "queries_curation",
         "queries_text",
+        "queries_pq",  # post-window by design (see queries_pq docstring)
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -498,3 +498,43 @@ def test_semantic_keep_with_learned_quantizer(spark):
     ids = {i for i, _, _ in expr}
     assert len(ids) == e.count()  # exactly one decision per vector
     assert any(not k for _, _, k in expr)  # the threshold actually bites
+
+
+def test_pq_topk_compression_and_recall(spark):
+    """PQ sanity on clustered toy data: same-cluster neighbors must fill the
+    top-k (subspace codewords separate the clusters), and the encoded width
+    really is n_sub codes. Then the honest number at corpus scale: recall@5
+    vs the exact int8 ranking on the real embeddings table."""
+    from pyspark.sql import functions as F
+    from signalk_parquet_spark.operators.similarity import pq_topk, topk_recall
+    from signalk_parquet_spark.queries_similarity import ann_scalar_quant
+    from signalk_parquet_spark.registry import load
+
+    # two tight 64-dim clusters; stride 6 makes one codeword per cluster
+    rows = [(i, [0.9 - 0.001 * i] * 32 + [0.1] * 32) for i in range(6)] + [
+        (i, [-0.1] * 32 + [0.8 + 0.001 * i] * 32) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin(0, 6))
+    got = pq_topk(emb, q, "vec_id", "embedding", stride=6, n_sub=4, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q[0] <= {1, 2, 3, 4, 5} and len(by_q[0]) == 3
+    assert by_q[6] <= {7, 8, 9, 10, 11} and len(by_q[6]) == 3
+
+    sf = "/root/testdata/sf0.01"
+    e = load(spark, sf, "embeddings")
+    exact = ann_scalar_quant(spark, sf)
+
+    def rec(stride):
+        approx = pq_topk(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", stride)
+        return topk_recall(approx, exact).agg(F.avg("recall")).collect()[0][0]
+
+    # codebook size is THE quality lever: measured 0.04 (K=4) -> 0.11 (K=20)
+    # -> 0.28 (K=50) on near-uniform synthetic vectors (real corpora cluster).
+    # Pin the monotone ordering and the K=50 floor, with slack for the int8
+    # quantizer's tie shuffling.
+    r4, r50 = rec(125), rec(10)
+    assert r50 > r4, (r4, r50)
+    assert r50 >= 0.2, r50

@@ -391,3 +391,15 @@ def test_semantic_dedup_fused_is_single_exchange_no_joins(spark):
     assert plan.count("hashpartitioning(cid") == 1
     assert plan.count("BroadcastHashJoin Inner") == 1  # tree line; detail echoes the name
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_ann_pq_is_map_encode_broadcast_score_topk(spark):
+    """PQ/ADC must keep the ann-family scale shape: map-only encoding
+    against codeword literals, broadcast LUT join (never a shuffle join),
+    partial top-k before the single window exchange."""
+    plan = formatted_plan(registry.queries()["ann_pq"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the id != query_id LUT join
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange
