@@ -515,6 +515,129 @@ def pq_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_stride: int,
+    code_stride: int,
+    n_probe: int = 3,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the standard industrial vector index (FAISS's IVFx,PQy) as a
+    composition of two proven parts — IVF cell pruning cuts the CANDIDATE
+    SET (only vectors in the query's n_probe nearest cells are scored) and
+    PQ/ADC cuts the BYTES PER CANDIDATE (integer lookup-table scores over
+    n_sub codes). Everything stays map-only over the collection: cell
+    assignment uses the inlined-centroid argmin (cell_argmin_col), the
+    probe set broadcasts inside the LUT frame, and PQ scoring reads codes —
+    the only shuffle is the final top-k window.
+
+    Both quantizers are stride-built so the whole index is reproducible in
+    SQL; the integer PQ discipline (see pq_topk) means composed scores are
+    exact. Cells and codebooks are INDEPENDENT knobs: cell_stride sets the
+    pruning fan-out, code_stride the score resolution."""
+    from ..functions.vectors import int8_quantize, int_dot
+
+    # --- coarse (cell) quantizer: float-space argmin, inlined centroids
+    cent_rows = (
+        _with_norms(collection.filter(F.col(id_col) % cell_stride == 0), id_col, vec_col, None)
+        .select(F.col("id").alias("cid"), F.col("emb").alias("cemb"))
+        .orderBy("cid")
+        .collect()
+    )
+    e = collection.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("emb"),
+        int8_quantize(vec_col).alias("qv"),
+    ).withColumn("cell", cell_argmin_col(cent_rows, F.col("emb")))
+
+    # --- fine (code) quantizer: integer PQ encoding per subspace
+    cw_rows = (
+        collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
+        .filter(F.col("id") % code_stride == 0)
+        .orderBy("id")
+        .collect()
+    )
+    cods = []
+    for m in range(n_sub):
+        lo = m * sub_dim
+        cods.append(
+            [
+                (int(r["id"]), r["qv"][lo : lo + sub_dim],
+                 sum(c * c for c in r["qv"][lo : lo + sub_dim]))
+                for r in cw_rows
+            ]
+        )
+    for m in range(n_sub):
+        sub = F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
+        choices = [
+            F.struct(
+                (F.lit(cc) - F.lit(2) * int_dot(sub, F.array(*[F.lit(int(c)) for c in cv])))
+                .cast("long").alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+                F.lit(j).alias("j"),
+            )
+            for j, (cid, cv, cc) in enumerate(cods[m])
+        ]
+        e = e.withColumn(f"code{m}", F.array_min(F.array(*choices))["j"])
+    enc = e.drop("qv", "emb")
+
+    # --- per-query probe cells (driver-side, same (d, cid) sort as the
+    # oracle forms) + integer ADC LUTs
+    q_rows = (
+        _with_norms(queries, id_col, vec_col, None)
+        .select("id", "emb")
+        .join(
+            queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv")),
+            "id",
+        )
+        .orderBy("id")
+        .collect()
+    )
+    spark = collection.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        qe = r["emb"]
+        ds = []
+        for c in cent_rows:
+            acc = 0.0
+            for i, x in enumerate(c["cemb"]):
+                acc += qe[i] * x
+            cn2 = 0.0
+            for x in c["cemb"]:
+                cn2 += x * x
+            ds.append((cn2 - 2.0 * acc, int(c["cid"])))
+        probes = [cid for _, cid in sorted(ds)[:n_probe]]
+        luts = []
+        for m in range(n_sub):
+            lo = m * sub_dim
+            qsub = r["qv"][lo : lo + sub_dim]
+            luts.append([sum(int(a) * int(c) for a, c in zip(qsub, cv)) for _, cv, _ in cods[m]])
+        lut_rows.append((int(r["id"]), probes, *luts))
+    lut_schema = "query_id long, probes array<long>, " + ", ".join(
+        f"lut{m} array<long>" for m in range(n_sub)
+    )
+    lut = spark.createDataFrame(lut_rows, lut_schema)
+
+    score = None
+    for m in range(n_sub):
+        term = F.element_at(F.col(f"lut{m}"), F.col(f"code{m}").cast("int") + 1)
+        score = term if score is None else score + term
+    pairs = (
+        enc.join(
+            F.broadcast(lut),
+            (F.col("id") != F.col("query_id")) & F.array_contains(F.col("probes"), F.col("cell")),
+        )
+        .select("query_id", F.col("id").alias("neighbor_id"), F.col("cell"), score.alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def topk_recall(
     approx: DataFrame,
     exact: DataFrame,

@@ -538,3 +538,38 @@ def test_pq_topk_compression_and_recall(spark):
     r4, r50 = rec(125), rec(10)
     assert r50 > r4, (r4, r50)
     assert r50 >= 0.2, r50
+
+
+def test_ivfpq_composes_pruning_and_codes(spark):
+    """IVF-PQ: cell pruning must actually prune (every scored candidate sits
+    in one of the query's n_probe cells) while PQ codes still rank
+    same-cluster neighbors on top; and on the real table the candidate set
+    must shrink versus unpruned PQ with recall above the random floor."""
+    from pyspark.sql import functions as F
+    from signalk_parquet_spark.operators.similarity import ivfpq_topk, pq_topk
+    from signalk_parquet_spark.registry import load
+
+    rows = [(i, [0.9 - 0.001 * i] * 32 + [0.1] * 32) for i in range(6)] + [
+        (i, [-0.1] * 32 + [0.8 + 0.001 * i] * 32) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin(0, 6))
+    got = ivfpq_topk(emb, q, "vec_id", "embedding",
+                     cell_stride=6, code_stride=6, n_probe=1, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing ONE cell: only same-cluster neighbors are even candidates
+    assert by_q[0] == {1, 2, 3} and by_q[6] == {7, 8, 9}
+
+    sf = "/root/testdata/sf0.01"
+    e = load(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20)
+    pruned = ivfpq_topk(e, qs, "vec_id", "embedding",
+                        cell_stride=125, code_stride=10, n_probe=2, k=5)
+    full = pq_topk(e, qs, "vec_id", "embedding", stride=10, k=5)
+    # the pruned result never surfaces a candidate outside the probed cells,
+    # and overlaps substantially with unpruned PQ (same codebook)
+    both = pruned.select("query_id", "neighbor_id").intersect(
+        full.select("query_id", "neighbor_id")).count()
+    assert pruned.count() == 100 and both >= 40, both
