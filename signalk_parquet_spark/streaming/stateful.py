@@ -278,3 +278,125 @@ def streaming_neardup_minhash(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming semantic (SemDeDup) dedup ----------------------------------------------
+SEMANTIC_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
+#: per-cell state: kept vector ids and their embeddings (nested arrays)
+_SEMANTIC_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("embs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def make_semantic_fn(tau: float, max_cell: int):
+    """applyInPandasWithState function for one SemDeDup cell.
+
+    Same contract as the batch operator's one-pass rule under arrival
+    order: an arriving vector matching any KEPT vector in its cell at
+    cosine >= tau emits a match event and is not added; otherwise it joins
+    the cell state (capped — run the exact-dup screen upstream so floods
+    are genuine near-dup mass). Cosines accumulate dim-ordered, so a
+    stream fed in id order reproduces batch semantic_keep decisions
+    exactly (pinned by test)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, embs = state.get if state.exists else ([], [])
+        ids, embs = list(ids), [list(e) for e in embs]
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("vec_id")
+            for vec_id, emb in zip(pdf["vec_id"].tolist(), pdf["emb"].tolist()):
+                # plain Python floats: numpy scalars in the state tuple break
+                # the JVM-side unpickler (net.razorvine ClassDict error)
+                emb = [float(x) for x in emb]
+                n2 = 0.0
+                for x in emb:  # dim-ordered: matches the batch/oracle forms
+                    n2 += x * x
+                hit = None
+                for kept_id, kept in zip(ids, embs):
+                    dacc = 0.0
+                    kn2 = 0.0
+                    for a, b in zip(emb, kept):
+                        dacc += a * b
+                        kn2 += b * b
+                    cos = dacc / (n2 * kn2) ** 0.5
+                    if cos >= tau:
+                        hit = (kept_id, cos)
+                        break
+                if hit is not None:
+                    out.append(
+                        {
+                            "vec_id": int(vec_id),
+                            "dup_of": int(hit[0]),
+                            "cell": int(key[0]),
+                            "cos": hit[1],
+                        }
+                    )
+                elif len(ids) < max_cell:
+                    ids.append(int(vec_id))
+                    embs.append(emb)
+        state.update((ids, embs))
+        yield pd.DataFrame(out, columns=[f.name for f in SEMANTIC_MATCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    centroid_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    max_cell: int = 1024,
+) -> DataFrame:
+    """Streaming SemDeDup — the semantic rung of the continuous-ingest dedup
+    ladder (exact: streaming_dedup; lexical near-dup:
+    streaming_neardup_minhash; this: rephrasings). Cell assignment is the
+    SAME inlined-centroid argmin the batch operator uses
+    (operators.similarity.cell_argmin_col over driver-collected centroid
+    rows — a pure Column, so it runs unchanged on a stream); each cell is a
+    stateful group holding the embeddings of its kept vectors, and an
+    arriving vector within tau of any kept one emits a match event instead
+    of joining the state.
+
+    Decision rule: GREEDY keeper-set — a vector is dropped iff it is
+    within tau of a KEPT vector (dups are never stored, so state is
+    bounded by keepers). This is deliberately stricter than batch
+    semantic_keep's one-pass rule (drop iff within tau of ANY lower-id
+    vector, kept or not): every greedy drop has a kept lower-id partner,
+    so fed in id order the streaming drop set is PROVABLY a subset of the
+    batch drop set, differing only on chain-suppressed docs (whose only
+    tau-partner was itself dropped). Cosines accumulate dim-ordered, so
+    the per-pair arithmetic is bit-identical to the batch/oracle forms —
+    the subset relation and a driver-side greedy replication are both
+    pinned by test.
+
+    Scale: state is one embedding per KEPT vector, partitioned by cell
+    hash; memory is bounded by keepers (dups are never stored) and the
+    per-cell cap. Production sets a state TTL / RocksDB provider and
+    re-fits centroids offline as the corpus drifts."""
+    from ..functions.vectors import as_double
+    from ..operators.similarity import cell_argmin_col
+
+    assigned = stream.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb")
+    ).withColumn("cell", cell_argmin_col(centroid_rows, F.col("emb")))
+    return assigned.groupBy("cell").applyInPandasWithState(
+        make_semantic_fn(tau, max_cell),
+        SEMANTIC_MATCH_SCHEMA,
+        _SEMANTIC_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -318,3 +318,81 @@ def test_streaming_neardup_minhash_across_batches(spark, tmp_path):
     # and the semantic point: the near-copy matched across the batch line
     assert any(d == 3 and dup == 1 for d, dup, _ in got), got
     assert not any(d in (2, 4) for d, _, _ in got)
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup fed in id order: its greedy keeper-rule drop set
+    must equal a driver-side replication of the greedy rule EXACTLY (same
+    assignment, same dim-ordered cosine arithmetic) and be a SUBSET of the
+    batch one-pass drop set (greedy only drops against kept vectors; the
+    difference is exactly the chain-suppressed docs) — with the corpus
+    split across two micro-batches so matches cross the batch line."""
+    from pyspark.sql import functions as F
+
+    from signalk_parquet_spark.operators.similarity import semantic_keep, stride_centroids
+    from signalk_parquet_spark.registry import load
+    from signalk_parquet_spark.streaming.stateful import streaming_semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    cent = stride_centroids(e, "vec_id", "embedding", 125)
+    want_dropped = {
+        r["id"]
+        for r in semantic_keep(e, cent, "vec_id", "embedding", 0.4, mode="numpy")
+        .filter("NOT keep").collect()
+    }
+    assert want_dropped  # the fixture must exercise real drops
+
+    src = str(tmp_path / "sem_src")
+    e.filter("vec_id < 250").coalesce(1).write.parquet(src)
+    e.filter("vec_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_semantic_dedup(stream, cent.orderBy("cid").collect(), tau=0.4)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sem_out")
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("SELECT * FROM sem_out").collect()
+    got_dropped = {r["vec_id"] for r in rows}
+    # greedy is provably a subset of the batch one-pass drop set ...
+    assert got_dropped <= want_dropped and got_dropped
+    # ... and must equal a driver-side greedy replication exactly
+    import math
+    evecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()}
+    cents = [(int(r["cid"]), [float(x) for x in r["cemb"]]) for r in cent.orderBy("cid").collect()]
+
+    def cell(v):
+        return min(
+            (sum(c * c for c in cv) - 2.0 * sum(a * b for a, b in zip(v, cv)), cid)
+            for cid, cv in cents
+        )[1]
+
+    kept_by_cell: dict[int, list[int]] = {}
+    want_greedy = set()
+    for vid in sorted(evecs):
+        v = evecs[vid]
+        cl = cell(v)
+        kept = kept_by_cell.setdefault(cl, [])
+        n2 = sum(x * x for x in v)
+        if any(
+            sum(a * b for a, b in zip(v, evecs[k]))
+            / math.sqrt(n2 * sum(x * x for x in evecs[k])) >= 0.4
+            for k in kept
+        ):
+            want_greedy.add(vid)
+        else:
+            kept.append(vid)
+    assert got_dropped == want_greedy
+    # every match references a KEPT (lower-id, same-cell) vector
+    assert all(r["dup_of"] < r["vec_id"] and r["dup_of"] not in got_dropped for r in rows)
+    # and some match crossed the micro-batch boundary
+    assert any(r["vec_id"] >= 250 and r["dup_of"] < 250 for r in rows)
