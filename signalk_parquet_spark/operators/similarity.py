@@ -427,6 +427,7 @@ def pq_topk(
     n_sub: int = 4,
     sub_dim: int = 16,
     k: int = 5,
+    mode: str = "expr",
 ) -> DataFrame:
     """Product-Quantization top-k over int8-quantized embeddings — the
     16x-compression rung of the ANN ladder (exact → LSH → IVF → int8 SQ →
@@ -454,8 +455,26 @@ def pq_topk(
     scores map-only against the broadcast LUT frame, so the only shuffle
     is the top-k window. At 100 TB the encoded table (n_sub bytes/vector
     + id) is what a deployment persists — 16x smaller than the int8 cache,
-    64x smaller than float64."""
+    64x smaller than float64.
+
+    mode= picks the encode/score strategy (the ivf_topk assign= pattern):
+      "expr"  — pure Column expressions; the encode argmin inlines every
+                codeword as a literal struct, so codegen cost grows with
+                K (measured ~5.5 s at 60k x 480 on local[32]).
+      "numpy" — ONE Arrow-batched map stage quantizes, encodes, and
+                ADC-scores each batch against the broadcast codebook+LUTs
+                (the _fused_ivf_topk shape). Because EVERY value is an
+                integer (int64 matmuls cannot overflow at 127^2 x 16) the
+                fused path is exactly equal to the expr path — no float
+                discipline needed, unlike the IVF fusion; argmin ties
+                resolve to the lowest codeword id on both (first
+                occurrence == lowest cid, codewords id-ordered)."""
     from ..functions.vectors import int8_quantize, int_dot
+
+    if mode == "numpy":
+        return _fused_pq_topk(
+            collection, queries, id_col, vec_col, stride, n_sub, sub_dim, k
+        )
 
     e = collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
     # codebook: stride-selected vectors' subvectors, ascending id == ascending
@@ -510,6 +529,88 @@ def pq_topk(
         score = term if score is None else score + term
     pairs = enc.join(F.broadcast(lut), F.col("id") != F.col("query_id")).select(
         "query_id", F.col("id").alias("neighbor_id"), score.alias("pq_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _fused_pq_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+) -> DataFrame:
+    """PQ encode + ADC score as ONE Arrow-batched map stage + one top-k
+    shuffle. The expr path's per-row cost is n_sub x K inlined 16-dim
+    integer dots (codegen literal structs); here each batch runs n_sub
+    (n x sub_dim) @ (sub_dim x K) int64 matmuls instead. Integer matmul
+    has no summation-order hazard (exact at any order), so this is
+    bit-identical to the expr/oracle form by construction — the one fused
+    path in the ann family that needs NO float discipline notes."""
+    import numpy as np
+
+    from ..functions.vectors import int8_quantize
+
+    e = collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
+    cw_rows = e.filter(F.col("id") % stride == 0).orderBy("id").collect()
+    # (n_sub, K, sub_dim) codeword matrix + (n_sub, K) |c|^2, id-ordered so
+    # np.argmin's first-occurrence tie == the expr path's lowest-cid tie
+    cmat = np.array([r["qv"] for r in cw_rows], dtype=np.int64)  # (K, dim)
+    csub = np.stack(
+        [cmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)]
+    )  # (n_sub, K, sub_dim)
+    cc = np.einsum("mkd,mkd->mk", csub, csub)  # (n_sub, K) exact int64
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
+        .orderBy("id").collect()
+    )
+    qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # (Q, dim)
+    qsub = np.stack(
+        [qmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)]
+    )  # (n_sub, Q, sub_dim)
+    lut = np.einsum("mqd,mkd->mqk", qsub, csub)  # (n_sub, Q, K) ADC tables
+
+    spark = collection.sparkSession
+    bc = spark.sparkContext.broadcast((csub, cc, lut, qids))
+    schema = "query_id long, neighbor_id long, pq_score long"
+
+    def batches(it):
+        import pandas as pd
+
+        b_csub, b_cc, b_lut, b_qids = bc.value
+        nsub, _, sdim = b_csub.shape
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            # int8_quantize verbatim: floor(clamp(x,-1,1)*127 + 0.5) — the
+            # same IEEE doubles, so quantized values equal the Spark HOF's
+            q = np.floor(np.clip(x, -1.0, 1.0) * 127.0 + 0.5).astype(np.int64)
+            score = np.zeros((len(b_qids), len(ids)), dtype=np.int64)  # (Q, n)
+            for m in range(nsub):
+                sub = q[:, m * sdim : (m + 1) * sdim]  # (n, sdim)
+                d = b_cc[m][None, :] - 2 * (sub @ b_csub[m].T)  # (n, K)
+                codes = d.argmin(axis=1)  # ties -> lowest index == lowest cid
+                score += b_lut[m][:, codes]  # (Q, n)
+            qi, ni = np.nonzero(b_qids[:, None] != ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": ids[ni],
+                    "pq_score": score[qi, ni],
+                }
+            )
+
+    pairs = (
+        collection.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .mapInPandas(batches, schema=schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

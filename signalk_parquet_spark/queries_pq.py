@@ -79,4 +79,7 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "embeddings")
     q = e.filter(e["vec_id"] < _NQ)
-    return pq_topk(e, q, "vec_id", "embedding", _STRIDE, n_sub=_NSUB, k=_TOPK)
+    # mode="numpy": fused encode+score (one Arrow map stage); integer-exact
+    # equal to the expr path (test_pq_modes_agree), ~4x faster at sf0.1
+    return pq_topk(e, q, "vec_id", "embedding", _STRIDE, n_sub=_NSUB, k=_TOPK,
+                   mode="numpy")

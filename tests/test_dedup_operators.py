@@ -540,6 +540,24 @@ def test_pq_topk_compression_and_recall(spark):
     assert r50 >= 0.2, r50
 
 
+def test_pq_modes_agree(spark):
+    """The fused numpy PQ path must equal the expr path EXACTLY — every
+    value in the pipeline is an integer, so there is no tolerance: same
+    codes, same ADC scores, same tie-broken ranks, on real embeddings."""
+    from pyspark.sql import functions as F
+    from signalk_parquet_spark.operators.similarity import pq_topk
+    from signalk_parquet_spark.registry import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    expr = {tuple(r) for r in
+            pq_topk(e, q, "vec_id", "embedding", stride=50, k=5).collect()}
+    fused = {tuple(r) for r in
+             pq_topk(e, q, "vec_id", "embedding", stride=50, k=5,
+                     mode="numpy").collect()}
+    assert expr == fused and len(expr) == 50
+
+
 def test_ivfpq_composes_pruning_and_codes(spark):
     """IVF-PQ: cell pruning must actually prune (every scored candidate sits
     in one of the query's n_probe cells) while PQ codes still rank
