@@ -1,0 +1,286 @@
+"""Model-based curation gates (BASELINE extension set): corpus-LM fluency
+scoring, training-mix divergence diagnostics, a hashing-trick linear quality
+classifier, and feature-hashed bag-of-words embeddings — the "model-based
+filtering" stages of an LLM data pipeline (CCNet / DataComp style),
+re-expressed so every score is integer-derived and the DuckDB oracle
+hash-matches with zero rounding.
+
+Registered post-window (queries_pq precedent): this round's driver 50-slot
+window is committed to the semantically-changed r4 gates, so correctness
+evidence for these is the local parity suite (sf0.01 + sf0.001) until the
+next round's window rotates onto them.
+
+Reference parity note: the reference engine has no text/LM surface — these
+are the BASELINE-mandated large-scale-training-pipeline extensions (same
+charter as queries_text/queries_curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import tokens, shingles
+from .registry import load, register
+
+#: DuckDB twin of the whitespace tokenizer
+_TOKS_DD = "string_split(text, ' ')"
+#: DuckDB positional word-2-gram list (order/multiplicity preserved)
+_BIGRAMS_DD = (
+    f"list_transform(range(1, len({_TOKS_DD})), "
+    f"i -> array_to_string(({_TOKS_DD})[i:i+1], ' '))"
+)
+
+
+# --- corpus-LM fluency scoring ------------------------------------------------
+@register(
+    "lm_bigram_score",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, unnest({_BIGRAMS_DD}) AS g
+      FROM documents
+    ), db AS (
+      SELECT doc_id, g, count(*) AS k FROM bg GROUP BY 1, 2
+    ), c AS (
+      SELECT g, CAST(sum(k) AS BIGINT) AS cnt FROM db GROUP BY 1
+    )
+    SELECT db.doc_id,
+           CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+           CAST(sum(db.k * c.cnt) AS BIGINT) AS freq_sum,
+           CAST(CAST(sum(db.k * c.cnt) AS BIGINT) AS DOUBLE)
+             / CAST(sum(db.k) AS BIGINT) AS lm_score
+    FROM db JOIN c USING (g)
+    GROUP BY 1
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM fluency proxy (the CCNet idea with the corpus itself as the
+    LM): score every document by the mean corpus-wide frequency of its
+    bigrams — rote/boilerplate text scores high, vocabulary-salad scores
+    low. The LM "lookup" is an equi-join of per-doc bigram counts against
+    the corpus bigram count table; pre-aggregating to (doc, bigram, k)
+    before the join shrinks the probe side from occurrences to distinct
+    bigrams per doc AND caps the frequent-bigram skew (a stopword bigram
+    contributes one join row per document, not one per occurrence — at
+    100 TB the residual skew is AQE skew-join territory, and the count
+    table joins as a plain long-keyed SMJ, never broadcast).
+
+    Spark keys on ``xxhash64`` of the bigram (codegen'd long key); the
+    oracle groups the raw strings — the collision-free ground truth, so the
+    gate also proves the hash key introduced no collisions at test scale
+    (the decontaminate_ngram discipline). The corpus count rides a WINDOW
+    sum over the bigram key instead of a count-table self-join: one
+    exchange on g serves both the per-doc pre-agg reuse and the corpus
+    total, and the frame is computed once (the join form re-derives the
+    pre-agg for each branch). Scores are exact: one IEEE division of two
+    integer-valued operands as the final step."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(shingles(tokens("text"), 2)).alias("gs"),
+    ).select("doc_id", F.xxhash64("gs").alias("g"))
+    db = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k"))
+    withc = db.withColumn("cnt", F.sum("k").over(Window.partitionBy("g")))
+    return (
+        withc.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("cnt")).alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "freq_sum",
+            (F.col("freq_sum").cast("double") / F.col("n_bigrams")).alias(
+                "lm_score"
+            ),
+        )
+    )
+
+
+# --- training-mix divergence --------------------------------------------------
+@register(
+    "source_divergence",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_DD}) AS t FROM documents
+    ), st AS (
+      SELECT source, t, count(*) AS cs FROM tok GROUP BY 1, 2
+    ), c AS (
+      SELECT t, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY 1
+    ), ns AS (
+      SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM st GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM c
+    ), per AS (
+      SELECT st.source,
+             CAST(sum(abs(st.cs * tot.n_tot - c.c * ns.ns)) AS BIGINT)
+               AS present_num,
+             CAST(sum(c.c) AS BIGINT) AS s_present,
+             max(ns.ns) AS n_src, max(tot.n_tot) AS n_tot
+      FROM st JOIN c USING (t) JOIN ns USING (source) CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT source,
+           n_src AS n_src_tokens,
+           present_num + n_src * (n_tot - s_present) AS l1_num,
+           CAST(present_num + n_src * (n_tot - s_present) AS DOUBLE)
+             / (n_src * n_tot) AS l1
+    FROM per
+    """,
+)
+def source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution L1 divergence from the whole corpus —
+    the training-mix diagnostic (which source's unigram distribution is
+    drifting from the blend you think you're training on). Exact despite
+    being a distance between RATIOS: sum over words of
+    |cs/Ns - c/N| = (sum |cs*N - c*Ns|) / (Ns*N), so the numerator stays
+    an integer; words absent from a source contribute c*Ns each, folded in
+    closed form as Ns*(N - sum of present words' corpus counts) — no full
+    outer join needed. The one final division's operands stay under 2^53
+    at every test SF (documented bound, not an at-scale claim; at 100 TB
+    you'd ship the integer numerator/denominator columns).
+
+    Shape: two hash aggregations over the exploded tokens, then a
+    token-keyed join of the (source, token) counts against the vocab-sized
+    corpus count table; the per-source totals and the one-row corpus total
+    ride broadcast joins. Nothing here scales with document count except
+    the first aggregation."""
+    d = load(spark, sf, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cs"))
+    st = st.persist()
+    corpus = st.groupBy("t").agg(F.sum("cs").alias("c"))
+    ns = st.groupBy("source").agg(F.sum("cs").alias("ns"))
+    tot = corpus.agg(F.sum("c").alias("n_tot"))
+    per = (
+        st.join(corpus, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("cs") * F.col("n_tot") - F.col("c") * F.col("ns"))
+            ).alias("present_num"),
+            F.sum("c").alias("s_present"),
+            F.max("ns").alias("n_src"),
+            F.max("n_tot").alias("n_tot"),
+        )
+    )
+    l1_num = F.col("present_num") + F.col("n_src") * (
+        F.col("n_tot") - F.col("s_present")
+    )
+    return per.select(
+        "source",
+        F.col("n_src").alias("n_src_tokens"),
+        l1_num.alias("l1_num"),
+        (l1_num.cast("double") / (F.col("n_src") * F.col("n_tot"))).alias("l1"),
+    )
+
+
+# --- hashing-trick linear quality classifier ----------------------------------
+_W_DD = "CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT) - 32768"
+
+
+def _tok_weight(t: Column) -> Column:
+    """Deterministic per-token weight in [-32768, 32767] from the md5
+    prefix — the engine-portable stand-in for a learned fastText/logreg
+    weight vector over hashed features (the hashing trick: weights are
+    LOOKED UP by token hash, never stored per vocabulary entry). A real
+    deployment broadcasts the trained weight array and indexes it with the
+    same hash; the Spark plan (map-only, zero shuffle) is identical."""
+    return F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") - 32768
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_DD} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> {_W_DD})) AS BIGINT)
+               AS w_sum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, w_sum,
+           CAST(w_sum AS DOUBLE) / n_tokens AS clf_score,
+           CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS keep
+    FROM w
+    """,
+)
+def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering (DataComp / fineweb-edu stage): a
+    linear classifier over hashed token features scores every document
+    map-only — transform tokens to weights, aggregate to a long, one
+    division; ZERO shuffle, so at 100 TB this runs at scan speed alongside
+    any other per-doc screen. The keep flag thresholds the raw integer sum
+    (sign of mean == sign of sum), so the decision itself never touches a
+    float. HOF discipline per CLAUDE.md rule 7: single-param lambdas, no
+    outer expressions in lambda bodies."""
+    d = load(spark, sf, "documents")
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(toks, _tok_weight),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        wsum.alias("w_sum"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "w_sum",
+        (F.col("w_sum").cast("double") / F.col("n_tokens")).alias("clf_score"),
+        F.when(F.col("w_sum") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+# --- feature-hashed bag-of-words embedding ------------------------------------
+_N_BUCKETS = 16
+
+
+@register(
+    "doc_embed_hashed",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_TOKS_DD},
+                            x -> ({_W_DD} + 32768) % {_N_BUCKETS}) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_transform(range(0, {_N_BUCKETS}),
+                          b -> len(list_filter(hs, h -> h = b))) AS bow
+    FROM t
+    """,
+)
+def doc_embed_hashed(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashed bag-of-words embedding — the feature-extraction stage
+    that feeds the similarity/semantic-dedup family when no neural encoder
+    is in the loop: each token hashes to one of {n} buckets and the doc's
+    vector is the bucket-count histogram (integer array, exact oracle).
+    Map-only: hash codes are projected ONCE as a real column, then each
+    bucket count filters that projected array (never re-hashing inside a
+    lambda body — the rule-7 outer-expression trap). Zero shuffle; at
+    100 TB this is scan-speed feature extraction whose output feeds
+    knn/ann/semantic_keep unchanged."""
+    d = load(spark, sf, "documents")
+    hs = F.transform(
+        tokens("text"), lambda t: (_tok_weight(t) + 32768) % _N_BUCKETS
+    )
+    step = d.select("doc_id", hs.alias("hs"))
+
+    def _bucket_count(b: int) -> Column:
+        return F.size(F.filter(F.col("hs"), lambda h: h == b)).cast("long")
+
+    return step.select(
+        "doc_id",
+        F.array(*[_bucket_count(b) for b in range(_N_BUCKETS)]).alias("bow"),
+    )

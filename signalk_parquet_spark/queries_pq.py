@@ -30,7 +30,7 @@ _QV_DD = (
 _SUBDOT = "CAST(list_sum(list_transform(range(1,17), i -> {a}[i]*{b}[i])) AS BIGINT)"
 
 
-def _dd_pq_sql() -> str:
+def _dd_pq_sql(stride: int = _STRIDE) -> str:
     d_expr = f"c.cc - 2 * {_SUBDOT.format(a='s.sv', b='c.cv')}"
     return f"""
     WITH e AS (
@@ -42,7 +42,7 @@ def _dd_pq_sql() -> str:
     ), cw AS (
       SELECT vec_id AS cid, m, sv AS cv,
              {_SUBDOT.format(a="sv", b="sv")} AS cc
-      FROM sub WHERE vec_id % {_STRIDE} = 0
+      FROM sub WHERE vec_id % {stride} = 0
     ), enc AS (
       SELECT vec_id, m, cid FROM (
         SELECT s.vec_id, s.m, c.cid,
@@ -83,3 +83,65 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     # equal to the expr path (test_pq_modes_agree), ~4x faster at sf0.1
     return pq_topk(e, q, "vec_id", "embedding", _STRIDE, n_sub=_NSUB, k=_TOPK,
                    mode="numpy")
+
+
+#: recall-gate codebook: stride 10 -> 50 codewords at the 500-vector gate
+#: SFs — the SCALE.md ladder's K=50 configuration, NOT ann_pq's stride-125
+#: quantizer contract (5 codewords there: that gate proves the pipeline
+#: differentially; this one scores the deployable codebook size)
+_RECALL_STRIDE = 10
+
+
+def _dd_pq_recall_sql() -> str:
+    from .queries_similarity import _DD_COS
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), xq AS (SELECT vec_id AS query_id, emb AS ea FROM e WHERE vec_id < {_NQ}),
+    xr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_DD_COS.replace("eb", "e.emb")}, 4) DESC, e.vec_id
+               ) AS rank
+        FROM xq q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {_TOPK}
+    ),
+    ar AS (
+      SELECT query_id, neighbor_id FROM ({_dd_pq_sql(_RECALL_STRIDE)})
+    )
+    SELECT xr.query_id,
+           count(*) AS n_exact,
+           count(ar.neighbor_id) AS n_hit,
+           CAST(count(ar.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM xr LEFT JOIN ar
+      ON ar.query_id = xr.query_id AND ar.neighbor_id = xr.neighbor_id
+    GROUP BY xr.query_id
+    """
+
+
+@register("pq_recall", _dd_pq_recall_sql())
+def pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@{k} of the PQ/ADC rung against the float-exact top-k — the
+    last missing rung in the gate-level honest-evaluation set (ann_recall:
+    LSH, ivf_recall: IVF, semdedup_recall: cell blocking,
+    minhash_estimate_error: sketch). This is the number a deployment
+    watches while sizing the codebook (SCALE.md ladder: 0.04 at K=4 ->
+    0.28 at K=50 codewords on the near-uniform synthetic floor); gating it
+    keeps the ladder's K=50 figure continuously verified rather than a
+    one-off measurement — hence _RECALL_STRIDE, not ann_pq's stride-125
+    quantizer contract (that gate proves the pipeline differentially at
+    the shared-contract config; recall there would score a 5-codeword toy
+    codebook). The exact side re-reads the session-memoized knn_bruteforce
+    frame; the evaluation join is n_queries x k rows — never scales with
+    the corpus."""
+    from .operators.similarity import pq_topk, topk_recall
+    from .queries_similarity import knn_bruteforce
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(e["vec_id"] < _NQ)
+    approx = pq_topk(e, q, "vec_id", "embedding", _RECALL_STRIDE,
+                     n_sub=_NSUB, k=_TOPK, mode="numpy")
+    return topk_recall(approx, knn_bruteforce(spark, sf))

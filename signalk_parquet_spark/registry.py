@@ -183,6 +183,7 @@ def _import_all() -> None:
         "queries_curation",
         "queries_text",
         "queries_pq",  # post-window by design (see queries_pq docstring)
+        "queries_lm",  # post-window by design (see queries_lm docstring)
     ):
         try:
             __import__(f"{__package__}.{mod}")
