@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """End-to-end LLM training-data curation demo over the synthetic corpus:
 
-  quality scoring -> repetition filter -> exact + MinHash-LSH dedup ->
+  quality scoring -> repetition filter -> classifier + corpus-LM screens ->
+  exact + MinHash-LSH dedup ->
   copied-span screening -> semantic (SemDeDup) dedup ->
   deterministic train/val/test split ->
   eval decontamination -> embedding-space diversity balancing ->
@@ -35,14 +36,27 @@ def main() -> None:
     docs = registry.load(spark, sf, "documents")
     n0 = docs.count()
 
-    # 1. quality + repetition filters (Gopher-style)
+    # 1. quality + repetition filters (Gopher-style), plus the two
+    # MODEL-BASED screens: the hashing-trick linear classifier
+    # (DataComp-style; map-only, rides the same scan) and the corpus-LM
+    # bigram fluency floor (CCNet-style — drops vocabulary salad whose
+    # bigrams the corpus has never seen twice)
     q = registry.queries()
     quality = q["text_quality"](spark, sf).select("doc_id", "quality_score")
     rep = q["repetition_score"](spark, sf).select("doc_id", "repetitive")
+    clf = q["quality_classifier"](spark, sf).select("doc_id", "keep")
+    lm = q["lm_bigram_score"](spark, sf).select("doc_id", "lm_score")
     kept = (
         docs.join(quality, "doc_id")
         .join(rep, "doc_id")
-        .filter((F.col("quality_score") > 0.2) & ~F.col("repetitive"))
+        .join(clf, "doc_id")
+        .join(lm, "doc_id")
+        .filter(
+            (F.col("quality_score") > 0.2)
+            & ~F.col("repetitive")
+            & (F.col("keep") == 1)
+            & (F.col("lm_score") > 2.0)
+        )
     )
     n1 = kept.count()
 
@@ -128,7 +142,7 @@ def main() -> None:
     n7 = packed.count()
 
     print(f"documents: {n0}")
-    print(f"after quality+repetition filters: {n1}")
+    print(f"after quality+repetition+classifier+LM screens: {n1}")
     print(f"after exact+near dedup: {n2}")
     print(f"after copied-span screen: {n2b}")
     print(f"after semantic dedup: {n2c}")
