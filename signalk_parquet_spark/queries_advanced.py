@@ -287,57 +287,9 @@ def daily_activity(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
 
 
-# --- regex extraction over text --------------------------------------------------------
-@register(
-    "regex_extract_tokens",
-    """
-    SELECT source, count(*) AS n_docs,
-           CAST(sum(length(regexp_extract(text, '[a-z]+'))) AS BIGINT) AS first_token_chars,
-           count(*) FILTER (text LIKE '%customer%') AS mentions_customer
-    FROM documents GROUP BY 1
-    """,
-)
-def regex_extract_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """SURVEY §2.7 string/regex functions: regexp_extract + LIKE."""
-    d = load(spark, sf, "documents")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length(F.regexp_extract("text", "[a-z]+", 0))).alias("first_token_chars"),
-        F.count(F.when(F.col("text").like("%customer%"), 1)).alias("mentions_customer"),
-    )
-
-
-# --- unpivot (melt): wide aligned series back to long --------------------------------
-@register(
-    "unpivot_aligned",
-    f"""
-    WITH wide AS (
-      SELECT {dd_bucket(H)} AS bucket_ts,
-             round(avg(value) FILTER (event_type = 'click'), 6) AS click,
-             round(avg(value) FILTER (event_type = 'error'), 6) AS error,
-             round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase
-      FROM events GROUP BY 1
-    )
-    SELECT bucket_ts, series, v FROM wide
-    UNPIVOT (v FOR series IN (click, error, purchase))
-    """,
-)
-def unpivot_aligned(spark: SparkSession, sf: str) -> DataFrame:
-    """Unpivot/melt (wide -> long), the inverse of the J2 alignment pivot —
-    Spark's stack() in selectExpr. DuckDB UNPIVOT drops NULL cells; stack
-    mirrors that with an explicit filter."""
-    e = load(spark, sf, "events")
-    wide = e.groupBy(bucket_iso("ts", H).alias("bucket_ts")).agg(
-        *[
-            F.round(F.avg(F.when(F.col("event_type") == t, F.col("value"))), 6).alias(t)
-            for t in ("click", "error", "purchase")
-        ]
-    )
-    long = wide.selectExpr(
-        "bucket_ts",
-        "stack(3, 'click', click, 'error', error, 'purchase', purchase) AS (series, v)",
-    )
-    return long.filter(F.col("v").isNotNull())
+# regex_extract_tokens and unpivot_aligned moved to queries_text.py (post-window):
+# both are r03-driver-green and unedited in r4, so they ceded their window
+# slots to the never-checked queries_pq / queries_lm gates (VERDICT r03 #4).
 
 
 # --- ranking functions beyond ROW_NUMBER (rank / dense_rank / ntile) ------------------

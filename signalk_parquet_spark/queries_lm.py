@@ -5,10 +5,9 @@ filtering" stages of an LLM data pipeline (CCNet / DataComp style),
 re-expressed so every score is integer-derived and the DuckDB oracle
 hash-matches with zero rounding.
 
-Registered post-window (queries_pq precedent): this round's driver 50-slot
-window is committed to the semantically-changed r4 gates, so correctness
-evidence for these is the local parity suite (sf0.01 + sf0.001) until the
-next round's window rotates onto them.
+In-window as of the r4 final ordering (two r03-green queries ceded their
+slots), so these gates get driver rows on top of the local parity suite
+(sf0.01 + sf0.001).
 
 Reference parity note: the reference engine has no text/LM surface — these
 are the BASELINE-mandated large-scale-training-pipeline extensions (same

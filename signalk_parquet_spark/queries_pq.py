@@ -1,10 +1,9 @@
 """Product-Quantization ANN gate (BASELINE extension set) — the
 16x-compression rung of the ANN ladder, over the `embeddings` table.
 
-Registered LAST in registry._import_all: the driver's 50-slot window is
-fully committed to this round's semantically-changed gates (CLAUDE.md), so
-this gate's correctness evidence is the local parity suite (sf0.01 +
-sf0.001) and the operator tests, like the other post-window additions.
+In-window as of the r4 final ordering (two r03-green queries ceded their
+slots), so both gates get driver rows on top of the local parity suite
+(sf0.01 + sf0.001) and the operator tests.
 
 Everything in the pipeline is integer arithmetic (ann_scalar_quant's
 discipline extended to the compressed rung): int8 quantization, encoding

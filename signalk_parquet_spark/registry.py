@@ -170,11 +170,19 @@ def _import_all() -> None:
     # rounds' windows covers every registered query. After ADDING a query,
     # re-check `list(queries())[:50]` contains everything still needing a
     # driver row.
+    # r4 final order: the 50-slot window = dedup(15) + similarity(8) +
+    # advanced(11) + pipeline(9) + pq(2) + lm(4) + tpch_q11 (registered
+    # first in queries_tpch2 — its r03 row was a 0-vs-0 pass, now asserts
+    # real rows). That covers every never-driver-checked query plus both
+    # r03-red/edited rows; regex_extract_tokens and unpivot_aligned
+    # (r03-green, unedited) moved post-window to queries_text to make room.
     for mod in (
         "queries_dedup",
         "queries_similarity",
         "queries_advanced",
         "queries_pipeline",
+        "queries_pq",
+        "queries_lm",
         "queries_tpch2",
         "queries_bucketed",
         "queries_spatial",
@@ -182,8 +190,6 @@ def _import_all() -> None:
         "queries_tpch",
         "queries_curation",
         "queries_text",
-        "queries_pq",  # post-window by design (see queries_pq docstring)
-        "queries_lm",  # post-window by design (see queries_lm docstring)
     ):
         try:
             __import__(f"{__package__}.{mod}")
