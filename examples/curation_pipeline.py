@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """End-to-end LLM training-data curation demo over the synthetic corpus:
 
-  quality scoring -> repetition filter -> classifier + corpus-LM screens ->
+  PII scrub -> quality scoring -> repetition filter ->
+  classifier + corpus-LM screens ->
   exact + MinHash-LSH dedup ->
   copied-span screening -> semantic (SemDeDup) dedup ->
   deterministic train/val/test split ->
@@ -25,6 +26,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.operators.dedup import dedup_corpus, exact_dedup
 from signalk_parquet_spark.operators.sampling import pack_token_stream, stratified_sample
+from signalk_parquet_spark.operators.scrub import PII_PATTERNS, scrub_report
 from signalk_parquet_spark.operators.similarity import semantic_keep, stride_centroids
 from signalk_parquet_spark.operators.spans import substring_span_stats
 from signalk_parquet_spark.session import get_spark
@@ -35,6 +37,19 @@ def main() -> None:
     spark = get_spark("curation-pipeline")
     docs = registry.load(spark, sf, "documents")
     n0 = docs.count()
+
+    # 0. PII scrub (operators/scrub.py): redact emails/IPs/phones/SSNs
+    # in-place and drop documents that are mostly PII (scrapes). Map-only —
+    # rides the first scan for free. The synthetic corpus correctly yields
+    # zero hits; the stage runs for real either way (test_scrub.py proves
+    # the patterns fire on PII-bearing text).
+    scrubbed = scrub_report(docs, "text")
+    n_pii_hits = scrubbed.agg(
+        F.sum(sum(F.col(f"hits_{n}") for n in PII_PATTERNS)).alias("h")
+    ).collect()[0]["h"]
+    docs = scrubbed.filter(
+        F.col("chars_removed") * 2 <= F.length("text")
+    ).select(*docs.columns[:1], F.col("scrubbed").alias("text"), *docs.columns[2:])
 
     # 1. quality + repetition filters (Gopher-style), plus the two
     # MODEL-BASED screens: the hashing-trick linear classifier
@@ -142,6 +157,7 @@ def main() -> None:
     n7 = packed.count()
 
     print(f"documents: {n0}")
+    print(f"PII redactions applied: {n_pii_hits}")
     print(f"after quality+repetition+classifier+LM screens: {n1}")
     print(f"after exact+near dedup: {n2}")
     print(f"after copied-span screen: {n2b}")

@@ -302,6 +302,57 @@ def unpivot_aligned(spark: SparkSession, sf: str) -> DataFrame:
     return long.filter(F.col("v").isNotNull())
 
 
+# --- PII / policy scrubbing (operators/scrub.py) --------------------------------------
+def _dd_scrub_sql() -> str:
+    from .operators.scrub import PII_PATTERNS, _POLICY_GATE_PATTERNS
+
+    pats = {**PII_PATTERNS, **_POLICY_GATE_PATTERNS}
+    chain = "text"
+    for pat in pats.values():
+        chain = f"regexp_replace({chain}, '{pat}', '', 'g')"
+    hits = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in pats.values()
+    )
+    pii_hits = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    return f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({pii_hits}) AS BIGINT) AS pii_hits,
+           CAST(sum({hits}) AS BIGINT) AS total_hits,
+           count(*) FILTER ({hits} > 0) AS docs_hit,
+           CAST(sum(length(text) - length({chain})) AS BIGINT) AS chars_removed
+    FROM documents GROUP BY source
+    """
+
+
+@register("pii_scrub", _dd_scrub_sql())
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Safety-filtering stage (operators/scrub.py): per-source redaction
+    stats for the full PII pattern set PLUS a policy-lexicon pattern. On
+    this synthetic word corpus the PII patterns correctly find zero hits
+    (pii_hits is an honest always-0 column; tests/test_scrub.py proves the
+    patterns fire on real PII differentially vs DuckDB) while the policy
+    pattern redacts for real — every source scores non-zero docs_hit and
+    chars_removed, so the gate asserts live regexp_replace/extract_all
+    parity between Java regex and RE2, not a 0-vs-0 pass. Map-only: one
+    projection, one partial-aggregated groupBy on a low-cardinality key."""
+    from .operators.scrub import PII_PATTERNS, _POLICY_GATE_PATTERNS, scrub_report
+
+    pats = {**PII_PATTERNS, **_POLICY_GATE_PATTERNS}
+    d = scrub_report(load(spark, sf, "documents"), "text", pats)
+    hit_cols = [F.col(f"hits_{n}") for n in pats]
+    pii_cols = [F.col(f"hits_{n}") for n in PII_PATTERNS]
+    total = sum(hit_cols[1:], hit_cols[0])
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sum(pii_cols[1:], pii_cols[0])).alias("pii_hits"),
+        F.sum(total).alias("total_hits"),
+        F.count(F.when(total > 0, 1)).alias("docs_hit"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
 # --- approximate aggregates (genuinely engine-specific: rows-only check) --------------
 def _approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL) and approx percentiles — sketch outputs

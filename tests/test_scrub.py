@@ -1,0 +1,111 @@
+"""PII / policy scrubbing (operators/scrub.py): exact expectations on
+constructed PII-bearing rows, plus a Spark-vs-DuckDB differential over the
+same rows — the dialect-portability claim (Java regex vs RE2) tested
+directly, not assumed."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from signalk_parquet_spark.operators.scrub import (
+    PII_PATTERNS,
+    pattern_hits,
+    scrub_report,
+    scrub_text,
+)
+
+ROWS = [
+    (0, "contact alice.smith+work@example.co.uk or bob@sub.domain.org today"),
+    (1, "server at 10.0.254.3 and backup 192.168.1.200 are down"),
+    (2, "call 555-867-5309 or +1 (415) 555-0199 before noon"),
+    (3, "ssn on file 078-05-1120 must go"),
+    (4, "nothing sensitive here at all"),
+    (5, "mixed: a@b.io then 1.2.3.4 then 999-12-3456"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def scrubbed(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in scrub_report(df).collect()}
+
+
+def test_scrub_counts_exact(scrubbed):
+    want = {
+        # doc_id: (email, ipv4, phone, ssn)
+        0: (2, 0, 0, 0),
+        1: (0, 2, 0, 0),
+        2: (0, 0, 2, 0),
+        3: (0, 0, 0, 1),
+        4: (0, 0, 0, 0),
+        5: (1, 1, 0, 1),
+        6: (0, 0, 0, 0),
+    }
+    for doc_id, (em, ip, ph, ssn) in want.items():
+        r = scrubbed[doc_id]
+        got = (r["hits_email"], r["hits_ipv4"], r["hits_phone"], r["hits_ssn"])
+        assert got == (em, ip, ph, ssn), f"doc {doc_id}: {got}"
+
+
+def test_scrub_replaces_all_pii(scrubbed):
+    assert (
+        scrubbed[0]["scrubbed"]
+        == "contact <SCRUBBED> or <SCRUBBED> today"
+    )
+    assert scrubbed[3]["scrubbed"] == "ssn on file <SCRUBBED> must go"
+    assert scrubbed[4]["scrubbed"] == "nothing sensitive here at all"
+    # chars_removed is length-delta with empty replacement, token-independent
+    assert scrubbed[3]["chars_removed"] == len("078-05-1120")
+    assert scrubbed[6]["chars_removed"] == 0
+
+
+def test_scrub_differential_vs_duckdb(spark):
+    """Same rows, same regexes, DuckDB's RE2 vs Spark's Java engine: hit
+    counts and empty-replacement scrub lengths must agree on every row —
+    the exact contract the pii_scrub gate's oracle relies on."""
+    sdf = scrub_report(spark.createDataFrame(ROWS, ["doc_id", "text"]))
+    got = {
+        r["doc_id"]: (
+            r["hits_email"], r["hits_ipv4"], r["hits_phone"], r["hits_ssn"],
+            r["chars_removed"],
+        )
+        for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(ROWS, columns=["doc_id", "text"]))
+    chain = "text"
+    for pat in PII_PATTERNS.values():
+        chain = f"regexp_replace({chain}, '{pat}', '', 'g')"
+    hit_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS h_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    want = {
+        int(row[0]): tuple(int(x) for x in row[1:])
+        for row in con.sql(
+            f"SELECT doc_id, {hit_cols}, length(text) - length({chain}) FROM docs"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_policy_pattern_on_word_corpus(spark):
+    """Policy-lexicon patterns (the gate's corpus-real case): '[a-z]+er'
+    redacts er-containing prefixes of bare lowercase words identically in
+    both engines, including the mid-word backtracking case ('merge' ->
+    'mer' matched, 'ge' left)."""
+    rows = [(0, "customer filter merge order stream the")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pats = {"er_words": "[a-z]+er"}
+    out = scrub_report(df, patterns=pats).collect()[0]
+    assert out["hits_er_words"] == 4  # customer, filter, mer(ge), order
+    assert out["scrubbed"] == "<SCRUBBED> <SCRUBBED> <SCRUBBED>ge <SCRUBBED> stream the"
+    con = duckdb.connect()
+    n = con.sql(
+        "SELECT len(regexp_extract_all('customer filter merge order stream the',"
+        " '[a-z]+er'))"
+    ).fetchone()[0]
+    assert n == 4
