@@ -627,6 +627,7 @@ def ivfpq_topk(
     n_sub: int = 4,
     sub_dim: int = 16,
     k: int = 5,
+    mode: str = "expr",
 ) -> DataFrame:
     """IVF-PQ: the standard industrial vector index (FAISS's IVFx,PQy) as a
     composition of two proven parts — IVF cell pruning cuts the CANDIDATE
@@ -640,8 +641,23 @@ def ivfpq_topk(
     Both quantizers are stride-built so the whole index is reproducible in
     SQL; the integer PQ discipline (see pq_topk) means composed scores are
     exact. Cells and codebooks are INDEPENDENT knobs: cell_stride sets the
-    pruning fan-out, code_stride the score resolution."""
+    pruning fan-out, code_stride the score resolution.
+
+    mode= picks the execution strategy (the pq_topk/ivf_topk pattern):
+      "expr"  — pure Column expressions; codegen grows with the codebook.
+      "numpy" — ONE Arrow-batched map stage assigns cells, PQ-encodes, and
+                ADC-scores per batch (_fused_ivfpq_topk). Cell assignment
+                follows _fused_ivf_topk's dim-ordered float discipline
+                (bit-identical to the expr/oracle argmin); encode + score
+                are pure integers (order-free, exact at any order) — so
+                fused output == expr output (test_ivfpq_modes_agree)."""
     from ..functions.vectors import int8_quantize, int_dot
+
+    if mode == "numpy":
+        return _fused_ivfpq_topk(
+            collection, queries, id_col, vec_col, cell_stride, code_stride,
+            n_probe, n_sub, sub_dim, k,
+        )
 
     # --- coarse (cell) quantizer: float-space argmin, inlined centroids
     cent_rows = (
@@ -734,6 +750,141 @@ def ivfpq_topk(
             (F.col("id") != F.col("query_id")) & F.array_contains(F.col("probes"), F.col("cell")),
         )
         .select("query_id", F.col("id").alias("neighbor_id"), F.col("cell"), score.alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _fused_ivfpq_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_stride: int,
+    code_stride: int,
+    n_probe: int,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+) -> DataFrame:
+    """IVF-PQ as ONE Arrow-batched map stage + one top-k shuffle: per batch,
+    assign each vector's cell (dim-ordered float argmin — _fused_ivf_topk's
+    parity discipline, bit-identical to the expr/oracle form), drop vectors
+    no query probes, then int8-quantize, PQ-encode, and ADC-score the
+    survivors against the broadcast codebook + LUTs (_fused_pq_topk's
+    integer path, exact at any summation order). The collection never
+    shuffles; each surviving (query, neighbor) pair arises exactly once."""
+    import numpy as np
+
+    from ..functions.vectors import int8_quantize
+
+    # --- coarse quantizer: float centroids, |c|^2 in oracle order
+    cent_rows = (
+        _with_norms(collection.filter(F.col(id_col) % cell_stride == 0), id_col, vec_col, None)
+        .select(F.col("id").alias("cid"), F.col("emb").alias("cemb"))
+        .orderBy("cid")
+        .collect()
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cemb"] for r in cent_rows], dtype=np.float64)  # (Kc, d)
+    d_ = cmat.shape[1]
+    cnorm = np.zeros(len(cids), dtype=np.float64)
+    for i in range(d_):
+        cnorm += cmat[:, i] * cmat[:, i]
+
+    # --- fine quantizer: int8 codewords, id-ordered (argmin tie == lowest cid)
+    cw_rows = (
+        collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
+        .filter(F.col("id") % code_stride == 0)
+        .orderBy("id")
+        .collect()
+    )
+    cwmat = np.array([r["qv"] for r in cw_rows], dtype=np.int64)  # (K, dim)
+    csub = np.stack(
+        [cwmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)]
+    )  # (n_sub, K, sub_dim)
+    ccn = np.einsum("mkd,mkd->mk", csub, csub)  # exact int64
+
+    # --- queries: float side picks probe cells (plain-Python, same (d, cid)
+    # sort as the expr window); int8 side builds the ADC LUTs
+    q_rows = (
+        _with_norms(queries, id_col, vec_col, None)
+        .select("id", "emb")
+        .join(
+            queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv")),
+            "id",
+        )
+        .orderBy("id")
+        .collect()
+    )
+    qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    probe_mask = np.zeros((len(cids), len(qids)), dtype=bool)  # (Kc, Q)
+    cid_to_idx = {int(c): j for j, c in enumerate(cids)}
+    for qi, r in enumerate(q_rows):
+        qe = r["emb"]
+        ds = []
+        for j in range(len(cids)):
+            acc = 0.0
+            for i in range(d_):
+                acc += qe[i] * cmat[j, i]
+            ds.append((cnorm[j] - 2.0 * acc, int(cids[j])))
+        for _, cid in sorted(ds)[:n_probe]:
+            probe_mask[cid_to_idx[cid], qi] = True
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # (Q, dim)
+    qsub = np.stack(
+        [qmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)]
+    )
+    lut = np.einsum("mqd,mkd->mqk", qsub, csub)  # (n_sub, Q, K)
+
+    spark = collection.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (cids, cmat, cnorm, qids, probe_mask, csub, ccn, lut)
+    )
+    schema = "query_id long, neighbor_id long, cell long, pq_score long"
+
+    def batches(it):
+        import pandas as pd
+
+        b_cids, b_cmat, b_cnorm, b_qids, b_probe, b_csub, b_ccn, b_lut = bc.value
+        nsub, _, sdim = b_csub.shape
+        dd = b_cmat.shape[1]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            emb = np.array(pdf["emb"].tolist(), dtype=np.float64)  # (n, d)
+            acc = np.zeros((len(ids), len(b_cids)), dtype=np.float64)
+            for i in range(dd):  # dim-ordered: bit-equal to the expr argmin
+                acc += emb[:, i : i + 1] * b_cmat[None, :, i]
+            pick = (b_cnorm[None, :] - 2.0 * acc).argmin(axis=1)
+            hit = b_probe[pick]  # (n, Q)
+            hit &= ids[:, None] != b_qids[None, :]
+            keep = hit.any(axis=1)
+            if not keep.any():
+                continue
+            ids, emb, pick, hit = ids[keep], emb[keep], pick[keep], hit[keep]
+            # int8 quantize + PQ encode + ADC score: pure integers from here
+            q8 = np.floor(np.clip(emb, -1.0, 1.0) * 127.0 + 0.5).astype(np.int64)
+            score = np.zeros((len(b_qids), len(ids)), dtype=np.int64)  # (Q, n)
+            for m in range(nsub):
+                sub = q8[:, m * sdim : (m + 1) * sdim]
+                dm = b_ccn[m][None, :] - 2 * (sub @ b_csub[m].T)  # (n, K)
+                codes = dm.argmin(axis=1)  # ties -> lowest index == lowest cid
+                score += b_lut[m][:, codes]
+            rows, cols = np.nonzero(hit)  # vector idx, query idx
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[cols],
+                    "neighbor_id": ids[rows],
+                    "cell": b_cids[pick[rows]],
+                    "pq_score": score[cols, rows],
+                }
+            )
+
+    pairs = (
+        collection.select(
+            F.col(id_col).alias("id"), as_double(vec_col).alias("emb")
+        ).mapInPandas(batches, schema=schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -190,6 +190,7 @@ def _import_all() -> None:
         "queries_tpch",
         "queries_curation",
         "queries_text",
+        "queries_ivfpq",  # post-window: window is full this round (docstring)
     ):
         try:
             __import__(f"{__package__}.{mod}")

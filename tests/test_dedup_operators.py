@@ -558,6 +558,25 @@ def test_pq_modes_agree(spark):
     assert expr == fused and len(expr) == 50
 
 
+def test_ivfpq_modes_agree(spark):
+    """Fused numpy IVF-PQ must equal the expr path EXACTLY: the float cell
+    assignment follows the dim-ordered discipline (bit-identical argmin)
+    and everything after it is integer — same cells, same codes, same ADC
+    scores, same tie-broken ranks, on real embeddings."""
+    from pyspark.sql import functions as F
+    from signalk_parquet_spark.operators.similarity import ivfpq_topk
+    from signalk_parquet_spark.registry import load
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    kw = dict(cell_stride=125, code_stride=10, n_probe=2, k=5)
+    expr = {tuple(r) for r in
+            ivfpq_topk(e, q, "vec_id", "embedding", **kw).collect()}
+    fused = {tuple(r) for r in
+             ivfpq_topk(e, q, "vec_id", "embedding", mode="numpy", **kw).collect()}
+    assert expr == fused and len(expr) == 100
+
+
 def test_ivfpq_composes_pruning_and_codes(spark):
     """IVF-PQ: cell pruning must actually prune (every scored candidate sits
     in one of the query's n_probe cells) while PQ codes still rank
