@@ -88,6 +88,53 @@ def _dd_ivfpq_sql() -> str:
     """
 
 
+def _dd_ivfpq_recall_sql() -> str:
+    from .queries_similarity import _DD_COS
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), xq AS (SELECT vec_id AS query_id, emb AS ea FROM e WHERE vec_id < {_NQ}),
+    xr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_DD_COS.replace("eb", "e.emb")}, 4) DESC, e.vec_id
+               ) AS rank
+        FROM xq q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= {_TOPK}
+    ),
+    ar AS (
+      SELECT query_id, neighbor_id FROM ({_dd_ivfpq_sql()})
+    )
+    SELECT xr.query_id,
+           count(*) AS n_exact,
+           count(ar.neighbor_id) AS n_hit,
+           CAST(count(ar.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM xr LEFT JOIN ar
+      ON ar.query_id = xr.query_id AND ar.neighbor_id = xr.neighbor_id
+    GROUP BY xr.query_id
+    """
+
+
+@register("ivfpq_recall", _dd_ivfpq_recall_sql())
+def ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@{k} of the composed IVF-PQ rung vs the float-exact top-k —
+    closes the honest-evaluation set (every approximate rung now carries a
+    measured-recall gate: LSH ann_recall, IVF ivf_recall, PQ pq_recall,
+    SemDeDup-cell semdedup_recall, MinHash minhash_estimate_error, and now
+    the composed index). This is the number that separates the two loss
+    sources a deployment tunes independently: cells dropped by the
+    n_probe={nprobe} prune on top of codebook resolution (compare with
+    pq_recall at the same code_stride). Exact integer-ratio oracle; the
+    exact side re-reads the session-memoized knn_bruteforce frame."""
+    from .operators.similarity import topk_recall
+    from .queries_similarity import knn_bruteforce
+
+    return topk_recall(ann_ivfpq(spark, sf), knn_bruteforce(spark, sf))
+
+
 @register("ann_ivfpq", _dd_ivfpq_sql())
 def ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ top-k (operators.similarity.ivfpq_topk, fused numpy mode):

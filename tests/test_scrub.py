@@ -92,6 +92,49 @@ def test_scrub_differential_vs_duckdb(spark):
     assert got == want
 
 
+def test_scrub_differential_fuzz(spark):
+    """Randomized batch differential: 300 adversarial strings drawn from an
+    alphabet dense in pattern-relevant characters (@ . - digits letters,
+    plus '(' ')' '+' and spaces), every PII pattern, both engines — hit
+    counts and scrub lengths must agree on all of them. Deterministic seed
+    so a failure is reproducible; this is the fuzz layer over the
+    hand-picked cases above (regex dialect differences live in corners no
+    hand-picked list covers)."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "ab1@.-() +9z0"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(300)
+    ]
+    sdf = scrub_report(spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {
+        r["doc_id"]: (
+            r["hits_email"], r["hits_ipv4"], r["hits_phone"], r["hits_ssn"],
+            r["chars_removed"],
+        )
+        for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    chain = "text"
+    for pat in PII_PATTERNS.values():
+        chain = f"regexp_replace({chain}, '{pat}', '', 'g')"
+    hit_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    want = {
+        int(row[0]): tuple(int(x) for x in row[1:])
+        for row in con.sql(
+            f"SELECT doc_id, {hit_cols}, length(text) - length({chain}) FROM docs"
+        ).fetchall()
+    }
+    assert got == want
+    # the fuzz must actually exercise matches, not vacuously pass on zeros
+    assert sum(v[4] for v in want.values()) > 0
+
+
 def test_policy_pattern_on_word_corpus(spark):
     """Policy-lexicon patterns (the gate's corpus-real case): '[a-z]+er'
     redacts er-containing prefixes of bare lowercase words identically in
