@@ -421,3 +421,28 @@ def test_ann_pq_is_map_encode_broadcast_score_topk(spark):
     assert "ShuffledHashJoin" not in expr_plan
     assert "BroadcastNestedLoopJoin" in expr_plan  # the id != query_id LUT join
     assert "WindowGroupLimit" in expr_plan
+
+
+def test_ann_ivfpq_is_single_map_stage_topk(spark):
+    """The composed IVF-PQ gate fuses cell assignment, probe pruning, PQ
+    encoding, and ADC scoring into ONE Arrow map stage — zero joins of any
+    kind, partial top-k before the only exchange (the ann_pq fused shape
+    with pruning riding inside the same stage)."""
+    plan = formatted_plan(registry.queries()["ann_ivfpq"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pii_scrub_is_map_then_partial_agg(spark):
+    """Scrubbing is a narrow transform: the gate's plan must be scan ->
+    project (regex columns) -> partial aggregate -> one exchange on the
+    low-cardinality source key — no joins, no window, no second shuffle."""
+    plan = formatted_plan(registry.queries()["pii_scrub"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # exactly one hash exchange (the source groupBy); the load()-cache's
+    # round-robin repartition inside InMemoryRelation doesn't count
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine before the group shuffle
