@@ -157,10 +157,19 @@ def _replicate(spark, sf_dir: str, out_dir: str, n: int) -> None:
             orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * KOFF))
             # custkey stays — the customer dim is shared, like a real lake
         )
+        # rotation wraps at 26 replicas; compose a vowel rotation keyed by
+        # i//26 (identity for i < 26) so every replica's letter bijection is
+        # distinct — otherwise replica i and i-26 are byte-identical and
+        # true dup pairs inflate quadratically, measuring the workload
+        # rather than the engine (the x30 minhash cliff: 4.5x pairs)
         rot = _AL[i % 26:] + _AL[: i % 26]
+        txt = F.translate("text", _AL, rot)
+        vshift = (i // 26) % 5
+        if vshift:
+            txt = F.translate(txt, "aeiou", "aeiou"[vshift:] + "aeiou"[:vshift])
         d_parts.append(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_ids))
-            .withColumn("text", F.translate("text", _AL, rot))
+            .withColumn("text", txt)
         )
         e_parts.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_ids))
