@@ -136,6 +136,13 @@ def _replicate(spark, sf_dir: str, out_dir: str, n: int) -> None:
     neighbor structure stays within-replica."""
     from pyspark.sql import functions as F
 
+    # the composed letter bijection (26 rotations x 5 vowel shifts) has
+    # period 130 — past that, replica i and i-130 are byte-identical again
+    # and true pair counts inflate quadratically (the x30 wrap bug's big
+    # sibling). Refuse rather than silently measure the wrong workload.
+    if n > 130:
+        raise ValueError(f"replication factor {n} exceeds the 130-replica "
+                         "bijection period; extend _replicate first")
     os.makedirs(out_dir, exist_ok=True)
     KOFF, COFF = 1_000_000_000, 100_000_000
     for t in ("region", "nation", "supplier", "part", "customer"):

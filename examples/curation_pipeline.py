@@ -45,11 +45,15 @@ def main() -> None:
     # the patterns fire on PII-bearing text).
     scrubbed = scrub_report(docs, "text")
     n_pii_hits = scrubbed.agg(
-        F.sum(sum(F.col(f"hits_{n}") for n in PII_PATTERNS)).alias("h")
+        F.coalesce(
+            F.sum(sum(F.col(f"hits_{n}") for n in PII_PATTERNS)), F.lit(0)
+        ).alias("h")
     ).collect()[0]["h"]
+    keep_cols = [c for c in docs.columns if c != "text"]
     docs = scrubbed.filter(
         F.col("chars_removed") * 2 <= F.length("text")
-    ).select(*docs.columns[:1], F.col("scrubbed").alias("text"), *docs.columns[2:])
+    ).select("doc_id", F.col("scrubbed").alias("text"),
+             *[c for c in keep_cols if c != "doc_id"])
 
     # 1. quality + repetition filters (Gopher-style), plus the two
     # MODEL-BASED screens: the hashing-trick linear classifier

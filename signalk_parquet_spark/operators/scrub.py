@@ -73,7 +73,8 @@ def scrub_text(
     patterns in dict order (sequential ``regexp_replace`` chain — order
     matters when patterns overlap, so it is part of the contract)."""
     c = F.col(text) if isinstance(text, str) else text
-    for pat in (patterns or PII_PATTERNS).values():
+    pats = PII_PATTERNS if patterns is None else patterns
+    for pat in pats.values():
         c = F.regexp_replace(c, F.lit(pat), F.lit(token))
     return c
 
@@ -92,8 +93,14 @@ def scrub_report(
     One map-only projection; callers aggregate or filter downstream
     (e.g. drop documents where hits exceed a density threshold — heavy-PII
     documents are usually scrapes worth dropping whole).
+
+    Cost note: ``chars_removed`` (empty-token chain) and ``scrubbed``
+    (token chain) are two regex-replace passes by semantics (overlap
+    behavior makes one underivable from the other), but Catalyst prunes
+    whichever a downstream plan doesn't reference — the pii_scrub gate's
+    physical plan carries only the empty-token chain.
     """
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
     out = df
     for name, pat in pats.items():
         out = out.withColumn(f"hits_{name}", pattern_hits(text_col, pat))

@@ -475,6 +475,8 @@ def pq_topk(
         return _fused_pq_topk(
             collection, queries, id_col, vec_col, stride, n_sub, sub_dim, k
         )
+    if mode != "expr":  # a typo must not silently run the slow path
+        raise ValueError(f"pq_topk mode must be 'expr' or 'numpy', got {mode!r}")
 
     e = collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
     # codebook: stride-selected vectors' subvectors, ascending id == ascending
@@ -658,6 +660,8 @@ def ivfpq_topk(
             collection, queries, id_col, vec_col, cell_stride, code_stride,
             n_probe, n_sub, sub_dim, k,
         )
+    if mode != "expr":  # a typo must not silently run the slow path
+        raise ValueError(f"ivfpq_topk mode must be 'expr' or 'numpy', got {mode!r}")
 
     # --- coarse (cell) quantizer: float-space argmin, inlined centroids
     cent_rows = (
@@ -818,16 +822,18 @@ def _fused_ivfpq_topk(
         .collect()
     )
     qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    # dim-ordered numpy accumulation: bit-equal to the scalar loop, and
+    # keeps the driver responsive once cells reach ~10^4+ (N/cell_stride)
     probe_mask = np.zeros((len(cids), len(qids)), dtype=bool)  # (Kc, Q)
     cid_to_idx = {int(c): j for j, c in enumerate(cids)}
-    for qi, r in enumerate(q_rows):
-        qe = r["emb"]
-        ds = []
-        for j in range(len(cids)):
-            acc = 0.0
-            for i in range(d_):
-                acc += qe[i] * cmat[j, i]
-            ds.append((cnorm[j] - 2.0 * acc, int(cids[j])))
+    qfmat = np.array([r["emb"] for r in q_rows], dtype=np.float64)  # (Q, d)
+    qacc = np.zeros((len(qids), len(cids)), dtype=np.float64)
+    for i in range(d_):
+        qacc += qfmat[:, i : i + 1] * cmat[None, :, i]
+    qdmat = cnorm[None, :] - 2.0 * qacc  # (Q, Kc)
+    cid_list = [int(c) for c in cids]
+    for qi in range(len(qids)):
+        ds = list(zip(qdmat[qi].tolist(), cid_list))
         for _, cid in sorted(ds)[:n_probe]:
             probe_mask[cid_to_idx[cid], qi] = True
     qmat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # (Q, dim)
@@ -1080,17 +1086,19 @@ def _fused_ivf_topk(
     qn2 = np.array([r["n2"] for r in q_rows], dtype=np.float64)
 
     # driver-side probe cells, the same (d, cid) ordering as the expr
-    # window; plain-Python float ops are the same IEEE doubles
+    # window. Dim-ordered numpy accumulation (one add per element) is the
+    # same IEEE doubles as the scalar loop it replaced — the replacement
+    # matters once centroids number ~10^4+ (N/stride grows with the
+    # collection), where a pure-Python Q x K x dim loop stalls the driver.
     probe_mask = np.zeros((len(cids), len(qids)), dtype=bool)  # (K, Q)
     cid_to_idx = {int(c): j for j, c in enumerate(cids)}
-    for qi, r in enumerate(q_rows):
-        qe = r["emb"]
-        ds = []
-        for j in range(len(cids)):
-            acc = 0.0
-            for i in range(d_):
-                acc += qe[i] * cmat[j, i]
-            ds.append((cnorm[j] - 2.0 * acc, int(cids[j])))
+    qacc = np.zeros((len(qids), len(cids)), dtype=np.float64)
+    for i in range(d_):
+        qacc += qmat[:, i : i + 1] * cmat[None, :, i]
+    qdmat = cnorm[None, :] - 2.0 * qacc  # (Q, K)
+    cid_list = [int(c) for c in cids]
+    for qi in range(len(qids)):
+        ds = list(zip(qdmat[qi].tolist(), cid_list))
         for _, cid in sorted(ds)[:n_probe]:
             probe_mask[cid_to_idx[cid], qi] = True
 

@@ -336,7 +336,13 @@ def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     pattern redacts for real — every source scores non-zero docs_hit and
     chars_removed, so the gate asserts live regexp_replace/extract_all
     parity between Java regex and RE2, not a 0-vs-0 pass. Map-only: one
-    projection, one partial-aggregated groupBy on a low-cardinality key."""
+    projection, one partial-aggregated groupBy on a low-cardinality key.
+
+    Registered post-window (added after the r4 window was finalized — its
+    50 slots are committed to the never-checked + r03-red set, registry
+    comment); driver row arrives with the next round's rotation. Until
+    then: local parity at sf0.01 + sf0.001, tests/test_scrub.py, and the
+    plan-shape test."""
     from .operators.scrub import PII_PATTERNS, _POLICY_GATE_PATTERNS, scrub_report
 
     pats = {**PII_PATTERNS, **_POLICY_GATE_PATTERNS}

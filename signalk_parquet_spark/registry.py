@@ -173,9 +173,13 @@ def _import_all() -> None:
     # r4 final order: the 50-slot window = dedup(15) + similarity(8) +
     # advanced(11) + pipeline(9) + pq(2) + lm(4) + tpch_q11 (registered
     # first in queries_tpch2 — its r03 row was a 0-vs-0 pass, now asserts
-    # real rows). That covers every never-driver-checked query plus both
-    # r03-red/edited rows; regex_extract_tokens and unpivot_aligned
-    # (r03-green, unedited) moved post-window to queries_text to make room.
+    # real rows). That covers every query that was never driver-checked AS
+    # OF the reorder, plus both r03-red/edited rows; regex_extract_tokens
+    # and unpivot_aligned (r03-green, unedited) moved post-window to
+    # queries_text to make room. Gates added LATER in r4 (pii_scrub,
+    # ann_ivfpq, ivfpq_recall) are necessarily post-window — the 50 slots
+    # were already committed to the set above — and each says so in its
+    # docstring; they rotate in next round.
     for mod in (
         "queries_dedup",
         "queries_similarity",
