@@ -8,9 +8,10 @@ WAV parser, and an ISO-BMFF box walker for MP4 video (moov/mvhd duration,
 tkhd dimensions) are registered into DECODERS at import. PIL backstops
 image formats the header parser can't read (import-gated). PIXEL access
 is real for 8-bit PNG (stdlib zlib + numpy unfiltering —
-decode_png_pixels / image_pixel_features under DECODERS["image_pixels"]);
-JPEG/video frame decode still needs a codec library — plug it in the
-same way.
+decode_png_pixels) and baseline JPEG (operators/jpeg.py: full T.81
+marker/Huffman/zigzag/IDCT path, exact-round-trip tested), both under
+DECODERS["image_pixels"] via image_pixel_features; video FRAME decode
+still needs a codec library — plug it in the same way.
 
 Scale design: media rows are large, so operators here
   - never collect() or explode binaries;
@@ -351,11 +352,16 @@ def decode_png_pixels(payload: bytes):
 def image_pixel_features(payload: bytes) -> list[float]:
     """DECODERS-style entry scoring actual PIXELS, not header fields:
     (width, height, channels, mean, std, min, max) of the luma plane
-    (ITU-R BT.601 weights for color images). NaNs when the payload is not
-    an 8-bit PNG this decoder covers."""
+    (ITU-R BT.601 weights for color images). Dispatches on format: 8-bit
+    PNG (decode_png_pixels) or baseline JPEG (operators.jpeg); NaNs for
+    anything neither covers."""
     import numpy as np
 
     px = decode_png_pixels(payload)
+    if px is None and sniff_format(payload) == "jpeg":
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(payload)
     if px is None:
         return [float("nan")] * 7
     h, w, c = px.shape

@@ -1,0 +1,316 @@
+"""Baseline JPEG decoder (operators/jpeg.py): exact round-trip tests.
+
+The test file carries its own minimal baseline JPEG ENCODER (markers,
+canonical Huffman, zigzag, DCT + quantization, byte stuffing, restart
+markers) so the decoder is exercised end-to-end on independently-built
+bitstreams. Exactness: the expected image is reconstructed from the
+encoder's own quantized coefficients through the decoder module's public
+idct_block/ycbcr_to_rgb arithmetic, so every test asserts EQUALITY, not a
+tolerance — any bitstream, Huffman, zigzag, predictor, or upsampling slip
+shows up as a hard mismatch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from signalk_parquet_spark.operators.jpeg import (
+    ZIGZAG,
+    _build_huffman,
+    _dct_matrix,
+    decode_jpeg_pixels,
+    idct_block,
+    ycbcr_to_rgb,
+)
+
+# --- encoder-side Huffman: uniform-length canonical tables ---------------------
+# DC alphabet 0..11 at code length 4 (12 <= 2^4), AC alphabet (EOB, ZRL, all
+# run/size pairs) at code length 8 (162 <= 2^8). Valid canonical tables the
+# decoder must accept like any DHT.
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_COUNTS = [0] * 16
+_AC_COUNTS[7] = len(_AC_SYMBOLS)  # all at length 8
+
+
+def _enc_table(counts, symbols):
+    return {sym: (ln, code) for (ln, code), sym in _build_huffman(counts, symbols).items()}
+
+
+_DC_ENC = _enc_table(_DC_COUNTS, _DC_SYMBOLS)
+_AC_ENC = _enc_table(_AC_COUNTS, _AC_SYMBOLS)
+
+_QLUMA = [16] * 64  # flat tables keep quantization meaningful but mild
+_QCHROMA = [24] * 64
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _quantize_block(block, qtab):
+    """block: 8x8 float spatial (already level-shifted input minus 128).
+    Returns 64 ints in zigzag order."""
+    m = _dct_matrix()
+    f = m @ block @ m.T
+    out = []
+    for k in range(64):
+        r, c = ZIGZAG[k]
+        out.append(int(np.floor(f[r, c] / qtab[k] + 0.5)))
+    return out
+
+
+def _encode_block(bw, zz, pred):
+    dc_diff = zz[0] - pred
+    s = abs(dc_diff).bit_length()
+    ln, code = _DC_ENC[s]
+    bw.put(code, ln)
+    if s:
+        v = dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1
+        bw.put(v, s)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = _AC_ENC[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = abs(zz[k]).bit_length()
+        ln, code = _AC_ENC[(run << 4) | s]
+        bw.put(code, ln)
+        v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+        bw.put(v, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = _AC_ENC[0x00]  # EOB
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt(tid, table):
+    return _seg(0xDB, bytes([tid]) + bytes(table))
+
+
+def _dht(tc, th, counts, symbols):
+    return _seg(0xC4, bytes([(tc << 4) | th] + counts + symbols))
+
+
+def _blocks_of(plane):
+    """plane: (H, W) float, H and W multiples of 8 -> yields (by, bx, 8x8)."""
+    h, w = plane.shape
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            yield by, bx, plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+
+
+def _pad_to(plane, mh, mw):
+    h, w = plane.shape
+    out = np.zeros((mh, mw), dtype=np.float64)
+    out[:h, :w] = plane
+    if h < mh:
+        out[h:, :w] = plane[h - 1 : h, :]
+    if w < mw:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg(planes, h, w, sampling, qtabs, restart_interval=0):
+    """Minimal baseline encoder. planes: list of (H_c, W_c) float arrays
+    already at their component resolution (values 0..255); sampling:
+    [(hi, vi)] per component; qtabs: per-component zigzag quant tables.
+    Returns (jpeg_bytes, expected_planes) where expected_planes are the
+    decoder-arithmetic reconstructions at component resolution."""
+    ncomp = len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for ci in range(ncomp):
+        ch, cv = sampling[ci]
+        padded.append(_pad_to(planes[ci], mcuy * 8 * cv, mcux * 8 * ch))
+    expected = [np.zeros_like(p, dtype=np.uint8) for p in padded]
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, qtabs[0])
+    if ncomp > 1:
+        out += _dqt(1, qtabs[1])
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1],
+                      0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    out += _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+    out += _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # every component uses DC0/AC0
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            ch, cv = sampling[ci]
+            q = qtabs[0] if ci == 0 else qtabs[1]
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    zz = _quantize_block(block, q)
+                    pred[ci] = _encode_block(bw, zz, pred[ci])
+                    coef = np.zeros((8, 8), dtype=np.float64)
+                    for k in range(64):
+                        r, c = ZIGZAG[k]
+                        coef[r, c] = zz[k] * q[k]
+                    expected[ci][y0 : y0 + 8, x0 : x0 + 8] = idct_block(coef)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def _rgb_to_ycbcr(rgb):
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _test_image(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    base = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    return np.clip(base + rng.randint(-40, 40, size=(h, w)), 0, 255).astype(np.float64)
+
+
+def test_grayscale_roundtrip_exact():
+    img = _test_image(16, 24)
+    payload, expected = encode_jpeg([img], 16, 24, [(1, 1)], [_QLUMA])
+    got = decode_jpeg_pixels(payload)
+    assert got is not None and got.shape == (16, 24, 1)
+    assert np.array_equal(got[:, :, 0], expected[0][:16, :24])
+    # and the lossy result is still close to the source (sanity on Q=16)
+    assert np.abs(got[:, :, 0].astype(float) - img).mean() < 12
+
+
+def test_rgb_444_roundtrip_exact():
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.float64)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    payload, exp = encode_jpeg(
+        [y, cb, cr], 16, 16, [(1, 1)] * 3, [_QLUMA, _QCHROMA]
+    )
+    got = decode_jpeg_pixels(payload)
+    assert got is not None and got.shape == (16, 16, 3)
+    want = ycbcr_to_rgb(
+        exp[0][:16, :16].astype(np.float64),
+        exp[1][:16, :16].astype(np.float64),
+        exp[2][:16, :16].astype(np.float64),
+    )
+    assert np.array_equal(got, want)
+
+
+def test_rgb_420_subsampled_roundtrip_exact():
+    img = _test_image(16, 32, seed=3)
+    rgb = np.stack([img, np.flipud(img), np.fliplr(img)], axis=-1)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    # encoder-side 2x2 mean subsampling of the chroma planes
+    cb2 = cb.reshape(8, 2, 16, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(8, 2, 16, 2).mean(axis=(1, 3))
+    payload, exp = encode_jpeg(
+        [y, cb2, cr2], 16, 32, [(2, 2), (1, 1), (1, 1)], [_QLUMA, _QCHROMA]
+    )
+    got = decode_jpeg_pixels(payload)
+    assert got is not None and got.shape == (16, 32, 3)
+    want = ycbcr_to_rgb(
+        exp[0][:16, :32].astype(np.float64),
+        exp[1].repeat(2, axis=0).repeat(2, axis=1)[:16, :32].astype(np.float64),
+        exp[2].repeat(2, axis=0).repeat(2, axis=1)[:16, :32].astype(np.float64),
+    )
+    assert np.array_equal(got, want)
+
+
+def test_restart_markers_reset_predictors():
+    img = _test_image(8, 64, seed=5)  # 8 MCUs in one row
+    payload, expected = encode_jpeg(
+        [img], 8, 64, [(1, 1)], [_QLUMA], restart_interval=2
+    )
+    assert b"\xff\xd0" in payload  # RST0 actually emitted
+    got = decode_jpeg_pixels(payload)
+    assert got is not None
+    assert np.array_equal(got[:, :, 0], expected[0][:8, :64])
+
+
+def test_non_baseline_and_garbage_return_none():
+    img = _test_image(8, 8)
+    payload, _ = encode_jpeg([img], 8, 8, [(1, 1)], [_QLUMA])
+    # flip SOF0 -> SOF2 (progressive): decoder must refuse, not misparse
+    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(progressive) is None
+    assert decode_jpeg_pixels(payload[: len(payload) // 2]) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_pixels(b"not a jpeg") is None
+
+
+def test_image_pixel_features_scores_jpeg():
+    from signalk_parquet_spark.operators.multimodal import image_pixel_features
+
+    img = _test_image(16, 16, seed=2)
+    payload, _ = encode_jpeg([img], 16, 16, [(1, 1)], [_QLUMA])
+    feats = image_pixel_features(payload)
+    w, h, c, mean, std, lo, hi = feats
+    assert (w, h, c) == (16.0, 16.0, 1.0)
+    assert not np.isnan(mean) and 0.0 <= lo <= mean <= hi <= 255.0
