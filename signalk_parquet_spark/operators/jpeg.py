@@ -1,17 +1,24 @@
-"""Baseline JPEG (ITU-T T.81) pixel decoder — pure Python + numpy, no
-codec library. Covers baseline sequential DCT (SOF0): 8-bit samples,
-Huffman entropy coding, grayscale or YCbCr with any integer sampling
-factors that divide the max (4:4:4, 4:2:2, 4:2:0 …), restart markers,
-byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit precision,
-and hierarchical modes return None — callers quarantine rather than crash
-(the decode_png_pixels contract).
+"""JPEG (ITU-T T.81) pixel decoder — pure Python + numpy, no codec
+library. Covers baseline sequential DCT (SOF0, 8-bit Huffman) AND
+progressive DCT (SOF2: spectral selection + successive approximation,
+DC/AC first and refinement scans, EOB runs), grayscale or YCbCr with any
+integer sampling factors that divide the max (4:4:4, 4:2:2, 4:2:0 …),
+restart markers, byte stuffing. Arithmetic coding, 12-bit precision,
+lossless, and hierarchical modes return None — callers quarantine rather
+than crash (the decode_png_pixels contract).
 
-This closes the last "needs a codec library" TODO for still images: the
-DECODERS["image_pixels"] entry now scores real pixels for both PNG and
-JPEG payloads. Everything here derives from the public T.81 spec (marker
-layout, canonical Huffman construction, the EXTEND procedure, zigzag
-scan, dequantize + 2-D inverse DCT) and the public T.871 YCbCr↔RGB
-constants.
+This closes the still-image "needs a codec library" TODO: the
+DECODERS["image_pixels"] entry scores real pixels for PNG and for both
+JPEG modes found in the wild. Everything here derives from the public
+T.81 spec (marker layout, canonical Huffman construction, the EXTEND
+procedure, zigzag scan, progressive approximation per Annex G) and the
+public T.871 YCbCr↔RGB constants; cross-validated against Java ImageIO
+on real camera files (tests/test_jpeg.py).
+
+Architecture: scans accumulate QUANTIZED coefficients into per-component
+block grids (progressive requires it; baseline is the one-scan special
+case), then a single dequantize + IDCT + upsample + color-convert pass
+renders pixels.
 
 Scale note: entropy decoding is inherently sequential per scan, so this
 pure-Python path is for thumbnails/previews inside the Arrow-batched
@@ -35,6 +42,7 @@ def _zigzag():
 
 
 ZIGZAG = _zigzag()
+
 
 #: orthonormal 8-point DCT-II matrix; F = M @ f @ M.T, f = M.T @ F @ M
 def _dct_matrix():
@@ -125,9 +133,196 @@ def _extend(v: int, s: int) -> int:
     return v
 
 
+class _Scan:
+    """One SOS: component selection, band, approximation, entropy segments.
+
+    ``tables`` snapshots the Huffman dict AS OF this scan's position in the
+    stream — progressive files routinely redefine DHT ids between scans, so
+    decoding later with the final table state mis-decodes earlier scans."""
+
+    __slots__ = ("sel", "ss", "se", "ah", "al", "segments", "tables")
+
+    def __init__(self, sel, ss, se, ah, al, segments, tables):
+        self.sel = sel  # [(comp_idx, dc_table_id, ac_table_id)]
+        self.ss = ss
+        self.se = se
+        self.ah = ah
+        self.al = al
+        self.segments = segments
+        self.tables = tables
+
+
+def _decode_scan(scan, comps, coefs, huff, restart_interval, mcux, mcuy):
+    """Decode one scan's entropy data into the quantized-coefficient grids.
+
+    Interleaved (ns > 1): MCU order over the frame grid. Non-interleaved
+    (ns == 1): the component's own block grid (T.81 A.2.2). Handles DC
+    first/refine, AC first/refine with EOB runs, restart intervals."""
+    sel = scan.sel
+    interleaved = len(sel) > 1
+    pred = {ci: 0 for ci, _, _ in sel}
+    eobrun = 0
+    seg_idx = 0
+    br = _BitReader(bytes(scan.segments[0]))
+
+    def restart():
+        nonlocal br, seg_idx, eobrun
+        seg_idx += 1
+        if seg_idx >= len(scan.segments):
+            raise ValueError("missing restart segment")
+        br = _BitReader(bytes(scan.segments[seg_idx]))
+        for k in pred:
+            pred[k] = 0
+        eobrun = 0
+
+    def dc_first(ci, dct, blk):
+        s = br.read_symbol(dct)
+        diff = _extend(br.receive(s), s) if s else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << scan.al
+
+    def dc_refine(blk):
+        if br.read_bit():
+            blk[0] |= 1 << scan.al
+
+    def ac_first(act, blk):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = scan.ss
+        while k <= scan.se:
+            rs = br.read_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > scan.se:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(br.receive(s), s) << scan.al
+            k += 1
+
+    def ac_refine(act, blk):
+        nonlocal eobrun
+        p1 = 1 << scan.al
+        m1 = -1 << scan.al
+        k = scan.ss
+        if not eobrun:
+            while k <= scan.se:
+                rs = br.read_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # ZRL: skip 16 zero-history positions (with corrections)
+                    val = 0
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size != 1")
+                    val = p1 if br.read_bit() else m1
+                # advance past r zero-history coefficients, correcting
+                # nonzero-history ones on the way (T.81 G.1.2.3)
+                while k <= scan.se:
+                    if blk[k]:
+                        if br.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun:
+            while k <= scan.se:
+                if blk[k]:
+                    if br.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def baseline_ac(act, blk):
+        # plain sequential AC, k = 1..63, no approximation, plain EOB
+        k = 1
+        while k <= 63:
+            rs = br.read_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(br.receive(s), s)
+            k += 1
+
+    def decode_block(ci, dc_id, ac_id, by, bx):
+        blk = coefs[ci][by][bx]
+        if scan.ss == 0:
+            if scan.ah == 0:
+                dct = huff.get((0, dc_id))
+                if dct is None:
+                    raise ValueError("missing DC table")
+                dc_first(ci, dct, blk)
+            else:
+                dc_refine(blk)
+            if scan.se == 0:
+                return  # progressive DC-only scan
+            act = huff.get((1, ac_id))
+            if act is None:
+                raise ValueError("missing AC table")
+            baseline_ac(act, blk)  # sequential full-band scan
+            return
+        act = huff.get((1, ac_id))
+        if act is None:
+            raise ValueError("missing AC table")
+        if scan.ah == 0:
+            ac_first(act, blk)
+        else:
+            ac_refine(act, blk)
+
+    if interleaved:
+        nmcu = mcux * mcuy
+        for mcu in range(nmcu):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                restart()
+            my, mx = divmod(mcu, mcux)
+            for ci, dc_id, ac_id in sel:
+                _, ch, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        decode_block(ci, dc_id, ac_id, my * cv + by, mx * ch + bx)
+    else:
+        ci, dc_id, ac_id = sel[0]
+        _, ch, cv, _ = comps[ci]
+        bw = len(coefs[ci][0])
+        bh = len(coefs[ci])
+        # non-interleaved: the component's own block grid (no MCU padding
+        # beyond its ceil dims)
+        nb = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and nb and nb % restart_interval == 0:
+                    restart()
+                decode_block(ci, dc_id, ac_id, by, bx)
+                nb += 1
+
+
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline JPEG to an (H, W, C) uint8 array (C=1 grayscale,
-    C=3 RGB), or None for anything outside baseline coverage."""
+    """Decode a baseline or progressive JPEG to an (H, W, C) uint8 array
+    (C=1 grayscale, C=3 RGB), or None for anything outside coverage."""
     import numpy as np
 
     if not payload.startswith(b"\xff\xd8"):
@@ -135,17 +330,17 @@ def decode_jpeg_pixels(payload: bytes):
     try:
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
-        frame = None  # (H, W, [(cid, h, v, tq), ...])
+        frame = None  # (H, W, [(cid, h, v, tq), ...], progressive)
         restart_interval = 0
-        scan = None  # ([(comp_idx, dc_id, ac_id), ...], segments)
+        scans: list[_Scan] = []
         i = 2
         p = payload
-        while i + 1 < len(p) and scan is None:
+        while i + 1 < len(p):
             if p[i] != 0xFF:
                 return None
             m = p[i + 1]
-            if m == 0xD9:  # EOI before any scan
-                return None
+            if m == 0xD9:  # EOI
+                break
             if m in (0x01,) or 0xD0 <= m <= 0xD7:
                 i += 2
                 continue
@@ -156,10 +351,10 @@ def decode_jpeg_pixels(payload: bytes):
                 while j < len(body):
                     pq, tq = body[j] >> 4, body[j] & 0x0F
                     if pq != 0:
-                        return None  # 16-bit tables: not baseline
+                        return None  # 16-bit tables
                     qt[tq] = list(body[j + 1 : j + 65])
                     j += 65
-            elif m == 0xC0:  # SOF0 baseline sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
                 if body[0] != 8:
                     return None
                 h_, w_ = struct.unpack(">HH", body[1:5])
@@ -168,10 +363,9 @@ def decode_jpeg_pixels(payload: bytes):
                 for k in range(n):
                     cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
                     comps.append((cid, hv >> 4, hv & 0x0F, tq))
-                frame = (h_, w_, comps)
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                       0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF
+                frame = (h_, w_, comps, m == 0xC2)
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / hierarchical
             elif m == 0xC4:  # DHT
                 j = 0
                 while j < len(body):
@@ -183,7 +377,7 @@ def decode_jpeg_pixels(payload: bytes):
                     j += 17 + nsym
             elif m == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", body[:2])
-            elif m == 0xDA:  # SOS
+            elif m == 0xDA:  # SOS — one of possibly many scans
                 if frame is None:
                     return None
                 ns = body[0]
@@ -192,6 +386,7 @@ def decode_jpeg_pixels(payload: bytes):
                 for k in range(ns):
                     cs, tda = body[1 + 2 * k : 3 + 2 * k]
                     sel.append((cids.index(cs), tda >> 4, tda & 0x0F))
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
                 # entropy-coded data: unstuff 0xFF00, split at RSTn
                 j = i + 2 + seglen
                 segments: list[bytearray] = [bytearray()]
@@ -210,75 +405,69 @@ def decode_jpeg_pixels(payload: bytes):
                         j += 2
                     else:
                         break  # EOI or next marker
-                scan = (sel, segments)
-            # skip unknown/APPn/COM
+                scans.append(
+                    _Scan(sel, ss, se, ahal >> 4, ahal & 0x0F, segments, dict(huff))
+                )
+                i = j
+                continue
             i += 2 + seglen
-        if frame is None or scan is None:
+        if frame is None or not scans:
             return None
 
-        h_, w_, comps = frame
+        h_, w_, comps, _progressive = frame
         if h_ == 0 or w_ == 0:
             return None
-        sel, segments = scan
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         if any(hmax % c[1] or vmax % c[2] for c in comps):
             return None
         mcux = -(-w_ // (8 * hmax))
         mcuy = -(-h_ // (8 * vmax))
-        planes = [
-            np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=np.uint8)
-            for c in comps
-        ]
-        qtabs = []
+        # per-component quantized-coefficient grids (zigzag index space).
+        # Interleaved scans address the full MCU-padded grid; the IDCT pass
+        # renders the same grid, so sizes match either way.
+        coefs = []
         for c in comps:
+            bh, bw = mcuy * c[2], mcux * c[1]
+            coefs.append([[[0] * 64 for _ in range(bw)] for _ in range(bh)])
+        for scan in scans:
+            # non-interleaved scans sweep the component's OWN ceil grid
+            if len(scan.sel) == 1:
+                ci = scan.sel[0][0]
+                _, ch, cv, _ = comps[ci]
+                # component dims: ceil(W*h/hmax) x ceil(H*v/vmax)
+                cw = -(-(w_ * ch) // hmax)
+                chh = -(-(h_ * cv) // vmax)
+                bw_n = -(-cw // 8)
+                bh_n = -(-chh // 8)
+                sub = [row[:bw_n] for row in coefs[ci][:bh_n]]
+                _decode_scan(
+                    scan, comps, {ci: sub}, scan.tables, restart_interval, mcux, mcuy
+                )
+            else:
+                _decode_scan(
+                    scan, comps,
+                    {s[0]: coefs[s[0]] for s in scan.sel},
+                    scan.tables, restart_interval, mcux, mcuy,
+                )
+        # dequantize + IDCT + assemble planes
+        planes = []
+        for ci, c in enumerate(comps):
             if c[3] not in qt:
                 return None
-            zq = qt[c[3]]
-            qtabs.append(zq)
-        pred = [0] * len(comps)
-        seg_idx = 0
-        br = _BitReader(bytes(segments[0]))
-        for mcu in range(mcux * mcuy):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing restart segment")
-                br = _BitReader(bytes(segments[seg_idx]))
-                pred = [0] * len(comps)
-            my, mx = divmod(mcu, mcux)
-            for ci, dc_id, ac_id in sel:
-                _, ch, cv, _tq = comps[ci]
-                dct = huff.get((0, dc_id))
-                act = huff.get((1, ac_id))
-                if dct is None or act is None:
-                    return None
-                for by in range(cv):
-                    for bx in range(ch):
-                        coef = np.zeros((8, 8), dtype=np.float64)
-                        s = br.read_symbol(dct)
-                        diff = _extend(br.receive(s), s) if s else 0
-                        pred[ci] += diff
-                        coef[0, 0] = pred[ci] * qtabs[ci][0]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_symbol(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            rr, cc = ZIGZAG[k]
-                            coef[rr, cc] = _extend(br.receive(s), s) * qtabs[ci][k]
-                            k += 1
-                        px = idct_block(coef)
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            q = qt[c[3]]
+            bh, bw = mcuy * c[2], mcux * c[1]
+            plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = coefs[ci][by][bx]
+                    coef = np.zeros((8, 8), dtype=np.float64)
+                    for k in range(64):
+                        if zz[k]:
+                            r, cc = ZIGZAG[k]
+                            coef[r, cc] = zz[k] * q[k]
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(coef)
+            planes.append(plane)
         # upsample subsampled planes to full grid, crop, color-convert
         full = []
         for ci, c in enumerate(comps):

@@ -8,10 +8,12 @@ WAV parser, and an ISO-BMFF box walker for MP4 video (moov/mvhd duration,
 tkhd dimensions) are registered into DECODERS at import. PIL backstops
 image formats the header parser can't read (import-gated). PIXEL access
 is real for 8-bit PNG (stdlib zlib + numpy unfiltering —
-decode_png_pixels) and baseline JPEG (operators/jpeg.py: full T.81
-marker/Huffman/zigzag/IDCT path, exact-round-trip tested), both under
-DECODERS["image_pixels"] via image_pixel_features; video FRAME decode
-still needs a codec library — plug it in the same way.
+decode_png_pixels) and JPEG — baseline AND progressive (operators/
+jpeg.py: full T.81 marker/Huffman/zigzag/IDCT path incl. Annex G
+successive approximation, exact-round-trip tested and cross-validated
+against Java ImageIO) — both under DECODERS["image_pixels"] via
+image_pixel_features; video FRAME decode still needs a codec library —
+plug it in the same way.
 
 Scale design: media rows are large, so operators here
   - never collect() or explode binaries;

@@ -294,15 +294,128 @@ def test_restart_markers_reset_predictors():
     assert np.array_equal(got[:, :, 0], expected[0][:8, :64])
 
 
-def test_non_baseline_and_garbage_return_none():
+def test_unsupported_modes_and_garbage_return_none():
     img = _test_image(8, 8)
     payload, _ = encode_jpeg([img], 8, 8, [(1, 1)], [_QLUMA])
-    # flip SOF0 -> SOF2 (progressive): decoder must refuse, not misparse
-    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert decode_jpeg_pixels(progressive) is None
+    # lossless (SOF3) and arithmetic-coded (SOF9): refuse, don't misparse
+    assert decode_jpeg_pixels(payload.replace(b"\xff\xc0", b"\xff\xc3", 1)) is None
+    assert decode_jpeg_pixels(payload.replace(b"\xff\xc0", b"\xff\xc9", 1)) is None
     assert decode_jpeg_pixels(payload[: len(payload) // 2]) is None
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     assert decode_jpeg_pixels(b"not a jpeg") is None
+
+
+def test_progressive_scan_split_roundtrip_exact():
+    """Progressive (SOF2) color round-trip: the same quantized coefficients
+    delivered over FOUR scans (interleaved DC-first, then one AC-first scan
+    per component, T.81 Annex G) must reconstruct the identical image a
+    single baseline scan produces — built block-by-block here, decoded
+    whole-file there."""
+    rng = np.random.RandomState(23)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.float64)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    planes = [y, cb, cr]
+    qtabs = [_QLUMA, _QCHROMA]
+    # per-plane quantized coefficients + expected reconstruction
+    zz_all = []
+    expected = []
+    for ci, pl in enumerate(planes):
+        q = qtabs[0] if ci == 0 else qtabs[1]
+        blocks = []
+        exp = np.zeros((16, 16), dtype=np.uint8)
+        for by in range(2):
+            row = []
+            for bx in range(2):
+                blk = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                zz = _quantize_block(blk, q)
+                row.append(zz)
+                coef = np.zeros((8, 8))
+                for k in range(64):
+                    r, c = ZIGZAG[k]
+                    coef[r, c] = zz[k] * q[k]
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(coef)
+            blocks.append(row)
+        zz_all.append(blocks)
+        expected.append(exp)
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, _QLUMA) + _dqt(1, _QCHROMA)
+    sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += bytes([0xFF, 0xC2]) + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+    out += _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+
+    def sos(comp_ids, ss, se):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, 0x00])  # Ah=Al=0
+        return _seg(0xDA, body)
+
+    # scan 1: interleaved DC for all components
+    out += sos([1, 2, 3], 0, 0)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for mcu in range(4):
+        my, mx = divmod(mcu, 2)
+        for ci in range(3):
+            zz = zz_all[ci][my][mx]
+            dc_diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            s = abs(dc_diff).bit_length()
+            ln, code = _DC_ENC[s]
+            bw.put(code, ln)
+            if s:
+                v = dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1
+                bw.put(v, s)
+    bw.flush()
+    out += bw.out
+    # scans 2-4: per-component AC band 1..63 (no DC code in an AC scan;
+    # plain EOB == an EOB run of exactly 1)
+    def put_ac_band(bw, zz):
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = _AC_ENC[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = abs(zz[k]).bit_length()
+            ln, code = _AC_ENC[(run << 4) | s]
+            bw.put(code, ln)
+            v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+            bw.put(v, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = _AC_ENC[0x00]
+            bw.put(code, ln)
+
+    for ci in range(3):
+        out += sos([ci + 1], 1, 63)
+        bw = _BitWriter()
+        for by in range(2):
+            for bx in range(2):
+                put_ac_band(bw, zz_all[ci][by][bx])
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg_pixels(bytes(out))
+    assert got is not None and got.shape == (16, 16, 3)
+    want = ycbcr_to_rgb(
+        expected[0].astype(np.float64),
+        expected[1].astype(np.float64),
+        expected[2].astype(np.float64),
+    )
+    assert np.array_equal(got, want)
 
 
 def test_image_pixel_features_scores_jpeg():
@@ -326,9 +439,9 @@ def test_decode_real_jpegs_vs_java_imageio(spark):
     chroma-detailed images land near mean 1.8), so the bound is
     mean |diff| < 2.5 and p99 <= 12 per image, with at least two images
     agreeing tightly (mean < 0.2) to prove the pipeline isn't merely
-    "close". Shapes must match exactly; progressive files (grayscale.jpg
-    is SOF2) must return None, not misdecode. Skips if the sample images
-    aren't present."""
+    "close". Shapes must match exactly. The set includes a real
+    progressive file (grayscale.jpg, SOF2 with refinement scans — agrees
+    at mean 0.018 / max 1). Skips if the sample images aren't present."""
     import glob
     import os
 
