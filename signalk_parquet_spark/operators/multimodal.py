@@ -8,12 +8,14 @@ WAV parser, and an ISO-BMFF box walker for MP4 video (moov/mvhd duration,
 tkhd dimensions) are registered into DECODERS at import. PIL backstops
 image formats the header parser can't read (import-gated). PIXEL access
 is real for 8-bit PNG (stdlib zlib + numpy unfiltering —
-decode_png_pixels) and JPEG — baseline AND progressive (operators/
-jpeg.py: full T.81 marker/Huffman/zigzag/IDCT path incl. Annex G
-successive approximation, exact-round-trip tested and cross-validated
-against Java ImageIO) — both under DECODERS["image_pixels"] via
-image_pixel_features; video FRAME decode still needs a codec library —
-plug it in the same way.
+decode_png_pixels), JPEG — baseline AND progressive (operators/jpeg.py:
+full T.81 marker/Huffman/zigzag/IDCT path incl. Annex G successive
+approximation, exact-round-trip tested and cross-validated against Java
+ImageIO), GIF (operators/raster.py: full LZW, interlace, transparency —
+bit-identical to ImageIO on real files), and BMP (BI_RGB 8/24/32) — all
+under DECODERS["image_pixels"] via image_pixel_features, covering every
+format sniff_format knows; video FRAME decode still needs a codec
+library — plug it in the same way.
 
 Scale design: media rows are large, so operators here
   - never collect() or explode binaries;
@@ -360,10 +362,20 @@ def image_pixel_features(payload: bytes) -> list[float]:
     import numpy as np
 
     px = decode_png_pixels(payload)
-    if px is None and sniff_format(payload) == "jpeg":
-        from .jpeg import decode_jpeg_pixels
+    if px is None:
+        fmt = sniff_format(payload)
+        if fmt == "jpeg":
+            from .jpeg import decode_jpeg_pixels
 
-        px = decode_jpeg_pixels(payload)
+            px = decode_jpeg_pixels(payload)
+        elif fmt == "gif":
+            from .raster import decode_gif_pixels
+
+            px = decode_gif_pixels(payload)
+        elif fmt == "bmp":
+            from .raster import decode_bmp_pixels
+
+            px = decode_bmp_pixels(payload)
     if px is None:
         return [float("nan")] * 7
     h, w, c = px.shape

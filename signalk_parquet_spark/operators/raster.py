@@ -1,0 +1,205 @@
+"""GIF and BMP pixel decoders — pure Python + numpy, no codec library.
+
+GIF (GIF87a/GIF89a): logical screen + global/local color tables, full LZW
+decompression (variable code width, clear/end codes, 12-bit cap),
+interlaced row order, GIF89a graphic-control transparency (decoded to an
+alpha channel); the FIRST frame of animated files, blitted onto the
+screen-sized canvas. BMP: BITMAPINFOHEADER BI_RGB (uncompressed) at
+8/24/32 bpp, bottom-up or top-down, 4-byte row padding, palette for
+8-bit. Out-of-coverage variants return None — the decode_png_pixels
+quarantine contract.
+
+With these, DECODERS["image_pixels"] scores real pixels for every format
+`sniff_format` recognizes (PNG, JPEG baseline+progressive, GIF, BMP).
+Derived from the public GIF89a specification and the public Windows BMP
+layout; cross-validated against Java ImageIO on real files
+(tests/test_raster.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF-flavor LZW: LSB-first variable-width codes, clear/end controls,
+    dictionary capped at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        d = [bytes([i]) for i in range(clear)] + [b"", b""]
+        return d
+
+    dict_ = fresh()
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # truncated streams end silently (common in wild)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            dict_ = fresh()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(dict_):
+                raise ValueError("bad first LZW code")
+            out += dict_[code]
+            prev = code
+            continue
+        if code < len(dict_):
+            entry = dict_[code]
+        elif code == len(dict_):
+            entry = dict_[prev] + dict_[prev][:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if len(dict_) < 4096:
+            dict_.append(dict_[prev] + entry[:1])
+            if len(dict_) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+
+
+#: interlaced GIF row passes: (start, step)
+_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes):
+    """First frame of a GIF as (H, W, C) uint8 — C=4 (RGBA) when the frame
+    declares a transparent index, else C=3."""
+    import numpy as np
+
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        return None
+    try:
+        w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        transparent = None
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                return None  # no image block found
+            if b == 0x21:  # extension
+                label = payload[i + 1]
+                j = i + 2
+                if label == 0xF9 and payload[j] >= 4:  # graphic control
+                    packed = payload[j + 1]
+                    if packed & 0x01:
+                        transparent = payload[j + 4]
+                while payload[j]:  # sub-blocks until terminator
+                    j += 1 + payload[j]
+                i = j + 1
+                continue
+            if b != 0x2C:  # image descriptor expected
+                return None
+            left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+            i += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                return None
+            min_code = payload[i]
+            i += 1
+            lzw = bytearray()
+            while payload[i]:
+                ln = payload[i]
+                lzw += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1  # block terminator
+            idx = _lzw_decode(min_code, bytes(lzw))
+            if len(idx) < fw * fh:
+                idx = idx + bytearray(fw * fh - len(idx))
+            frame = np.frombuffer(bytes(idx[: fw * fh]), dtype=np.uint8).reshape(fh, fw)
+            if iflags & 0x40:  # interlaced: reorder rows
+                out_rows = np.zeros_like(frame)
+                src = 0
+                for start, step in _INTERLACE:
+                    for row in range(start, fh, step):
+                        out_rows[row] = frame[src]
+                        src += 1
+                frame = out_rows
+            # canvas: background color (or 0), first frame blitted at offset
+            canvas = np.full((h, w), bg if gct is not None and bg < len(gct) else 0,
+                             dtype=np.uint8)
+            canvas[top : top + fh, left : left + fw] = frame
+            safe = np.minimum(canvas, len(ct) - 1)
+            rgb = ct[safe]
+            if transparent is None:
+                return rgb
+            alpha = np.where(canvas == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Uncompressed (BI_RGB) BITMAPINFOHEADER BMP at 8/24/32 bpp as
+    (H, W, C) uint8 (C=3 RGB, or 4 RGBA for 32 bpp)."""
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        return None
+    try:
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size < 40:
+            return None
+        w, h_raw = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        (compression,) = struct.unpack("<I", payload[30:34])
+        if compression != 0 or planes != 1 or bpp not in (8, 24, 32) or w <= 0:
+            return None
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        if h == 0:
+            return None
+        palette = None
+        if bpp == 8:
+            (ncol,) = struct.unpack("<I", payload[46:50])
+            ncol = ncol or 256
+            pal_off = 14 + hdr_size
+            raw = np.frombuffer(
+                payload[pal_off : pal_off + 4 * ncol], dtype=np.uint8
+            ).reshape(ncol, 4)
+            palette = raw[:, [2, 1, 0]]  # BGRx -> RGB
+        stride = (w * (bpp // 8) + 3) & ~3
+        rows = []
+        for r in range(h):
+            off = data_off + r * stride
+            rows.append(np.frombuffer(payload[off : off + w * (bpp // 8)],
+                                      dtype=np.uint8))
+        img = np.stack(rows)
+        if not top_down:
+            img = img[::-1]
+        if bpp == 8:
+            return palette[np.minimum(img, len(palette) - 1)]
+        img = img.reshape(h, w, bpp // 8)
+        if bpp == 24:
+            return img[:, :, [2, 1, 0]]  # BGR -> RGB
+        return img[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+    except (struct.error, IndexError, ValueError):
+        return None

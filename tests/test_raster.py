@@ -1,0 +1,219 @@
+"""GIF/BMP pixel decoders (operators/raster.py). LZW and BMP are lossless,
+so every assertion here is exact equality — synthetic files against the
+source pixels, real files against Java ImageIO bit-for-bit."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from signalk_parquet_spark.operators.raster import (
+    decode_bmp_pixels,
+    decode_gif_pixels,
+)
+
+# --- minimal GIF encoder (uncompressed-style LZW: emit literal codes, send
+# CLEAR before the dictionary would force a wider code) ----------------------
+
+
+def _lzw_encode_literals(min_code: int, indices) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    dict_size = end + 1
+    for v in indices:
+        put(int(v))
+        dict_size += 1
+        if dict_size == (1 << code_size) - 1:  # stay at the fixed width
+            put(clear)
+            dict_size = end + 1
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def make_gif(indices, palette, interlaced=False, transparent=None) -> bytes:
+    h, w = indices.shape
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    pal = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    rows = indices
+    if interlaced:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        rows = indices[order]
+    min_code = max(2, size_field + 1)
+    out.append(min_code)
+    out += _sub_blocks(_lzw_encode_literals(min_code, rows.flatten()))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def make_bmp(img: np.ndarray, bpp: int, top_down=False, palette=None) -> bytes:
+    h, w = img.shape[:2]
+    stride = (w * (bpp // 8) + 3) & ~3
+    pal_bytes = b""
+    if bpp == 8:
+        pal = np.zeros((256, 4), dtype=np.uint8)
+        pal[: len(palette), :3] = palette[:, [2, 1, 0]]  # RGB -> BGRx
+        pal_bytes = pal.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    body = bytearray()
+    rows = img if top_down else img[::-1]
+    for r in range(h):
+        if bpp == 8:
+            line = rows[r].tobytes()
+        elif bpp == 24:
+            line = rows[r][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+        else:
+            line = rows[r][:, [2, 1, 0, 3]].tobytes()  # RGBA -> BGRA
+        body += line + b"\x00" * (stride - len(line))
+    out = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(body), 2835, 2835, 256 if bpp == 8 else 0, 0,
+    )
+    return out + pal_bytes + bytes(body)
+
+
+_PALETTE = np.array(
+    [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0],
+     [0, 255, 255], [255, 0, 255], [200, 100, 50]], dtype=np.uint8
+)
+
+
+def test_gif_synthetic_lzw_roundtrip_exact():
+    rng = np.random.RandomState(4)
+    idx = rng.randint(0, 8, size=(17, 23)).astype(np.uint8)
+    got = decode_gif_pixels(make_gif(idx, _PALETTE))
+    assert got is not None and got.shape == (17, 23, 3)
+    assert np.array_equal(got, _PALETTE[idx])
+
+
+def test_gif_interlaced_and_transparent_exact():
+    rng = np.random.RandomState(9)
+    idx = rng.randint(0, 8, size=(16, 10)).astype(np.uint8)
+    got = decode_gif_pixels(make_gif(idx, _PALETTE, interlaced=True, transparent=3))
+    assert got is not None and got.shape == (16, 10, 4)
+    assert np.array_equal(got[:, :, :3], _PALETTE[idx])
+    assert np.array_equal(got[:, :, 3], np.where(idx == 3, 0, 255))
+
+
+def test_gif_real_files_match_imageio_bit_for_bit(spark):
+    """LZW is lossless: the decoder must agree with Java ImageIO EXACTLY on
+    real GIF files (including palette lookup and RGBA transparency)."""
+    paths = sorted(glob.glob("/root/miniconda/lib/tk8.6/images/*.gif"))
+    if not paths:
+        pytest.skip("no sample GIFs on this machine")
+    rows = spark.read.format("image").load(paths).select("image.*").collect()
+    compared = 0
+    rgba_seen = 0
+    for r in rows:
+        raw = open(r["origin"].replace("file:", ""), "rb").read()
+        mine = decode_gif_pixels(raw)
+        assert mine is not None, r["origin"]
+        nch = r["nChannels"]
+        ref = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(
+            r["height"], r["width"], nch
+        )
+        ref = ref[:, :, [2, 1, 0]] if nch == 3 else ref[:, :, [2, 1, 0, 3]]
+        assert mine.shape == ref.shape, r["origin"]
+        assert np.array_equal(mine, ref), r["origin"]
+        compared += 1
+        rgba_seen += nch == 4
+    assert compared >= 3 and rgba_seen >= 1
+
+
+@pytest.mark.parametrize("bpp,top_down", [(24, False), (24, True), (32, False)])
+def test_bmp_truecolor_roundtrip_exact(bpp, top_down):
+    rng = np.random.RandomState(bpp + top_down)
+    c = 4 if bpp == 32 else 3
+    img = rng.randint(0, 256, size=(9, 13, c)).astype(np.uint8)
+    got = decode_bmp_pixels(make_bmp(img, bpp, top_down=top_down))
+    assert got is not None
+    assert np.array_equal(got, img)
+
+
+def test_bmp_palette_roundtrip_exact():
+    rng = np.random.RandomState(12)
+    idx = rng.randint(0, 8, size=(7, 11)).astype(np.uint8)
+    got = decode_bmp_pixels(make_bmp(idx, 8, palette=_PALETTE))
+    assert got is not None
+    assert np.array_equal(got, _PALETTE[idx])
+
+
+def test_bmp_generated_file_matches_imageio(spark, tmp_path):
+    """Sanity that make_bmp writes REAL BMPs: Java ImageIO reads one back
+    bit-for-bit, so the round-trip above isn't two mirrored bugs."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(12, 12, 3)).astype(np.uint8)
+    p = tmp_path / "x.bmp"
+    p.write_bytes(make_bmp(img, 24))
+    r = spark.read.format("image").load(str(p)).select("image.*").collect()[0]
+    ref = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(
+        r["height"], r["width"], r["nChannels"]
+    )[:, :, [2, 1, 0]]
+    assert np.array_equal(ref, img)
+    assert np.array_equal(decode_bmp_pixels(p.read_bytes()), img)
+
+
+def test_unsupported_variants_return_none():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    bmp = bytearray(make_bmp(img, 24))
+    bmp[30] = 1  # BI_RLE8 compression
+    assert decode_bmp_pixels(bytes(bmp)) is None
+    bmp = bytearray(make_bmp(img, 24))
+    bmp[28] = 16  # 16 bpp
+    assert decode_bmp_pixels(bytes(bmp)) is None
+    gif = make_gif(np.zeros((4, 4), dtype=np.uint8), _PALETTE)
+    assert decode_gif_pixels(gif[:20]) is None  # truncated before image data
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_bmp_pixels(b"BM") is None
+
+
+def test_image_pixel_features_scores_gif_and_bmp():
+    from signalk_parquet_spark.operators.multimodal import image_pixel_features
+
+    idx = np.tile(np.arange(8, dtype=np.uint8), (8, 1))
+    f_gif = image_pixel_features(make_gif(idx, _PALETTE))
+    assert f_gif[:3] == [8.0, 8.0, 3.0] and not np.isnan(f_gif[3])
+    img = _PALETTE[idx]
+    f_bmp = image_pixel_features(make_bmp(img, 24))
+    assert f_bmp[:3] == [8.0, 8.0, 3.0] and f_bmp[3] == f_gif[3]
