@@ -90,6 +90,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
                 "host": host,
+                # r4e: run order switched from sorted() to registration
+                # order — per-query numbers are NOT comparable to pre-r4e
+                # benches where session-memo build costs were charged to
+                # whichever family member sorted first (see CLAUDE.md)
+                "order": "registration",
             }
         )
     )
