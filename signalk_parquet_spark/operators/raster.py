@@ -203,3 +203,116 @@ def decode_bmp_pixels(payload: bytes):
         return img[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
     except (struct.error, IndexError, ValueError):
         return None
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 64):
+    """Decode UP TO ``max_frames`` composited frames of a (possibly
+    animated) GIF as a list of (H, W, 3) uint8 arrays — real frame
+    sampling, not metadata. Implements the GIF89a animation model: each
+    frame draws its non-transparent pixels onto the logical-screen canvas
+    at its offset; disposal method 2 restores the background color in the
+    frame rect afterwards, method 3 restores the pre-draw canvas. Returns
+    None outside coverage (the decode_gif_pixels contract)."""
+    import numpy as np
+
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        return None
+    try:
+        w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+        canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+        frames = []
+        transparent = None
+        disposal = 0
+        while i < len(payload) and len(frames) < max_frames:
+            b = payload[i]
+            if b == 0x3B:
+                break
+            if b == 0x21:
+                label = payload[i + 1]
+                j = i + 2
+                if label == 0xF9 and payload[j] >= 4:
+                    packed = payload[j + 1]
+                    transparent = payload[j + 4] if packed & 0x01 else None
+                    disposal = (packed >> 2) & 0x07
+                while payload[j]:
+                    j += 1 + payload[j]
+                i = j + 1
+                continue
+            if b != 0x2C:
+                return None
+            left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+            i += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                return None
+            min_code = payload[i]
+            i += 1
+            lzw = bytearray()
+            while payload[i]:
+                ln = payload[i]
+                lzw += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = _lzw_decode(min_code, bytes(lzw))
+            if len(idx) < fw * fh:
+                idx = idx + bytearray(fw * fh - len(idx))
+            frame = np.frombuffer(bytes(idx[: fw * fh]), dtype=np.uint8).reshape(fh, fw)
+            if iflags & 0x40:
+                out_rows = np.zeros_like(frame)
+                src = 0
+                for start, step in _INTERLACE:
+                    for row in range(start, fh, step):
+                        out_rows[row] = frame[src]
+                        src += 1
+                frame = out_rows
+            before = canvas[top : top + fh, left : left + fw].copy()
+            safe = np.minimum(frame, len(ct) - 1)
+            rgb = ct[safe]
+            if transparent is not None:
+                opaque = frame != transparent
+                region = canvas[top : top + fh, left : left + fw]
+                region[opaque] = rgb[opaque]
+            else:
+                canvas[top : top + fh, left : left + fw] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background color in the frame rect
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            elif disposal == 3:  # restore pre-draw canvas
+                canvas[top : top + fh, left : left + fw] = before
+            transparent = None
+            disposal = 0
+        return frames if frames else None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def resize_box(px, out_h: int, out_w: int):
+    """Integer box-filter resize of an (H, W, C) uint8 array: each output
+    pixel is the floor-mean of its source box. Exact integer arithmetic
+    (sums in int64), deterministic across platforms — the thumbnailing
+    step of a media feature pipeline."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    # Summed-area table: every box sum in one vectorized gather.
+    sat = np.zeros((h + 1, w + 1) + px.shape[2:], dtype=np.int64)
+    sat[1:, 1:] = px.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    y0, y1 = ys[:-1, None], ys[1:, None]
+    x0, x1 = xs[None, :-1], xs[None, 1:]
+    sums = sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
+    cnt = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    cnt = cnt.reshape(cnt.shape + (1,) * (px.ndim - 2))
+    return (sums // cnt).astype(np.uint8)

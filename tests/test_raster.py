@@ -217,3 +217,105 @@ def test_image_pixel_features_scores_gif_and_bmp():
     img = _PALETTE[idx]
     f_bmp = image_pixel_features(make_bmp(img, 24))
     assert f_bmp[:3] == [8.0, 8.0, 3.0] and f_bmp[3] == f_gif[3]
+
+
+def make_animated_gif(screen_hw, frames, palette) -> bytes:
+    """frames: list of (indices, left, top, transparent, disposal)."""
+    h, w = screen_hw
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    pal = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out += pal.tobytes()
+    min_code = max(2, size_field + 1)
+    for idx, left, top, transparent, disposal in frames:
+        fh, fw = idx.shape
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0, transparent or 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0)
+        out.append(min_code)
+        out += _sub_blocks(_lzw_encode_literals(min_code, idx.flatten()))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_animation_compositing_exact():
+    """Three frames exercising the GIF89a animation model: a partial-rect
+    draw with transparency (frame 2 leaves frame 1's pixels showing
+    through), then disposal=2 restoring background under frame 3."""
+    from signalk_parquet_spark.operators.raster import decode_gif_frames
+
+    f1 = np.full((8, 8), 1, dtype=np.uint8)           # all red
+    f2 = np.full((4, 4), 2, dtype=np.uint8)           # green block at (2,2)
+    f2[1, 1] = 7                                      # transparent hole
+    f3 = np.full((2, 2), 4, dtype=np.uint8)           # yellow block at (0,0)
+    gif = make_animated_gif(
+        (8, 8),
+        [
+            (f1, 0, 0, None, 0),
+            (f2, 2, 2, 7, 2),   # transparent idx 7, disposal: restore bg
+            (f3, 0, 0, None, 0),
+        ],
+        _PALETTE,
+    )
+    frames = decode_gif_frames(gif)
+    assert frames is not None and len(frames) == 3
+    # frame 1: all red
+    want1 = np.broadcast_to(_PALETTE[1], (8, 8, 3))
+    assert np.array_equal(frames[0], want1)
+    # frame 2: red canvas, green 4x4 at (2,2) with the hole showing red
+    want2 = want1.copy()
+    want2[2:6, 2:6] = _PALETTE[2]
+    want2[3, 3] = _PALETTE[1]
+    assert np.array_equal(frames[1], want2)
+    # frame 3: disposal=2 restored bg (palette[0]) under frame 2's rect
+    want3 = want1.copy()
+    want3[2:6, 2:6] = _PALETTE[0]
+    want3[0:2, 0:2] = _PALETTE[4]
+    assert np.array_equal(frames[2], want3)
+
+
+def test_resize_box_exact_integer_means():
+    from signalk_parquet_spark.operators.raster import resize_box
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)[:, :, None].repeat(3, axis=2)
+    out = resize_box(px, 2, 2)
+    assert out.shape == (2, 2, 3)
+    # each quadrant's floor-mean, computed independently
+    for oy in range(2):
+        for ox in range(2):
+            box = px[oy * 4 : oy * 4 + 4, ox * 4 : ox * 4 + 4, 0].astype(int)
+            assert out[oy, ox, 0] == box.sum() // box.size
+    # non-divisible shapes: 5x3 -> 2x2 exercises uneven box edges
+    odd = np.arange(15, dtype=np.uint8).reshape(5, 3)
+    got = resize_box(odd, 2, 2)
+    ys, xs = [0, 2, 5], [0, 1, 3]
+    for oy in range(2):
+        for ox in range(2):
+            box = odd[ys[oy] : ys[oy + 1], xs[ox] : xs[ox + 1]].astype(int)
+            assert got[oy, ox] == box.sum() // box.size
+
+
+def test_frame_sample_features_operator(spark):
+    """The explode-decode-resize-score pipeline over a media DataFrame:
+    an animated GIF yields one row per sampled frame; a non-GIF payload
+    yields none."""
+    from signalk_parquet_spark.operators.multimodal import frame_sample_features
+
+    f1 = np.full((8, 8), 1, dtype=np.uint8)
+    f2 = np.full((8, 8), 3, dtype=np.uint8)
+    gif = make_animated_gif((8, 8), [(f1, 0, 0, None, 0), (f2, 0, 0, None, 0)], _PALETTE)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not media"))],
+        "media_id long, payload binary",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r for r in
+            frame_sample_features(df, every_n=1, max_frames=8).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["n_frames"] == 2
+    # frame 1 is solid red, frame 2 solid blue: luma means differ, stds 0
+    m1, s1 = rows[(1, 0)]["features"][:2]
+    m2, s2 = rows[(1, 1)]["features"][:2]
+    assert s1 < 1e-9 and s2 < 1e-9 and m1 != m2  # std of a solid frame ~ 0 (fp residue)
