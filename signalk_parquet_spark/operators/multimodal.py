@@ -79,6 +79,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     return None
@@ -179,7 +181,22 @@ def parse_video_header(payload: bytes) -> dict | None:
     (16.16 fixed-point presentation width/height, track count). Pure-Python
     box parsing — the frame/codec payload is untouched, matching the
     PNG/WAV header-decoder approach (no codec library in this container).
-    Returns None for anything that isn't parseable MP4."""
+    Returns None for anything that isn't parseable MP4 or AVI (AVI rides
+    operators/video.parse_avi_header, mapped onto the same keys with
+    n_tracks = the AVI stream count)."""
+    if sniff_format(payload) == "avi":
+        from .video import parse_avi_header
+
+        meta = parse_avi_header(payload)
+        if meta is None:
+            return None
+        return {
+            "format": "avi",
+            "width": meta["width"],
+            "height": meta["height"],
+            "duration_s": meta["duration_s"],
+            "n_tracks": meta["n_streams"],
+        }
     if sniff_format(payload) != "mp4":
         return None
     try:
@@ -513,23 +530,46 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     ).withColumn("frame_ts_s", F.col("frame_idx") * every_s)
 
 
+def _sampled_frames(payload: bytes, every_n: int, max_frames: int):
+    """Dispatch real frame decode by container → (n_frames, [(idx, array)])
+    or None. GIF decodes sequentially up to max_frames (the animation model
+    composites, so n_frames counts DECODED frames) then samples; MJPEG-AVI
+    counts all chunks but entropy-decodes only the sampled ones."""
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        from .raster import decode_gif_frames
+
+        frames = decode_gif_frames(payload, max_frames=max_frames)
+        if not frames:
+            return None
+        return len(frames), [
+            (i, frames[i]) for i in range(0, len(frames), every_n)
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .video import decode_avi_frames
+
+        return decode_avi_frames(payload, max_frames=max_frames, every_n=every_n)
+    return None
+
+
 def frame_sample_features(
     df: DataFrame,
     every_n: int = 1,
     max_frames: int = 16,
     thumb: tuple[int, int] = (8, 8),
 ) -> DataFrame:
-    """REAL frame sampling: each animated-image row explodes into one row
-    per sampled frame with a feature vector computed from the decoded,
+    """REAL frame sampling: each video/animated-image row explodes into one
+    row per sampled frame with a feature vector computed from the decoded,
     box-resized frame — decode → frame-sample → resize → feature-extract,
-    the full video-style pipeline, real end-to-end for the one animated
-    container decodable without codec libraries (GIF). Rows whose payload
-    isn't a decodable GIF yield zero rows (quarantine-by-omission; the
-    metadata-level frame_sample_plan covers codec formats).
+    the full video pipeline, real end-to-end for the containers decodable
+    without codec libraries (animated GIF; MJPEG-in-AVI via the JPEG
+    decoder). Rows whose payload isn't decodable yield zero rows
+    (quarantine-by-omission; the metadata-level frame_sample_plan covers
+    codec formats).
 
     Per frame: (frame_idx, n_frames, mean/std/min/max of the BT.601 luma
-    of the ``thumb``-sized box-resized frame). One Arrow map stage, no
-    shuffle; memory bounded by max_frames x frame size per row."""
+    of the ``thumb``-sized box-resized frame; grayscale frames use the
+    channel directly). One Arrow map stage, no shuffle; memory bounded by
+    max_frames x frame size per row."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -543,26 +583,30 @@ def frame_sample_features(
     th, tw = thumb
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .raster import decode_gif_frames, resize_box
+        from .raster import resize_box
 
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_gif_frames(bytes(payload), max_frames=max_frames)
-                if not frames:
+                sampled = _sampled_frames(bytes(payload), every_n, max_frames)
+                if sampled is None:
                     continue
-                for idx in range(0, len(frames), every_n):
-                    small = resize_box(frames[idx], th, tw).astype(np.float64)
-                    luma = (
-                        0.299 * small[:, :, 0]
-                        + 0.587 * small[:, :, 1]
-                        + 0.114 * small[:, :, 2]
-                    )
+                n_frames, frames = sampled
+                for idx, px in frames:
+                    small = resize_box(px, th, tw).astype(np.float64)
+                    if small.ndim == 3 and small.shape[2] >= 3:
+                        luma = (
+                            0.299 * small[:, :, 0]
+                            + 0.587 * small[:, :, 1]
+                            + 0.114 * small[:, :, 2]
+                        )
+                    else:
+                        luma = small.reshape(small.shape[0], small.shape[1], -1)[:, :, 0]
                     rows.append(
                         (
                             int(media_id),
                             idx,
-                            len(frames),
+                            n_frames,
                             [
                                 float(luma.mean()),
                                 float(luma.std()),

@@ -1,0 +1,159 @@
+"""AVI (RIFF) container walking and MJPEG video frame decode — pure
+Python + numpy, no codec library.
+
+This extends the media family (operators/multimodal.py, operators/jpeg.py,
+operators/raster.py) with REAL video-frame decode for the one video codec
+whose frames are decodable with what this repo already has: MJPEG (each
+frame chunk is a self-contained baseline JPEG; OpenDML AVI files may omit
+the Huffman tables, which operators/jpeg.py now backfills with the T.81
+Annex K defaults per the MJPEG convention). Compressed inter-frame codecs
+(H.26x/VP9/AV1) remain codec-library territory and return None — callers
+quarantine, never crash (the decode_png_pixels contract).
+
+Everything here derives from the public AVI RIFF layout (MainAVIHeader /
+AVISTREAMHEADER / BITMAPINFOHEADER as documented in the Microsoft
+multimedia file-format specs and the OpenDML AVI extension): 'hdrl' holds
+the headers, 'movi' holds '##dc'/'##db' frame chunks for stream ##,
+word-aligned; 'rec ' LISTs may group interleaved chunks.
+
+Scale note: container walking is cheap metadata work; JPEG entropy decode
+is the cost and is per-frame independent, so frame sampling decodes ONLY
+the sampled frames (unlike GIF, whose animation model forces sequential
+compositing). Runs inside Arrow-batched map stages — one task per media
+partition, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: fourccs that mean "each video chunk is a standalone JPEG"
+_MJPEG_CODECS = {"MJPG", "MJPEG", "DMB1"}
+
+
+def _iter_riff(buf: bytes, start: int, end: int):
+    """Walk RIFF chunks in buf[start:end] → (fourcc, body_start, body_end).
+    Chunks are word-aligned: an odd-sized body is followed by a pad byte."""
+    i = start
+    while i + 8 <= end:
+        cid = buf[i : i + 4]
+        (size,) = struct.unpack("<I", buf[i + 4 : i + 8])
+        body = i + 8
+        if body + size > end:
+            return
+        yield cid, body, body + size
+        i = body + size + (size & 1)
+
+
+def parse_avi_header(payload: bytes) -> dict | None:
+    """Real AVI container decode of the header fields: dimensions, fps,
+    frame count, codec fourcc, stream count, duration. Works for ANY
+    codec (metadata never needs the codec); returns None for anything
+    that isn't parseable AVI."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    try:
+        out: dict = {
+            "format": "avi", "width": None, "height": None, "fps": None,
+            "n_frames": None, "codec": None, "n_streams": 0,
+            "duration_s": None, "video_stream": None,
+        }
+        stream_no = -1
+        for cid, body, cend in _iter_riff(payload, 12, len(payload)):
+            if cid != b"LIST" or payload[body : body + 4] != b"hdrl":
+                continue
+            for c2, b2, e2 in _iter_riff(payload, body + 4, cend):
+                if c2 == b"avih":
+                    (us_per_frame, _maxbps, _pad, _flags, total, _init,
+                     streams, _bufsz, w, h) = struct.unpack(
+                        "<10I", payload[b2 : b2 + 40]
+                    )
+                    out["n_streams"] = streams
+                    out["n_frames"] = total
+                    out["width"], out["height"] = w, h
+                    if us_per_frame:
+                        out["fps"] = 1e6 / us_per_frame
+                elif c2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                    stream_no += 1
+                    fcc_type = fcc_handler = compression = None
+                    scale = rate = length = None
+                    for c3, b3, _e3 in _iter_riff(payload, b2 + 4, e2):
+                        if c3 == b"strh":
+                            fcc_type = payload[b3 : b3 + 4]
+                            fcc_handler = payload[b3 + 4 : b3 + 8]
+                            scale, rate = struct.unpack(
+                                "<II", payload[b3 + 20 : b3 + 28]
+                            )
+                            (length,) = struct.unpack(
+                                "<I", payload[b3 + 32 : b3 + 36]
+                            )
+                        elif c3 == b"strf" and fcc_type == b"vids":
+                            # BITMAPINFOHEADER: biCompression at offset 16
+                            compression = payload[b3 + 16 : b3 + 20]
+                    if fcc_type == b"vids" and out["video_stream"] is None:
+                        out["video_stream"] = stream_no
+                        codec = (
+                            (compression or fcc_handler or b"")
+                            .decode("ascii", "replace")
+                            .strip("\x00 ")
+                            .upper()
+                        )
+                        out["codec"] = codec or None
+                        if rate and scale:
+                            out["fps"] = rate / scale
+                        if length:
+                            out["n_frames"] = length
+                            if rate and scale:
+                                out["duration_s"] = length * scale / rate
+            return out if out["n_streams"] else None
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _movi_chunks(payload: bytes, start: int, end: int, want: set):
+    for cid, body, cend in _iter_riff(payload, start, end):
+        if cid == b"LIST":  # 'rec ' interleave groups
+            yield from _movi_chunks(payload, body + 4, cend, want)
+        elif cid in want and cend > body:
+            yield payload[body:cend]
+
+
+def iter_video_chunks(payload: bytes, stream_no: int):
+    """Yield the raw frame chunks ('##dc'/'##db') of one video stream, in
+    container order, descending into 'rec ' interleave groups."""
+    want = {b"%02ddb" % stream_no, b"%02ddc" % stream_no}
+    for cid, body, cend in _iter_riff(payload, 12, len(payload)):
+        if cid == b"LIST" and payload[body : body + 4] == b"movi":
+            yield from _movi_chunks(payload, body + 4, cend, want)
+
+
+def decode_avi_frames(
+    payload: bytes, max_frames: int = 64, every_n: int = 1
+):
+    """REAL video frame decode for MJPEG-in-AVI: every ``every_n``-th frame
+    chunk of the first video stream is decoded as a standalone JPEG, up to
+    ``max_frames`` sampled frames. Frames are independent (no inter-frame
+    prediction in MJPEG), so only the SAMPLED frames pay entropy-decode
+    cost; the rest are skipped at container level.
+
+    Returns ``(n_frames_total, [(frame_idx, (H, W, C) uint8 array), ...])``
+    with C=1 grayscale or C=3 RGB, or None outside coverage (not AVI, no
+    video stream, or a non-MJPEG codec)."""
+    meta = parse_avi_header(payload)
+    if meta is None or meta["video_stream"] is None:
+        return None
+    if (meta["codec"] or "") not in _MJPEG_CODECS:
+        return None
+    from .jpeg import decode_jpeg_pixels
+
+    frames = []
+    total = 0
+    for idx, chunk in enumerate(iter_video_chunks(payload, meta["video_stream"])):
+        total += 1
+        if idx % every_n or len(frames) >= max_frames:
+            continue
+        px = decode_jpeg_pixels(chunk)
+        if px is not None:
+            frames.append((idx, px))
+    return (total, frames) if frames else None

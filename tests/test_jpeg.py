@@ -89,10 +89,10 @@ def _quantize_block(block, qtab):
     return out
 
 
-def _encode_block(bw, zz, pred):
+def _encode_block(bw, zz, pred, dc_enc=_DC_ENC, ac_enc=_AC_ENC):
     dc_diff = zz[0] - pred
     s = abs(dc_diff).bit_length()
-    ln, code = _DC_ENC[s]
+    ln, code = dc_enc[s]
     bw.put(code, ln)
     if s:
         v = dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1
@@ -107,17 +107,17 @@ def _encode_block(bw, zz, pred):
             run += 1
             continue
         while run > 15:
-            ln, code = _AC_ENC[0xF0]
+            ln, code = ac_enc[0xF0]
             bw.put(code, ln)
             run -= 16
         s = abs(zz[k]).bit_length()
-        ln, code = _AC_ENC[(run << 4) | s]
+        ln, code = ac_enc[(run << 4) | s]
         bw.put(code, ln)
         v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
         bw.put(v, s)
         run = 0
     if last_nz < 63:
-        ln, code = _AC_ENC[0x00]  # EOB
+        ln, code = ac_enc[0x00]  # EOB
         bw.put(code, ln)
     return zz[0]
 
@@ -153,12 +153,18 @@ def _pad_to(plane, mh, mw):
     return out
 
 
-def encode_jpeg(planes, h, w, sampling, qtabs, restart_interval=0):
+def encode_jpeg(planes, h, w, sampling, qtabs, restart_interval=0,
+                dht_specs=None, table_ids=None, emit_dht=True):
     """Minimal baseline encoder. planes: list of (H_c, W_c) float arrays
     already at their component resolution (values 0..255); sampling:
     [(hi, vi)] per component; qtabs: per-component zigzag quant tables.
     Returns (jpeg_bytes, expected_planes) where expected_planes are the
-    decoder-arithmetic reconstructions at component resolution."""
+    decoder-arithmetic reconstructions at component resolution.
+
+    dht_specs: optional {(tc, th): (counts, symbols)} overriding the
+    default uniform-length tables; table_ids: per-component (dc_id, ac_id)
+    (default all (0, 0)); emit_dht=False omits every DHT segment (the
+    MJPEG no-tables convention — decoder must fall back to Annex K)."""
     ncomp = len(planes)
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
@@ -170,6 +176,13 @@ def encode_jpeg(planes, h, w, sampling, qtabs, restart_interval=0):
         padded.append(_pad_to(planes[ci], mcuy * 8 * cv, mcux * 8 * ch))
     expected = [np.zeros_like(p, dtype=np.uint8) for p in padded]
 
+    if table_ids is None:
+        table_ids = [(0, 0)] * ncomp
+    if dht_specs is None:
+        dht_specs = {(0, 0): (_DC_COUNTS, _DC_SYMBOLS),
+                     (1, 0): (_AC_COUNTS, _AC_SYMBOLS)}
+    enc = {key: _enc_table(*spec) for key, spec in dht_specs.items()}
+
     out = bytearray(b"\xff\xd8")
     out += _dqt(0, qtabs[0])
     if ncomp > 1:
@@ -179,13 +192,14 @@ def encode_jpeg(planes, h, w, sampling, qtabs, restart_interval=0):
         sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1],
                       0 if ci == 0 else 1])
     out += _seg(0xC0, sof)
-    out += _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
-    out += _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+    if emit_dht:
+        for (tc, th), (counts, symbols) in sorted(dht_specs.items()):
+            out += _dht(tc, th, list(counts), list(symbols))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])  # every component uses DC0/AC0
+        sos += bytes([ci + 1, (table_ids[ci][0] << 4) | table_ids[ci][1]])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
@@ -210,7 +224,10 @@ def encode_jpeg(planes, h, w, sampling, qtabs, restart_interval=0):
                     x0 = (mx * ch + bx) * 8
                     block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
                     zz = _quantize_block(block, q)
-                    pred[ci] = _encode_block(bw, zz, pred[ci])
+                    pred[ci] = _encode_block(
+                        bw, zz, pred[ci],
+                        enc[(0, table_ids[ci][0])], enc[(1, table_ids[ci][1])],
+                    )
                     coef = np.zeros((8, 8), dtype=np.float64)
                     for k in range(64):
                         r, c = ZIGZAG[k]
@@ -473,3 +490,121 @@ def test_decode_real_jpegs_vs_java_imageio(spark):
         compared += 1
         tight += d.mean() < 0.2
     assert compared >= 2 and tight >= 2  # real files, real agreement
+
+
+# --- T.81 Annex K default tables (the MJPEG no-DHT convention) -----------------
+
+
+def _codes_by_symbol(key):
+    from signalk_parquet_spark.operators.jpeg import ANNEX_K_HUFF
+
+    counts, symbols = ANNEX_K_HUFF[key]
+    return {sym: (ln, code) for (ln, code), sym in
+            _build_huffman(counts, symbols).items()}
+
+
+def test_annex_k_canonical_spot_values():
+    """Pin the embedded Annex K table data against code values the spec
+    itself publishes (T.81 Tables K.3-K.6 list every code string): luma AC
+    EOB=1010/4 and ZRL=11111111001/11, chroma AC EOB=00/2, the DC category
+    ladders, and the run0 size1/size2 AC codes."""
+    from signalk_parquet_spark.operators.jpeg import ANNEX_K_HUFF
+
+    for key, (counts, symbols) in ANNEX_K_HUFF.items():
+        assert sum(counts) == len(symbols) == (12 if key[0] == 0 else 162)
+        assert len(set(symbols)) == len(symbols)
+    dc_l = _codes_by_symbol((0, 0))
+    assert dc_l[0] == (2, 0b00) and dc_l[1] == (3, 0b010)
+    assert dc_l[6] == (4, 0b1110) and dc_l[11] == (9, 0b111111110)
+    dc_c = _codes_by_symbol((0, 1))
+    assert dc_c[0] == (2, 0b00) and dc_c[1] == (2, 0b01) and dc_c[2] == (2, 0b10)
+    assert dc_c[3] == (3, 0b110)
+    ac_l = _codes_by_symbol((1, 0))
+    assert ac_l[0x00] == (4, 0b1010)  # EOB
+    assert ac_l[0xF0] == (11, 0b11111111001)  # ZRL
+    assert ac_l[0x01] == (2, 0b00) and ac_l[0x02] == (2, 0b01)
+    ac_c = _codes_by_symbol((1, 1))
+    assert ac_c[0x00] == (2, 0b00)  # EOB
+    assert ac_c[0x01] == (2, 0b01)
+    assert ac_c[0xF0] == (10, 0b1111111010)  # ZRL
+
+
+def test_real_camera_files_use_annex_k_tables():
+    """Independent real-world pin: libjpeg-lineage encoders write the
+    Annex K tables verbatim unless Huffman optimization was requested, so
+    the Spark-distribution camera JPEGs should carry DHT segments equal to
+    the embedded defaults. Skips if no sample file has standard tables."""
+    import glob
+    import os
+
+    from signalk_parquet_spark.operators.jpeg import ANNEX_K_HUFF
+
+    root = os.environ.get("SPARK_HOME", "/opt/spark-4.1.2-bin-hadoop3")
+    paths = sorted(glob.glob(f"{root}/data/mllib/images/origin/**/*.jpg", recursive=True))
+    if not paths:
+        pytest.skip("no Spark sample images available")
+    matched = set()
+    for path in paths:
+        p = open(path, "rb").read()
+        i = 2
+        while i + 4 < len(p):
+            if p[i] != 0xFF:
+                break
+            m = p[i + 1]
+            if m in (0xD9, 0xDA):
+                break
+            (seglen,) = struct.unpack(">H", p[i + 2 : i + 4])
+            if m == 0xC4:
+                body = p[i + 4 : i + 2 + seglen]
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    counts = list(body[j + 1 : j + 17])
+                    nsym = sum(counts)
+                    symbols = list(body[j + 17 : j + 17 + nsym])
+                    if ANNEX_K_HUFF.get((tc, th)) == (counts, symbols):
+                        matched.add((tc, th))
+                    j += 17 + nsym
+            i += 2 + seglen
+    if not matched:
+        pytest.skip("no sample file carries the standard tables")
+    assert matched == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_no_dht_mjpeg_fallback_exact():
+    """An MJPEG-style frame with NO DHT segments decodes identically to its
+    tables-included twin: encode 4:2:0 color with the Annex K tables
+    (luma on DC0/AC0, chroma on DC1/AC1, the MJPEG component convention),
+    strip nothing vs omit every DHT, and require exact equality with the
+    encoder's decoder-arithmetic reconstruction."""
+    from signalk_parquet_spark.operators.jpeg import ANNEX_K_HUFF
+
+    rng = np.random.RandomState(23)
+    h = w = 16
+    y = _test_image(h, w, seed=23)
+    cb = np.clip(128.0 + rng.randint(-60, 60, size=(8, 8)), 0, 255).astype(np.float64)
+    cr = np.clip(128.0 + rng.randint(-60, 60, size=(8, 8)), 0, 255).astype(np.float64)
+    kwargs = dict(
+        dht_specs=dict(ANNEX_K_HUFF),
+        table_ids=[(0, 0), (1, 1), (1, 1)],
+    )
+    with_tables, exp = encode_jpeg(
+        [y, cb, cr], h, w, [(2, 2), (1, 1), (1, 1)], [_QLUMA, _QCHROMA], **kwargs
+    )
+    without, exp2 = encode_jpeg(
+        [y, cb, cr], h, w, [(2, 2), (1, 1), (1, 1)], [_QLUMA, _QCHROMA],
+        emit_dht=False, **kwargs
+    )
+    assert b"\xff\xc4" in with_tables and b"\xff\xc4" not in without
+    assert len(without) < len(with_tables)
+    got_t = decode_jpeg_pixels(with_tables)
+    got_n = decode_jpeg_pixels(without)
+    assert got_t is not None and got_n is not None
+    assert np.array_equal(got_t, got_n)
+    up = lambda p: np.kron(p, np.ones((2, 2)))  # replicate chroma to full res
+    want = ycbcr_to_rgb(
+        exp[0][:h, :w].astype(np.float64),
+        up(exp[1].astype(np.float64))[:h, :w],
+        up(exp[2].astype(np.float64))[:h, :w],
+    )
+    assert np.array_equal(got_n, want)

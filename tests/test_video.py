@@ -1,0 +1,168 @@
+"""AVI container walker + MJPEG frame decode (operators/video.py).
+
+The test file carries its own minimal AVI MUXER (RIFF chunks, hdrl
+avih/strl headers, movi frame chunks, word alignment, 'rec ' interleave
+groups) so the parser is exercised on independently-built containers, and
+frames are JPEGs from the test-side encoder in tests/test_jpeg.py — so
+frame decode asserts EXACT equality against the encoder's
+decoder-arithmetic reconstruction, the same bar as the still-image tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from signalk_parquet_spark.operators.video import (
+    decode_avi_frames,
+    iter_video_chunks,
+    parse_avi_header,
+)
+
+from tests.test_jpeg import _QLUMA, _test_image, encode_jpeg
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def make_avi(frames, w, h, fps=10, codec=b"MJPG", use_rec=False) -> bytes:
+    """Mux frame payloads into a single-video-stream AVI."""
+    avih = struct.pack(
+        "<10I", int(1e6 / fps), 0, 0, 0, len(frames), 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII", b"vids", codec, 0, 0, 0, 0,
+        1, fps, 0, len(frames), 0, 0, 0,
+    ) + b"\x00" * 8  # rcFrame
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, codec, 0, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    payload_chunks = [_chunk(b"00dc", f) for f in frames]
+    if use_rec:
+        movi = _list(b"movi", b"".join(_list(b"rec ", c) for c in payload_chunks))
+    else:
+        movi = _list(b"movi", b"".join(payload_chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _jpeg_frames(n, h=16, w=16):
+    """n encoder-built grayscale JPEG frames + exact expected pixel arrays."""
+    frames, wants = [], []
+    for k in range(n):
+        img = _test_image(h, w, seed=100 + k)
+        payload, exp = encode_jpeg([img], h, w, [(1, 1)], [_QLUMA])
+        frames.append(payload)
+        wants.append(exp[0][:h, :w][:, :, None])  # (H, W, 1) like the decoder
+    return frames, wants
+
+
+def test_parse_avi_header_fields():
+    frames, _ = _jpeg_frames(3)
+    avi = make_avi(frames, 16, 16, fps=25)
+    meta = parse_avi_header(avi)
+    assert meta == {
+        "format": "avi", "width": 16, "height": 16, "fps": 25.0,
+        "n_frames": 3, "codec": "MJPG", "n_streams": 1,
+        "duration_s": 3 / 25, "video_stream": 0,
+    }
+    assert parse_avi_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert parse_avi_header(b"not a container") is None
+
+
+def test_chunk_iteration_word_alignment_and_rec_groups():
+    # odd-length payloads force pad bytes; 'rec ' groups must be descended
+    frames = [b"\xff\xd8odd", b"\xff\xd8even", b"\xff\xd8x"]
+    assert {len(f) & 1 for f in frames} == {0, 1}
+    for use_rec in (False, True):
+        avi = make_avi(frames, 4, 4, use_rec=use_rec)
+        got = list(iter_video_chunks(avi, 0))
+        assert got == frames
+
+
+def test_decode_avi_frames_exact():
+    frames, wants = _jpeg_frames(3)
+    avi = make_avi(frames, 16, 16)
+    out = decode_avi_frames(avi)
+    assert out is not None
+    total, decoded = out
+    assert total == 3 and [i for i, _ in decoded] == [0, 1, 2]
+    for (_, got), want in zip(decoded, wants):
+        assert np.array_equal(got, want)
+
+
+def test_decode_avi_frames_sampling_and_cap():
+    frames, wants = _jpeg_frames(5)
+    avi = make_avi(frames, 16, 16)
+    total, decoded = decode_avi_frames(avi, every_n=2)
+    assert total == 5 and [i for i, _ in decoded] == [0, 2, 4]
+    assert np.array_equal(decoded[1][1], wants[2])
+    total, decoded = decode_avi_frames(avi, max_frames=2)
+    assert total == 5 and [i for i, _ in decoded] == [0, 1]
+
+
+def test_decode_avi_rejects_non_mjpeg():
+    frames, _ = _jpeg_frames(2)
+    avi = make_avi(frames, 16, 16, codec=b"XVID")
+    assert parse_avi_header(avi)["codec"] == "XVID"
+    assert decode_avi_frames(avi) is None  # metadata yes, pixels no
+
+
+def test_video_header_features_covers_avi():
+    from signalk_parquet_spark.operators.multimodal import (
+        parse_video_header,
+        sniff_format,
+        video_header_features,
+    )
+
+    frames, _ = _jpeg_frames(2)
+    avi = make_avi(frames, 16, 16, fps=10)
+    assert sniff_format(avi) == "avi"
+    assert parse_video_header(avi) == {
+        "format": "avi", "width": 16, "height": 16,
+        "duration_s": 0.2, "n_tracks": 1,
+    }
+    assert video_header_features(avi) == [16.0, 16.0, 0.2, 1.0]
+
+
+def test_frame_sample_features_avi_and_gif(spark):
+    """The explode-decode-resize-score pipeline handles BOTH real frame
+    sources — MJPEG-AVI and animated GIF — in one pass, dropping
+    undecodable rows."""
+    from signalk_parquet_spark.operators.multimodal import frame_sample_features
+
+    frames, wants = _jpeg_frames(3)
+    avi = make_avi(frames, 16, 16)
+    from tests.test_raster import _PALETTE, make_animated_gif
+
+    g1 = np.full((8, 8), 1, dtype=np.uint8)
+    g2 = np.full((8, 8), 2, dtype=np.uint8)
+    gif = make_animated_gif((8, 8), [(g1, 0, 0, None, 0), (g2, 0, 0, None, 0)], _PALETTE)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(gif)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r for r in
+            frame_sample_features(df, every_n=2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0)}
+    assert rows[(1, 0)]["n_frames"] == 3 and rows[(2, 0)]["n_frames"] == 2
+    # AVI frame features come from the REAL decoded gray pixels
+    from signalk_parquet_spark.operators.raster import resize_box
+
+    want_luma = resize_box(wants[0], 8, 8).astype(np.float64)[:, :, 0]
+    np.testing.assert_allclose(
+        rows[(1, 0)]["features"],
+        [want_luma.mean(), want_luma.std(), want_luma.min(), want_luma.max()],
+    )
