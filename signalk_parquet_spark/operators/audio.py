@@ -1,0 +1,141 @@
+"""Audio feature extraction over decoded PCM — pure numpy, no media
+library. Extends the sample-level WAV path (operators/multimodal.
+audio_sample_features: rms/peak) with the frequency-domain features a
+training-data pipeline screens and dedups audio with:
+
+- ``audio_spectral_features``: Hann-window STFT power spectrum →
+  per-band mean log-energies, spectral centroid, zero-crossing rate.
+- ``audio_fingerprint``: the Haitsma-Kalker sign-of-band-energy-delta
+  fingerprint (public: "A Highly Robust Audio Fingerprint System", ISMIR
+  2002) — one integer sub-fingerprint per STFT frame whose bits are the
+  sign of the time- and band-difference of band energies. Robust to mild
+  noise/level changes; near-dup audio = small Hamming distance between
+  aligned sub-fingerprints, which slots into the existing simhash-style
+  Hamming machinery (operators/similarity).
+
+Scale note: per-payload work inside Arrow-batched map stages (the
+frame_sample_features pattern); nothing here shuffles. All arithmetic is
+float64 numpy — deterministic per platform, so fingerprints are stable
+join keys within a cluster run.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+
+def decode_wav_samples(payload: bytes):
+    """PCM WAV → (sample_rate, n_channels, mono float64 array in [-1, 1]).
+    16-bit and 8-bit PCM; channels averaged to mono. None outside coverage
+    (the decode_png_pixels contract)."""
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+            nch = w.getnchannels()
+            frames = w.readframes(n)
+            if width == 2:
+                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            elif width == 1:  # 8-bit WAV is unsigned
+                x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            else:
+                return None
+            if nch > 1:
+                x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+            return rate, nch, x
+    except (wave.Error, EOFError, ValueError, struct.error):
+        return None
+
+
+def _stft_power(x, n_fft: int, hop: int):
+    """Hann-window STFT → (n_frames, n_fft//2 + 1) power spectrum."""
+    import numpy as np
+
+    if x.size < n_fft:
+        x = np.pad(x, (0, n_fft - x.size))
+    n_frames = 1 + (x.size - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)  # Hann
+    spec = np.fft.rfft(x[idx] * win, axis=1)
+    return (spec.real**2 + spec.imag**2)
+
+
+def audio_spectral_features(
+    payload: bytes, n_fft: int = 256, hop: int = 128, n_bands: int = 8
+) -> list[float]:
+    """(centroid_hz, zero_crossing_rate, log10 mean power of ``n_bands``
+    equal-width frequency bands) — 2 + n_bands floats; NaNs when the
+    payload isn't decodable PCM WAV so downstream filters quarantine."""
+    import numpy as np
+
+    dec = decode_wav_samples(payload)
+    if dec is None:
+        return [float("nan")] * (2 + n_bands)
+    rate, _nch, x = dec
+    if x.size == 0:
+        return [0.0] * (2 + n_bands)
+    p = _stft_power(x, n_fft, hop)
+    mean_p = p.mean(axis=0)  # per-bin mean power over time
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    total = mean_p.sum()
+    centroid = float((freqs * mean_p).sum() / total) if total > 0 else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+    # equal-width bands over the positive spectrum (DC bin included in band 0)
+    edges = np.linspace(0, mean_p.size, n_bands + 1).astype(int)
+    bands = [
+        float(np.log10(mean_p[a:b].mean() + 1e-12))
+        for a, b in zip(edges[:-1], edges[1:])
+    ]
+    return [centroid, zcr] + bands
+
+
+def audio_fingerprint(
+    payload: bytes, n_fft: int = 256, hop: int = 128, n_bands: int = 33
+) -> list[int] | None:
+    """Haitsma-Kalker sub-fingerprints: for each STFT frame n and band m,
+    bit m is ``sign((E[n,m] - E[n,m+1]) - (E[n-1,m] - E[n-1,m+1]))`` over
+    ``n_bands`` log-spaced energy bands → an (n_bands - 1)-bit integer per
+    frame (32 bits at the paper's 33 bands). Returns None when the payload
+    isn't decodable PCM WAV; [] when it is shorter than two frames."""
+    import numpy as np
+
+    dec = decode_wav_samples(payload)
+    if dec is None:
+        return None
+    rate, _nch, x = dec
+    p = _stft_power(x, n_fft, hop)
+    if p.shape[0] < 2:
+        return []
+    # log-spaced band edges over bins [1, n_fft//2] (skip DC), ensured distinct
+    n_bins = p.shape[1]
+    edges = np.unique(
+        np.round(
+            np.exp(np.linspace(np.log(1), np.log(n_bins - 1), n_bands + 1))
+        ).astype(int)
+    )
+    if len(edges) < 3:
+        return []
+    e = np.stack(
+        [p[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])], axis=1
+    )
+    d = np.diff(e, axis=1) * -1.0  # E[n, m] - E[n, m+1]
+    bits = (np.diff(d, axis=0) > 0).astype(np.int64)  # vs previous frame
+    weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
+    return [int(v) for v in bits @ weights]
+
+
+def fingerprint_hamming(fp_a: list[int], fp_b: list[int]) -> float:
+    """Mean per-frame Hamming distance between two aligned fingerprints
+    (compared over the common prefix), in bits. The paper's match rule is
+    a bit-error-rate threshold (~0.35 of the 32 bits)."""
+    n = min(len(fp_a), len(fp_b))
+    if n == 0:
+        return float("nan")
+    total = sum(bin(a ^ b).count("1") for a, b in zip(fp_a[:n], fp_b[:n]))
+    return total / n

@@ -477,6 +477,9 @@ def register_default_decoders() -> None:
     # pixel/sample-level scoring (no media library needed)
     DECODERS["image_pixels"] = image_pixel_features
     DECODERS["audio_samples"] = audio_sample_features
+    from .audio import audio_spectral_features
+
+    DECODERS["audio_spectral"] = audio_spectral_features
 
 
 register_default_decoders()
