@@ -130,6 +130,101 @@ def audio_fingerprint(
     return [int(v) for v in bits @ weights]
 
 
+def audio_fingerprints(
+    df, id_col: str = "media_id", payload_col: str = "payload"
+):
+    """(id, fp: array<long>) per decodable audio row via one Arrow map
+    stage; undecodable or too-short payloads yield no row (quarantine-by-
+    omission, the frame_sample_features pattern)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("fp", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                fp = audio_fingerprint(bytes(payload))
+                if fp:
+                    rows.append((int(mid), fp))
+            yield pd.DataFrame(rows, columns=["id", "fp"])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema=out_schema)
+
+
+def audio_neardup_pairs(
+    df,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_ber: float = 0.35,
+    min_hits: int = 1,
+    max_df: int | None = 1000,
+):
+    """Distributed audio near-dup: the Haitsma-Kalker lookup strategy as a
+    bucketed equality join. Candidate pairs share at least ``min_hits``
+    IDENTICAL 32-bit sub-fingerprints at the same frame position (never
+    all-pairs — the same candidate-generation ladder as minhash_lsh_pairs /
+    simhash); the verify step recomputes the aligned bit-error rate
+    ENTIRELY JVM-side (zip_with + bit_count + aggregate over the common
+    prefix) and keeps pairs with BER <= ``max_ber`` (the paper's match
+    threshold). ``max_df`` drops ubiquitous (pos, sub) buckets — silence
+    and constant tones — before the self-join, the winnowing stop-
+    fingerprint cap applied to audio.
+
+    Returns (id_a, id_b, hits, ber). Scale: shuffles key on the 32-bit
+    sub-fingerprint value x position — high cardinality, well spread; the
+    verify join is skinny (two fp arrays per surviving pair)."""
+    from pyspark.sql import functions as F
+
+    fp = audio_fingerprints(df, id_col, payload_col)
+    fp.persist().count()  # materialize before the self-join (CLAUDE.md)
+    sub = fp.select("id", F.posexplode("fp").alias("pos", "sub"))
+    if max_df is not None:
+        w_count = sub.groupBy("pos", "sub").count()
+        sub = (
+            sub.join(w_count.filter(F.col("count") <= max_df), ["pos", "sub"])
+            .drop("count")
+        )
+    a, b = sub.alias("a"), sub.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    n = F.least(F.size("fp_a"), F.size("fp_b"))
+    errs = F.aggregate(
+        F.zip_with(
+            F.slice("fp_a", 1, n), F.slice("fp_b", 1, n),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("ber", errs / (32.0 * n))
+        .filter(F.col("ber") <= max_ber)
+        .select("id_a", "id_b", "hits", F.col("ber").cast("double").alias("ber"))
+    )
+
+
 def fingerprint_hamming(fp_a: list[int], fp_b: list[int]) -> float:
     """Mean per-frame Hamming distance between two aligned fingerprints
     (compared over the common prefix), in bits. The paper's match rule is

@@ -112,3 +112,38 @@ def test_decode_features_audio_spectral_registered(spark):
     ).collect()[0]["features"]
     assert len(feats) == 10
     assert feats[0] == pytest.approx(1100.0, abs=60.0)
+
+
+def test_audio_neardup_pairs(spark):
+    """Bucketed fingerprint join finds the noisy copy (BER well under the
+    threshold), not the unrelated clip; the max_df stop-bucket cap can
+    suppress candidate generation entirely."""
+    from signalk_parquet_spark.operators.audio import audio_neardup_pairs
+
+    rng = np.random.RandomState(17)
+    base = (sine(500.0) + sine(1300.0, amp=0.3) + 0.05 * rng.standard_normal(8000)) * 0.5
+    noisy = base + 0.01 * rng.standard_normal(base.size)
+    other = 0.5 * rng.standard_normal(8000).clip(-1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav_bytes(base))),
+            (2, bytearray(wav_bytes(noisy))),
+            (3, bytearray(wav_bytes(other))),
+            (4, bytearray(b"not audio")),
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = audio_neardup_pairs(df).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["ber"] < 0.2 and pairs[0]["hits"] >= 1
+    # a BER computed JVM-side must agree with the driver-side helper
+    from signalk_parquet_spark.operators.audio import (
+        audio_fingerprint,
+        fingerprint_hamming,
+    )
+
+    want = fingerprint_hamming(
+        audio_fingerprint(wav_bytes(base)), audio_fingerprint(wav_bytes(noisy))
+    ) / 32.0
+    assert pairs[0]["ber"] == pytest.approx(want, abs=1e-12)
+    assert audio_neardup_pairs(df, max_df=0).count() == 0
