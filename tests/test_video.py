@@ -166,3 +166,59 @@ def test_frame_sample_features_avi_and_gif(spark):
         rows[(1, 0)]["features"],
         [want_luma.mean(), want_luma.std(), want_luma.min(), want_luma.max()],
     )
+
+
+def test_media_decoders_never_raise_on_corruption():
+    """Quarantine contract fuzz: every pure-Python media decoder returns
+    None/NaN (never raises) on truncations and byte corruptions of valid
+    files. Seeded, deterministic."""
+    from signalk_parquet_spark.operators.audio import (
+        audio_fingerprint,
+        audio_spectral_features,
+        decode_wav_samples,
+    )
+    from signalk_parquet_spark.operators.jpeg import decode_jpeg_pixels
+    from signalk_parquet_spark.operators.multimodal import (
+        parse_image_header,
+        parse_video_header,
+    )
+    from signalk_parquet_spark.operators.raster import (
+        decode_bmp_pixels,
+        decode_gif_frames,
+        decode_gif_pixels,
+    )
+    from tests.test_audio import sine, wav_bytes
+    from tests.test_raster import _PALETTE, make_animated_gif
+
+    jpeg, _ = _jpeg_frames(1)
+    g = np.full((8, 8), 1, dtype=np.uint8)
+    samples = {
+        "avi": make_avi(jpeg, 16, 16),
+        "jpeg": jpeg[0],
+        "gif": make_animated_gif((8, 8), [(g, 0, 0, None, 0)], _PALETTE),
+        "wav": wav_bytes(sine(700.0, n=2000)),
+    }
+    decoders = [
+        parse_avi_header,
+        lambda p: decode_avi_frames(p, max_frames=4),
+        decode_jpeg_pixels,
+        decode_gif_pixels,
+        lambda p: decode_gif_frames(p, max_frames=4),
+        decode_bmp_pixels,
+        parse_image_header,
+        parse_video_header,
+        decode_wav_samples,
+        audio_spectral_features,
+        audio_fingerprint,
+    ]
+    rng = np.random.RandomState(42)
+    for payload in samples.values():
+        variants = [payload[:k] for k in range(0, len(payload), max(1, len(payload) // 23))]
+        for _ in range(30):
+            buf = bytearray(payload)
+            for pos in rng.randint(0, len(buf), size=rng.randint(1, 6)):
+                buf[pos] = rng.randint(0, 256)
+            variants.append(bytes(buf))
+        for v in variants:
+            for dec in decoders:
+                dec(v)  # must not raise — return value unconstrained
