@@ -400,3 +400,122 @@ def streaming_semantic_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming audio (fingerprint) near-dup -----------------------------------
+AUDIO_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("ber", T.DoubleType()),
+    ]
+)
+#: per-(pos, sub) bucket state: kept clip ids and their full fingerprints
+_AUDIO_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("fps", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def make_audio_neardup_fn(max_ber: float, max_bucket: int):
+    """applyInPandasWithState function for one (pos, sub-fingerprint)
+    bucket. An arriving clip is compared (aligned bit-error rate over the
+    common prefix — the same arithmetic as operators.audio.audio_neardup_
+    pairs' JVM verify) against every clip kept in this bucket; BER <=
+    ``max_ber`` emits a match event and leaves state unchanged (keep-
+    first-seen, the ladder's rule); otherwise the clip joins the bucket,
+    capped at ``max_bucket``."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, fps = state.get if state.exists else ([], [])
+        ids, fps = list(ids), [list(f) for f in fps]
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("media_id")
+            for mid, fp in zip(pdf["media_id"].tolist(), pdf["fp"].tolist()):
+                fp = [int(v) for v in fp]
+                hit = None
+                for kid, kfp in zip(ids, fps):
+                    n = min(len(fp), len(kfp))
+                    errs = sum(
+                        bin(a ^ b).count("1") for a, b in zip(fp[:n], kfp[:n])
+                    )
+                    ber = errs / (32.0 * n)
+                    if ber <= max_ber:
+                        hit = (kid, ber)
+                        break
+                if hit is not None:
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "dup_of": int(hit[0]),
+                            "pos": int(key[0]),
+                            "ber": hit[1],
+                        }
+                    )
+                elif len(ids) < max_bucket:
+                    ids.append(int(mid))
+                    fps.append(fp)
+        state.update((ids, fps))
+        yield pd.DataFrame(out, columns=[f.name for f in AUDIO_MATCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_audio_neardup(
+    stream: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_ber: float = 0.35,
+    max_bucket: int = 64,
+    every_pos: int = 1,
+) -> DataFrame:
+    """Streaming audio near-dup ACROSS micro-batches — the AUDIO rung of
+    the continuous-ingest dedup ladder (exact: streaming_dedup; lexical:
+    streaming_neardup_minhash; semantic: streaming_semantic_dedup; this:
+    re-encoded/noisy audio). The batch twin is operators.audio.
+    audio_neardup_pairs.
+
+    Each clip's Haitsma-Kalker fingerprint (one 32-bit sub-fingerprint per
+    STFT frame) is computed in an Arrow batch stage; every ``every_pos``-th
+    (position, sub-fingerprint) pair keys a stateful bucket holding the
+    fingerprints of its first-seen clips — the paper's lookup table as a
+    state store. An arriving clip whose aligned BER against any kept clip
+    is <= ``max_ber`` emits a match event instead of joining the state.
+    Fingerprints reuse the batch family's exact arithmetic, so with
+    ``every_pos=1`` the streaming candidate/verify conditions equal the
+    batch operator's (min_hits=1, no max_df) — pinned by test.
+
+    Scale: undecodable payloads are dropped in the fingerprint stage
+    (batch/stream decision consistency, the unshingleable-doc rule). State
+    stores each kept clip's fingerprint once PER occupied bucket
+    (~n_frames/every_pos copies); production raises ``every_pos`` and/or
+    keeps only ids in buckets with fingerprints in a side lookup, and sets
+    a state TTL/RocksDB provider."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.audio import audio_fingerprint
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fp_udf(payloads: pd.Series) -> pd.Series:
+        return payloads.apply(lambda p: audio_fingerprint(bytes(p)) or [])
+
+    with_fp = stream.select(
+        F.col(id_col).alias("media_id"), fp_udf(F.col(payload_col)).alias("fp")
+    ).filter(F.size("fp") > 0)
+    exploded = (
+        with_fp.select("media_id", "fp", F.posexplode("fp").alias("pos", "sub"))
+        .filter(F.col("pos") % every_pos == 0)
+    )
+    return exploded.groupBy("pos", "sub").applyInPandasWithState(
+        make_audio_neardup_fn(max_ber, max_bucket),
+        AUDIO_MATCH_SCHEMA,
+        _AUDIO_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

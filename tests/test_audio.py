@@ -147,3 +147,51 @@ def test_audio_neardup_pairs(spark):
     ) / 32.0
     assert pairs[0]["ber"] == pytest.approx(want, abs=1e-12)
     assert audio_neardup_pairs(df, max_df=0).count() == 0
+
+
+def test_streaming_audio_neardup_matches_batch(spark, tmp_path):
+    """The audio rung of the streaming dedup ladder: a batch-2 noisy copy
+    of a batch-1 clip emits a match event pointing across the batch line,
+    an unrelated clip and an undecodable payload emit nothing — and the
+    distinct (media_id, dup_of) match set EQUALS the batch operator's
+    pair set on the same corpus (every_pos=1 makes the candidate/verify
+    conditions identical; fingerprints are the same arithmetic)."""
+    from signalk_parquet_spark.operators.audio import audio_neardup_pairs
+    from signalk_parquet_spark.streaming.stateful import streaming_audio_neardup
+
+    rng = np.random.RandomState(31)
+    base = (sine(500.0) + sine(1300.0, amp=0.3) + 0.05 * rng.standard_normal(8000)) * 0.5
+    noisy = base + 0.01 * rng.standard_normal(base.size)
+    other = 0.5 * rng.standard_normal(8000).clip(-1, 1)
+    batches = [
+        [(1, bytearray(wav_bytes(base))), (4, bytearray(b"not audio"))],
+        [(2, bytearray(wav_bytes(noisy))), (3, bytearray(wav_bytes(other)))],
+    ]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "audio_src")
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_audio_neardup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("audio_nd_out")
+        .option("checkpointLocation", str(tmp_path / "audio_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    events = spark.sql("SELECT * FROM audio_nd_out").collect()
+    got = {(r["media_id"], r["dup_of"]) for r in events}
+    assert all(r["ber"] <= 0.35 for r in events)
+
+    batch_df = spark.createDataFrame([d for b in batches for d in b], schema)
+    want = {
+        (r["id_b"], r["id_a"])
+        for r in audio_neardup_pairs(batch_df, max_df=None).collect()
+    }
+    assert got == want == {(2, 1)}
