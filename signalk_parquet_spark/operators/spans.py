@@ -140,3 +140,65 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The TRANSFORM side of exact-substring dedup (Lee et al. 2022):
+    rewrite each document with every corpus-duplicated K-word span removed.
+    A word position is covered iff it lies inside at least one K-word
+    window whose POSITIONAL hash occurs more than once corpus-wide (so
+    intra-document repetition counts too, unlike substring_span_stats'
+    distinct-per-doc frequencies). Documents shorter than K words pass
+    through untouched.
+
+    Returns (id, n_words, n_removed, cleaned) with n_removed the count of
+    dropped word positions and ``cleaned`` the surviving words re-joined.
+
+    Scale: explode → hash-agg frequency → explode covered positions →
+    collect_set per doc — every shuffle keys on the 48-bit window hash or
+    the doc id; the per-doc covered-position set is bounded by the doc's
+    word count. The word filter runs as JVM higher-order functions over a
+    PROJECTED coverage column (single-parameter lambdas touching only
+    their own argument plus bound column attributes — the winnowing
+    re-evaluation trap does not apply to column references)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("w"))
+    whs = hashed_grams(shingles(F.col("w"), k))
+    ex = base.select("id", F.posexplode(whs).alias("pos", "wh"))
+    # corpus frequency as a WINDOW count over the hash: ONE evaluation of
+    # the tokenize→shingle→md5 chain and one exchange serve both the
+    # per-window count and the coverage filter (the count-table-join form
+    # re-evaluates the exploded chain per branch — the lm_bigram_score
+    # lesson, visible as twin Generate subtrees in the plan)
+    dup = ex.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    ).filter(F.col("c") > 1)
+    cov = (
+        dup.select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cidx"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("cidx").alias("cov"))
+    )
+    joined = (
+        base.join(cov, "id", "left")
+        .withColumn("cov", F.coalesce("cov", F.array().cast("array<int>")))
+        .withColumn("ix", F.sequence(F.lit(0), F.size("w") - 1))
+    )
+    kept = F.transform(
+        F.filter(
+            F.arrays_zip("w", "ix"),
+            lambda z: ~F.array_contains(F.col("cov"), z["ix"]),
+        ),
+        lambda z: z["w"],
+    )
+    return joined.select(
+        "id",
+        F.size("w").cast("long").alias("n_words"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned"),
+    )

@@ -610,3 +610,32 @@ def test_ivfpq_composes_pruning_and_codes(spark):
     both = pruned.select("query_id", "neighbor_id").intersect(
         full.select("query_id", "neighbor_id")).count()
     assert pruned.count() == 100 and both >= 40, both
+
+
+def test_remove_duplicate_spans_transform(spark):
+    """The Lee-et-al transform: two docs sharing an 8-word run lose every
+    position covered by a duplicated window (including each doc's
+    surrounding overlap windows); unique and short docs pass through."""
+    from signalk_parquet_spark.operators.spans import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "x a b c d e f g h tail two"),
+            (3, "unrelated words entirely different from others here now"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in remove_duplicate_spans(df, "doc_id", "text", 8).collect()}
+    # docs 1/2 share windows "a..h" and "b..tail": covered = union of both
+    assert rows[1]["cleaned"] == "one" and rows[1]["n_removed"] == 9
+    assert rows[2]["cleaned"] == "x two" and rows[2]["n_removed"] == 9
+    assert rows[3]["n_removed"] == 0 and rows[3]["cleaned"].startswith("unrelated")
+    assert rows[4]["n_removed"] == 0 and rows[4]["cleaned"] == "short doc"
+    # intra-document repetition of a window counts as duplication
+    rep = spark.createDataFrame(
+        [(7, " ".join(["p q r s t u v w"] * 2 + ["end"]))], "doc_id long, text string"
+    )
+    r7 = remove_duplicate_spans(rep, "doc_id", "text", 8).collect()[0]
+    assert r7["n_removed"] > 0
