@@ -24,11 +24,16 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from signalk_parquet_spark import registry
+from signalk_parquet_spark.operators.audio import audio_neardup_pairs
 from signalk_parquet_spark.operators.dedup import dedup_corpus, exact_dedup
+from signalk_parquet_spark.operators.multimodal import decode_features
 from signalk_parquet_spark.operators.sampling import pack_token_stream, stratified_sample
 from signalk_parquet_spark.operators.scrub import PII_PATTERNS, scrub_report
 from signalk_parquet_spark.operators.similarity import semantic_keep, stride_centroids
-from signalk_parquet_spark.operators.spans import substring_span_stats
+from signalk_parquet_spark.operators.spans import (
+    remove_duplicate_spans,
+    substring_span_stats,
+)
 from signalk_parquet_spark.session import get_spark
 
 
@@ -94,13 +99,25 @@ def main() -> None:
     )
     n2 = kept.count()
 
-    # 2b. copied-span screen: drop documents that are mostly duplicated
-    # 8-word windows even when no WHOLE document matched (boilerplate /
-    # quote farms — the Lee et al. exact-substring signal)
+    # 2b. copied-span screen + rewrite: drop documents that are MOSTLY
+    # duplicated 8-word windows even when no whole document matched
+    # (boilerplate / quote farms — the Lee et al. exact-substring signal),
+    # then REMOVE the remaining duplicated spans from the survivors'
+    # text (the transform side: scrub_duplicate_spans' operator)
     spans = substring_span_stats(kept, "doc_id", "text").filter(
         F.col("dup_frac") <= 0.5
     )
     kept = kept.join(spans.select(F.col("id").alias("doc_id")), "doc_id")
+    cleaned = remove_duplicate_spans(kept, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "cleaned", "n_removed"
+    )
+    n_span_words_removed = cleaned.agg(F.sum("n_removed")).collect()[0][0]
+    kept = (
+        kept.drop("text")
+        .join(cleaned, "doc_id")
+        .withColumnRenamed("cleaned", "text")
+        .drop("n_removed")
+    )
     n2b = kept.count()
 
     # 2c. SEMANTIC dedup (SemDeDup): the lexical rungs above can't see
@@ -160,19 +177,85 @@ def main() -> None:
     n_chunks = packed.select("shard", "chunk_id").distinct().count()
     n7 = packed.count()
 
+    # 7. modality sidecar: an AUDIO table curated with the same ladder —
+    # spectral screen (drop near-silent clips), then fingerprint near-dup
+    # dedup (the Haitsma-Kalker bucket join; streaming twin:
+    # streaming_audio_neardup). Payloads are synthesized executor-side
+    # here only because the synthetic lake has no media column; a real
+    # run points these operators at its media table.
+    def _gen_clips(it):
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].tolist():
+                base = i - 9 if i % 10 == 9 else i  # every 10th: noisy copy
+                rng = _np.random.RandomState(base)
+                t = _np.arange(8000)
+                x = 0.4 * _np.sin(2 * _np.pi * rng.uniform(200, 1800) * t / 8000)
+                x += 0.05 * rng.standard_normal(8000)
+                if i % 10 == 9:
+                    x = x + 0.01 * _np.random.RandomState(i).standard_normal(8000)
+                if i % 17 == 0:
+                    x = x * 0.001  # near-silent clip for the screen
+                pcm = _np.clip(_np.round(x * 32767), -32768, 32767).astype("<i2")
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                rows.append((int(i), buf.getvalue()))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    audio = (
+        spark.range(120).repartition(8)
+        .mapInPandas(_gen_clips, "media_id long, payload binary")
+    )
+    spectral = decode_features(
+        audio.select(
+            "media_id", F.lit("audio_spectral").alias("modality"),
+            F.lit("audio/wav").alias("mime_type"), "payload",
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(1.0).alias("duration_s"), F.lit("{}").alias("meta_json"),
+        )
+    )
+    # bands start at features[2]; a near-silent clip's max band log-power
+    # sits far below a tonal clip's
+    loud = spectral.filter(
+        F.array_max(F.slice("features", 3, 8)) > F.lit(-4.0)
+    ).select("media_id")
+    audio_kept = audio.join(loud, "media_id")
+    dup_audio = (
+        audio_neardup_pairs(audio_kept)
+        .select(F.col("id_b").alias("media_id"))
+        .distinct()
+    )
+    audio_final = audio_kept.join(dup_audio, "media_id", "left_anti")
+    na0, na1, na2 = audio.count(), audio_kept.count(), audio_final.count()
+
     print(f"documents: {n0}")
     print(f"PII redactions applied: {n_pii_hits}")
     print(f"after quality+repetition+classifier+LM screens: {n1}")
     print(f"after exact+near dedup: {n2}")
-    print(f"after copied-span screen: {n2b}")
+    print(f"after copied-span screen: {n2b} "
+          f"({n_span_words_removed} duplicated-span words removed)")
     print(f"after semantic dedup: {n2c}")
     print(f"after decontamination: {n3}  splits: {split_counts}")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
     print(f"after mix re-balancing: {n6}")
     print(f"packed train docs: {n7} into {n_chunks} x 512-token chunks")
+    print(f"audio sidecar: {na0} clips -> {na1} after spectral screen "
+          f"-> {na2} after fingerprint dedup")
     assert n0 >= n1 >= n2 >= n2b >= n2c >= n3 > 0
     assert n6 <= n3 and n7 > 0 and n_chunks > 0
+    assert na0 > na1 > na2 > 0  # both audio stages dropped something
 
 
 if __name__ == "__main__":
