@@ -639,3 +639,46 @@ def test_remove_duplicate_spans_transform(spark):
     )
     r7 = remove_duplicate_spans(rep, "doc_id", "text", 8).collect()[0]
     assert r7["n_removed"] > 0
+
+
+def test_remove_duplicate_spans_differential_random(spark):
+    """Differential vs an independent pure-Python replication on seeded
+    random corpora from a tiny vocabulary (forcing shared windows):
+    coverage, counts, and the cleaned strings must match exactly."""
+    import numpy as np
+
+    from signalk_parquet_spark.operators.spans import remove_duplicate_spans
+
+    rng = np.random.RandomState(5)
+    vocab = list("abcdefgh")
+    k = 4
+    for trial in range(3):
+        docs = []
+        for i in range(30):
+            n = rng.randint(1, 14)
+            docs.append((i, " ".join(rng.choice(vocab, size=n))))
+        # pure-Python reference
+        from collections import Counter
+
+        win = {
+            i: [tuple(t.split()[p : p + k]) for p in range(len(t.split()) - k + 1)]
+            for i, t in docs
+        }
+        freq = Counter(w for ws in win.values() for w in ws)
+        want = {}
+        for i, t in docs:
+            words = t.split()
+            cov = set()
+            for p, w in enumerate(win[i]):
+                if freq[w] > 1:
+                    cov.update(range(p, p + k))
+            kept = [w for j, w in enumerate(words) if j not in cov]
+            want[i] = (len(words), len(words) - len(kept), " ".join(kept))
+        got = {
+            r["id"]: (r["n_words"], r["n_removed"], r["cleaned"])
+            for r in remove_duplicate_spans(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "doc_id", "text", k,
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
