@@ -179,7 +179,7 @@ _NEARDUP_STATE = T.StructType(
 )
 
 
-def make_neardup_fn(agree: float, max_bucket: int):
+def make_neardup_fn(agree: float, max_bucket: int, ttl_s: float | None = None):
     """applyInPandasWithState function for one LSH (band, bucket) group.
 
     For each incoming doc (id order within the batch — deterministic):
@@ -193,6 +193,10 @@ def make_neardup_fn(agree: float, max_bucket: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in NEARDUP_MATCH_SCHEMA.fields])
+            return
         ids, sigs = state.get if state.exists else ([], [])
         ids, sigs = list(ids), [s.split("|") for s in sigs]
         out: list[dict[str, Any]] = []
@@ -221,6 +225,8 @@ def make_neardup_fn(agree: float, max_bucket: int):
                     ids.append(int(doc_id))
                     sigs.append(sig)
         state.update((ids, ["|".join(s) for s in sigs]))
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
         yield pd.DataFrame(out, columns=[f.name for f in NEARDUP_MATCH_SCHEMA.fields])
 
     return fn
@@ -234,6 +240,7 @@ def streaming_neardup_minhash(
     bands: int = 4,
     agree: float = 0.5,
     max_bucket: int = 64,
+    ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming MinHash near-dup detection ACROSS micro-batches — the
     near-dup rung of the dedup ladder for continuous ingest (the batch twin
@@ -272,11 +279,13 @@ def streaming_neardup_minhash(
         F.col(id_col).alias("doc_id"), sig.alias("sig"), F.posexplode(band_keys)
     ).withColumnsRenamed({"pos": "band", "col": "bkey"})
     return exploded.groupBy("band", "bkey").applyInPandasWithState(
-        make_neardup_fn(agree, max_bucket),
+        make_neardup_fn(agree, max_bucket, ttl_s),
         NEARDUP_MATCH_SCHEMA,
         _NEARDUP_STATE,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -420,18 +429,25 @@ _AUDIO_STATE = T.StructType(
 )
 
 
-def make_audio_neardup_fn(max_ber: float, max_bucket: int):
+def make_audio_neardup_fn(max_ber: float, max_bucket: int, ttl_s: float | None = None):
     """applyInPandasWithState function for one (pos, sub-fingerprint)
     bucket. An arriving clip is compared (aligned bit-error rate over the
     common prefix — the same arithmetic as operators.audio.audio_neardup_
     pairs' JVM verify) against every clip kept in this bucket; BER <=
     ``max_ber`` emits a match event and leaves state unchanged (keep-
     first-seen, the ladder's rule); otherwise the clip joins the bucket,
-    capped at ``max_bucket``."""
+    capped at ``max_bucket``. With ``ttl_s`` set, a bucket idle longer
+    than the TTL is EVICTED via processing-time timeout — the bounded-
+    state mode every long-running deployment needs (dedup only promises
+    to catch dups arriving within the TTL window)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in AUDIO_MATCH_SCHEMA.fields])
+            return
         ids, fps = state.get if state.exists else ([], [])
         ids, fps = list(ids), [list(f) for f in fps]
         out: list[dict[str, Any]] = []
@@ -462,6 +478,8 @@ def make_audio_neardup_fn(max_ber: float, max_bucket: int):
                     ids.append(int(mid))
                     fps.append(fp)
         state.update((ids, fps))
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
         yield pd.DataFrame(out, columns=[f.name for f in AUDIO_MATCH_SCHEMA.fields])
 
     return fn
@@ -474,6 +492,7 @@ def streaming_audio_neardup(
     max_ber: float = 0.35,
     max_bucket: int = 64,
     every_pos: int = 1,
+    ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming audio near-dup ACROSS micro-batches — the AUDIO rung of
     the continuous-ingest dedup ladder (exact: streaming_dedup; lexical:
@@ -495,8 +514,10 @@ def streaming_audio_neardup(
     (batch/stream decision consistency, the unshingleable-doc rule). State
     stores each kept clip's fingerprint once PER occupied bucket
     (~n_frames/every_pos copies); production raises ``every_pos`` and/or
-    keeps only ids in buckets with fingerprints in a side lookup, and sets
-    a state TTL/RocksDB provider."""
+    keeps only ids in buckets with fingerprints in a side lookup, sets a
+    RocksDB provider, and BOUNDS state with ``ttl_s`` — buckets idle past
+    the TTL evict via processing-time timeout (dedup then only promises to
+    catch dups arriving within the window, the standard trade)."""
     from pyspark.sql.functions import pandas_udf
 
     from ..operators.audio import audio_fingerprint
@@ -513,9 +534,11 @@ def streaming_audio_neardup(
         .filter(F.col("pos") % every_pos == 0)
     )
     return exploded.groupBy("pos", "sub").applyInPandasWithState(
-        make_audio_neardup_fn(max_ber, max_bucket),
+        make_audio_neardup_fn(max_ber, max_bucket, ttl_s),
         AUDIO_MATCH_SCHEMA,
         _AUDIO_STATE,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
     )

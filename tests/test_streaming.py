@@ -396,3 +396,55 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     assert all(r["dup_of"] < r["vec_id"] and r["dup_of"] not in got_dropped for r in rows)
     # and some match crossed the micro-batch boundary
     assert any(r["vec_id"] >= 250 and r["dup_of"] < 250 for r in rows)
+
+
+def test_streaming_neardup_ttl_evicts_idle_state(spark, tmp_path):
+    """Bounded-state mode: with ttl_s set, a bucket idle past the TTL is
+    evicted via processing-time timeout, so a later near-copy does NOT
+    match the expired doc — it matches only its own batch's copy (which
+    also proves the second batch was processed and the harness would have
+    seen a cross-batch match)."""
+    import time as _time
+
+    from signalk_parquet_spark.streaming.stateful import streaming_neardup_minhash
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "ttl_src")
+    spark.createDataFrame([(1, a)], schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_neardup_minhash(stream, k=8, bands=4, agree=0.5, ttl_s=2.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # wait until batch 1 is actually ingested, then let the TTL expire
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            p = q.recentProgress
+            if sum(int(x["numInputRows"]) for x in p) >= 1:
+                break
+            _time.sleep(0.5)
+        _time.sleep(8)  # >> ttl_s; no-data micro-batches fire the timeouts
+        spark.createDataFrame(
+            [(2, a.replace("today", "tonight")), (3, a.replace("today", "tonite"))],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = spark.sql("SELECT * FROM ttl_out").collect()
+            if rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["dup_of"]) for r in rows}
+    assert rows, "second batch produced no events at all"
+    assert all(dup != 1 for _, dup in got), f"expired state matched: {got}"
+    assert (3, 2) in got  # the in-batch pair proves detection still works
