@@ -370,14 +370,10 @@ def decode_png_pixels(payload: bytes):
         return None
 
 
-def image_pixel_features(payload: bytes) -> list[float]:
-    """DECODERS-style entry scoring actual PIXELS, not header fields:
-    (width, height, channels, mean, std, min, max) of the luma plane
-    (ITU-R BT.601 weights for color images). Dispatches on format: 8-bit
-    PNG (decode_png_pixels) or baseline JPEG (operators.jpeg); NaNs for
-    anything neither covers."""
-    import numpy as np
-
+def decode_image_pixels(payload: bytes):
+    """Unified still-image pixel decode: dispatch on sniffed format to the
+    pure-Python decoders (8-bit PNG, baseline/progressive JPEG, GIF, BMP)
+    → (H, W, C) uint8 array, or None outside coverage."""
     px = decode_png_pixels(payload)
     if px is None:
         fmt = sniff_format(payload)
@@ -393,6 +389,18 @@ def image_pixel_features(payload: bytes) -> list[float]:
             from .raster import decode_bmp_pixels
 
             px = decode_bmp_pixels(payload)
+    return px
+
+
+def image_pixel_features(payload: bytes) -> list[float]:
+    """DECODERS-style entry scoring actual PIXELS, not header fields:
+    (width, height, channels, mean, std, min, max) of the luma plane
+    (ITU-R BT.601 weights for color images). Dispatches on format: 8-bit
+    PNG (decode_png_pixels) or baseline JPEG (operators.jpeg); NaNs for
+    anything neither covers."""
+    import numpy as np
+
+    px = decode_image_pixels(payload)
     if px is None:
         return [float("nan")] * 7
     h, w, c = px.shape
@@ -410,6 +418,124 @@ def image_pixel_features(payload: bytes) -> list[float]:
         float(luma.min()),
         float(luma.max()),
     ]
+
+
+def image_dhash(payload: bytes) -> int | None:
+    """64-bit difference hash (dHash) of the decoded image: integer BT.601
+    luma (299R+587G+114B, exact int64 — no float rounding across
+    platforms), box-resized to 8x9 via the summed-area resize, bit
+    (r, c) = luma[r, c] > luma[r, c+1], packed row-major into a SIGNED
+    64-bit value (Spark LongType). Because PNG/GIF/BMP decode losslessly,
+    the SAME picture stored in different lossless formats hashes
+    IDENTICALLY — cross-format exact dedup; a JPEG re-encode lands a few
+    bits away, caught by the Hamming probe. None when undecodable."""
+    import numpy as np
+
+    from .raster import resize_box
+
+    px = decode_image_pixels(payload)
+    if px is None:
+        return None
+    arr = px.astype(np.int64)
+    if arr.shape[2] >= 3:
+        lum = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+    else:
+        lum = 1000 * arr[:, :, 0]
+    small = _resize_int(lum, 8, 9)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if small[r, c] > small[r, c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _resize_int(plane, out_h: int, out_w: int):
+    """Integer floor-mean box resize of a 2-D int64 plane (the raster
+    summed-area method without the uint8 clamp — luma here is x1000)."""
+    import numpy as np
+
+    h, w = plane.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    sat = np.zeros((h + 1, w + 1), dtype=np.int64)
+    sat[1:, 1:] = plane.cumsum(axis=0).cumsum(axis=1)
+    y0, y1 = ys[:-1, None], ys[1:, None]
+    x0, x1 = xs[None, :-1], xs[None, 1:]
+    sums = sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
+    cnt = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return sums // cnt
+
+
+def image_hashes(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """(id, h) per decodable image via one Arrow map stage; undecodable
+    payloads yield no row (quarantine-by-omission)."""
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("h", T.LongType())]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = image_dhash(bytes(payload))
+                if h is not None:
+                    rows.append((int(mid), h))
+            yield pd.DataFrame(rows, columns=["id", "h"])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema=out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Distributed image near-dup: dHash banding — the simhash ladder
+    applied to pixels. Candidates share at least one exact 16-bit band of
+    the 64-bit hash (equality join, never all-pairs); the verify recomputes
+    the full Hamming distance JVM-side (bit_count(xor)). By pigeonhole,
+    any pair within Hamming ``bands - 1`` differs in at most bands-1 bands
+    and therefore SHARES one — so with the default bands=4, recall at the
+    default max_hamming=3 is EXACT, not probabilistic. Raising max_hamming
+    beyond bands-1 requires more bands for the same guarantee.
+
+    Returns (id_a, id_b, hamming). Cross-format: the same picture stored
+    as PNG and BMP (lossless decodes) meets at Hamming 0."""
+    hashes = image_hashes(df, id_col, payload_col)
+    hashes.persist().count()  # materialize before the self-join (CLAUDE.md)
+    band_rows = hashes.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.shiftrightunsigned("h", 16 * j).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "h", "b.band_idx", "b.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def audio_sample_features(payload: bytes) -> list[float]:

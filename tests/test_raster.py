@@ -319,3 +319,71 @@ def test_frame_sample_features_operator(spark):
     m1, s1 = rows[(1, 0)]["features"][:2]
     m2, s2 = rows[(1, 1)]["features"][:2]
     assert s1 < 1e-9 and s2 < 1e-9 and m1 != m2  # std of a solid frame ~ 0 (fp residue)
+
+
+# --- perceptual hash (dHash) + cross-format image near-dup ---------------------
+
+
+def _gradient_rgb(h=32, w=32, seed=1):
+    rng = np.random.RandomState(seed)
+    base = np.linspace(0, 255, w)[None, :, None] * np.ones((h, 1, 3))
+    return np.clip(base + rng.randint(-30, 30, size=(h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_image_dhash_cross_format_identical():
+    """PNG/BMP decode losslessly, so the SAME pixels in either container
+    hash to the SAME 64 bits; an unrelated image is far away; junk is
+    None."""
+    from signalk_parquet_spark.operators.multimodal import image_dhash
+    from tests.test_thresholds_lifecycle import _png_with_pixels
+
+    img = _gradient_rgb()
+    h_png = image_dhash(_png_with_pixels(img, color_type=2, filters=[0]))
+    h_bmp = image_dhash(make_bmp(img, 24))
+    assert h_png is not None and h_png == h_bmp
+    other = image_dhash(make_bmp(_gradient_rgb(seed=99)[::-1, ::-1], 24))
+    assert other is not None and bin((h_png ^ other) & ((1 << 64) - 1)).count("1") > 8
+    assert image_dhash(b"junk") is None
+    # paletted GIF of the same indices as an 8-bit BMP with the same
+    # palette: identical RGB decode -> identical hash
+    idx = (np.arange(64, dtype=np.uint8).reshape(8, 8)) % len(_PALETTE)
+    h_gif = image_dhash(make_gif(idx, _PALETTE))
+    h_bmp8 = image_dhash(make_bmp(idx, 8, palette=_PALETTE))
+    assert h_gif is not None and h_gif == h_bmp8
+
+
+def test_image_neardup_pairs_cross_format_and_jpeg(spark):
+    """The dHash band join finds: the PNG/BMP twins at Hamming 0 (cross-
+    format dedup), the JPEG re-encode within the probe radius, and not the
+    unrelated image. Pigeonhole guarantee: bands=4 > max_hamming=3 makes
+    recall exact."""
+    from signalk_parquet_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+    from tests.test_jpeg import _QLUMA, _rgb_to_ycbcr, encode_jpeg
+    from tests.test_thresholds_lifecycle import _png_with_pixels
+
+    img = _gradient_rgb()
+    y, cb, cr = _rgb_to_ycbcr(img.astype(np.float64))
+    jpeg, _ = encode_jpeg([y, cb, cr], 32, 32, [(1, 1)] * 3, [_QLUMA, [24] * 64])
+    ham_jpeg = bin(
+        (image_dhash(_png_with_pixels(img, color_type=2, filters=[0]))
+         ^ image_dhash(jpeg)) & ((1 << 64) - 1)
+    ).count("1")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png_with_pixels(img, color_type=2, filters=[0]))),
+            (2, bytearray(make_bmp(img, 24))),
+            (3, bytearray(jpeg)),
+            (4, bytearray(make_bmp(_gradient_rgb(seed=99)[::-1, ::-1], 24))),
+            (5, bytearray(b"not an image")),
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0  # cross-format exact dup
+    if ham_jpeg <= 3:  # lossy re-encode: pinned only when within the radius
+        assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
