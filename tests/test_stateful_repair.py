@@ -146,3 +146,51 @@ def test_streaming_neardup_state_survives_query_restart(spark, tmp_path):
 
     got = {(r["doc_id"], r["dup_of"]) for r in spark.read.parquet(out).collect()}
     assert got == {(3, 1)}, got
+
+
+def test_streaming_neardup_rocksdb_state_provider(spark, tmp_path):
+    """The same restart-recovery property on the RocksDB state store —
+    the provider every at-scale deployment runs (bounded executor memory,
+    changelog checkpointing): state written by run 1 under RocksDB must
+    come back in a brand-new run 2 and still match the near-copy."""
+    from signalk_parquet_spark.streaming.stateful import streaming_neardup_minhash
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    src = str(tmp_path / "rdb_src")
+    out = str(tmp_path / "rdb_out")
+    ckpt = str(tmp_path / "rdb_ckpt")
+    schema = "doc_id long, text string"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_neardup_minhash(stream, k=8, bands=4, agree=0.5)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame([(1, a)], schema).coalesce(1).write.parquet(src)
+        run_once()
+        spark.createDataFrame(
+            [(3, a.replace("today", "tonight"))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {(r["doc_id"], r["dup_of"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(3, 1)}, got
