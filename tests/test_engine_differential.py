@@ -145,3 +145,52 @@ def test_concurrent_queries_match_sequential(spark):
         t.join()
     assert not errors, errors
     assert results == sequential
+
+
+def test_window_hash_twins_random_adversarial_text(spark):
+    """The md5-prefix window-hash twin (the foundation under the spans /
+    winnowing / substring gates) must agree between Spark and DuckDB on
+    ADVERSARIAL random text, not just the fixed corpus: unicode, digits,
+    punctuation, empty tokens from doubled spaces, and docs shorter than
+    the window."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from signalk_parquet_spark.functions.text import hashed_grams, shingles, tokens
+
+    k = 4
+    alphabet = ["tok", "a", "λ", "émü", "1.5", "x-y", "{}", "''", "%", "日本"]
+    rng = np.random.RandomState(77)
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        words = [alphabet[j] for j in rng.randint(0, len(alphabet), size=n)]
+        text = " ".join(words)
+        if n > 2 and rng.rand() < 0.3:
+            text = text.replace(" ", "  ", 1)  # doubled space -> empty token
+        docs.append((i, text))
+
+    got = {
+        r["id"]: r["whs"]
+        for r in spark.createDataFrame(docs, "doc_id long, text string")
+        .select(
+            F.col("doc_id").alias("id"),
+            hashed_grams(shingles(tokens("text"), k)).alias("whs"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_t", __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]))
+    pos_dd = (
+        f"list_transform(list_transform(range(1, len(string_split(text,' '))-{k - 2}), "
+        f"i -> array_to_string((string_split(text,' '))[i:i+{k - 1}], ' ')), "
+        "s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT))"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(f"SELECT doc_id, {pos_dd} FROM docs_t").fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert list(got[i] or []) == list(want[i] or []), (i, docs[i])
