@@ -542,3 +542,4 @@ def streaming_audio_neardup(
         if ttl_s is not None
         else GroupStateTimeout.NoTimeout,
     )
+

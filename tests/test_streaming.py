@@ -448,3 +448,4 @@ def test_streaming_neardup_ttl_evicts_idle_state(spark, tmp_path):
     assert rows, "second batch produced no events at all"
     assert all(dup != 1 for _, dup in got), f"expired state matched: {got}"
     assert (3, 2) in got  # the in-batch pair proves detection still works
+
