@@ -429,18 +429,22 @@ def image_dhash(payload: bytes) -> int | None:
     the SAME picture stored in different lossless formats hashes
     IDENTICALLY — cross-format exact dedup; a JPEG re-encode lands a few
     bits away, caught by the Hamming probe. None when undecodable."""
-    import numpy as np
-
-    from .raster import resize_box
-
     px = decode_image_pixels(payload)
     if px is None:
         return None
+    return dhash_pixels(px)
+
+
+def dhash_pixels(px) -> int:
+    """dHash of an already-decoded (H, W, C) uint8 array (the shared core
+    under image_dhash and video.video_frame_hashes)."""
+    import numpy as np
+
     arr = px.astype(np.int64)
-    if arr.shape[2] >= 3:
+    if arr.ndim == 3 and arr.shape[2] >= 3:
         lum = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
     else:
-        lum = 1000 * arr[:, :, 0]
+        lum = 1000 * arr.reshape(arr.shape[0], arr.shape[1], -1)[:, :, 0]
     small = _resize_int(lum, 8, 9)
     h = 0
     for r in range(8):

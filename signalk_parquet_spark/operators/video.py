@@ -157,3 +157,119 @@ def decode_avi_frames(
         if px is not None:
             frames.append((idx, px))
     return (total, frames) if frames else None
+
+
+def video_frame_hashes(df, id_col: str = "media_id", payload_col: str = "payload",
+                       every_n: int = 1, max_frames: int = 16):
+    """(id, frame_idx, h) rows: the 64-bit dHash of each sampled decoded
+    frame (animated GIF or MJPEG-AVI — operators.multimodal._sampled_
+    frames dispatch). Undecodable payloads yield no rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+
+    def _batches(it):
+        from .multimodal import _sampled_frames, dhash_pixels as dhash
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sampled = _sampled_frames(bytes(payload), every_n, max_frames)
+                if sampled is None:
+                    continue
+                _, frames = sampled
+                for idx, px in frames:
+                    rows.append((int(mid), int(idx), dhash(px)))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "h"])
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema=out_schema)
+
+
+def video_neardup_pairs(
+    df,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int = 16,
+    min_frac: float = 0.5,
+    max_hamming: int = 3,
+):
+    """Distributed video near-dup — the VIDEO rung of the modality-complete
+    dedup ladder (text/embeddings/audio/images/this): clips match when at
+    least ``min_frac`` of their aligned sampled frames match perceptually
+    (per-frame dHash within ``max_hamming``). Candidates come from an
+    equality join on (frame_idx, 16-bit hash band); the verify then
+    scores ALL aligned frames JVM-side (bit_count over zipped hash
+    arrays — no second decode).
+
+    Returns (id_a, id_b, n_aligned, n_match, frac). Never all-pairs; both
+    shuffles key on the banded frame hash or the pair."""
+    from pyspark.sql import functions as F
+
+    fh = video_frame_hashes(df, id_col, payload_col, every_n, max_frames)
+    fh.persist().count()  # materialize before the self-join (CLAUDE.md)
+    per_clip = fh.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("frame_idx", "h"))).alias("fs")
+    )
+    # candidates: share a 16-bit BAND of some aligned frame's hash — the
+    # image_neardup_pairs pigeonhole (4 bands cover Hamming <= 3): any
+    # frame pair the verify will count as matching is GUARANTEED to meet
+    # in at least one band, so candidate recall at max_hamming <= 3 is
+    # exact (a re-encode rarely keeps any frame hash bit-identical)
+    band_rows = fh.select(
+        "id",
+        "frame_idx",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.shiftrightunsigned("h", 16 * j)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                )
+                for j in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "frame_idx", "b.band_idx", "b.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    fa = per_clip.select(F.col("id").alias("id_a"), F.col("fs").alias("fs_a"))
+    fb = per_clip.select(F.col("id").alias("id_b"), F.col("fs").alias("fs_b"))
+    n = F.least(F.size("fs_a"), F.size("fs_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.slice("fs_a", 1, n),
+            F.slice("fs_b", 1, n),
+            lambda x, y: (
+                F.bit_count(x["h"].bitwiseXOR(y["h"])) <= max_hamming
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("n_aligned", n)
+        .withColumn("n_match", matches)
+        .withColumn("frac", F.col("n_match") / F.col("n_aligned"))
+        .filter(F.col("frac") >= min_frac)
+        .select("id_a", "id_b", "n_aligned", "n_match", "frac")
+    )

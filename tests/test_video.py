@@ -222,3 +222,40 @@ def test_media_decoders_never_raise_on_corruption():
         for v in variants:
             for dec in decoders:
                 dec(v)  # must not raise — return value unconstrained
+
+
+def test_video_neardup_pairs(spark):
+    """The VIDEO rung: a JPEG re-encode of the same clip (same frames,
+    different quantization) matches at a high aligned-frame fraction; a
+    clip sharing only its FIRST frame surfaces as a candidate but fails
+    the min_frac verify; an unrelated clip never pairs."""
+    from signalk_parquet_spark.operators.video import video_neardup_pairs
+    from tests.test_jpeg import _test_image, encode_jpeg
+
+    def clip(seeds, q):
+        frames = []
+        for s in seeds:
+            img = _test_image(16, 16, seed=s)
+            payload, _ = encode_jpeg([img], 16, 16, [(1, 1)], [[q] * 64])
+            frames.append(payload)
+        return make_avi(frames, 16, 16)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(clip([1, 2, 3, 4], q=16))),
+            (2, bytearray(clip([1, 2, 3, 4], q=20))),   # re-encode of clip 1
+            (3, bytearray(clip([1, 50, 60, 70], q=16))),  # shares ONLY frame 0
+            (4, bytearray(clip([80, 81, 82, 83], q=16))),  # unrelated
+            (5, bytearray(b"junk")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in video_neardup_pairs(df).collect()}
+    assert (1, 2) in rows and rows[(1, 2)]["frac"] >= 0.5
+    assert rows[(1, 2)]["n_aligned"] == 4
+    assert (1, 3) not in rows  # candidate via frame 0, killed by verify
+    assert not any(4 in p or 5 in p for p in rows)
+    # loosening min_frac surfaces the single-shared-frame pair
+    loose = {(r["id_a"], r["id_b"]): r["n_match"]
+             for r in video_neardup_pairs(df, min_frac=0.25).collect()}
+    assert loose.get((1, 3)) == 1
