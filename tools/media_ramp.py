@@ -94,8 +94,89 @@ def frames_ramp(spark, sizes=(200, 1000, 4000)):
         print(f"  n={n}: {time.time() - t:.1f} s, {rows} frame rows")
 
 
+def image_video_ramp(spark, sizes=(200, 1000, 4000)):
+    """Image + video near-dup rungs: every 10th payload is a JPEG
+    re-encode of an earlier one (the near-dup mass), payload synthesis
+    executor-side from the seed id."""
+    from signalk_parquet_spark.operators.multimodal import image_neardup_pairs
+    from signalk_parquet_spark.operators.video import video_neardup_pairs
+
+    def block_img(seed, h=16, w=16):
+        # distinct PHOTO-LIKE content: a random low-frequency cosine field.
+        # Two failure modes this dodges, both measured: a shared ramp +
+        # noise makes EVERY image a near-dup of every other (dHash
+        # correctly collapses them — 680k pairs at n=4000), and flat
+        # blocks make every luma comparison a TIE that requantization
+        # flips (re-encode Hamming 8-21 — dHash's documented weakness on
+        # synthetic flat content). Smooth fields measure re-encode Hamming
+        # 0-6 vs unrelated 19-46.
+        rng = np.random.RandomState(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w))
+        for _ in range(3):
+            fy, fx = rng.uniform(0.3, 1.5, 2)
+            py, px_ = rng.uniform(0, 2 * np.pi, 2)
+            img += rng.uniform(0.5, 1.0) * np.cos(
+                2 * np.pi * fy * y / h + py
+            ) * np.cos(2 * np.pi * fx * x / w + px_)
+        img -= img.min()
+        img *= 255.0 / max(img.max(), 1e-9)
+        return img
+
+    def gen_images(it):
+        import pandas as pd
+
+        from tests.test_jpeg import encode_jpeg
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].tolist():
+                base = i - 9 if i % 10 == 9 else i
+                q = 20 if i % 10 == 9 else 16
+                img = block_img(int(base))
+                rows.append((int(i), encode_jpeg([img], 16, 16, [(1, 1)], [[q] * 64])[0]))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    def gen_clips(it):
+        import pandas as pd
+
+        from tests.test_jpeg import encode_jpeg
+        from tests.test_video import make_avi
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].tolist():
+                base = i - 9 if i % 10 == 9 else i
+                q = 20 if i % 10 == 9 else 16
+                frames = [
+                    encode_jpeg([block_img(int(base) * 4 + k)],
+                                16, 16, [(1, 1)], [[q] * 64])[0]
+                    for k in range(4)
+                ]
+                rows.append((int(i), make_avi(frames, 16, 16)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    print("image_neardup_pairs ramp")
+    for n in sizes:
+        df = spark.range(n).repartition(32).mapInPandas(
+            gen_images, "media_id long, payload binary"
+        )
+        t = time.time()
+        pairs = image_neardup_pairs(df).count()
+        print(f"  n={n}: {time.time() - t:.1f} s, {pairs} pairs")
+    print("video_neardup_pairs ramp")
+    for n in sizes:
+        df = spark.range(n).repartition(32).mapInPandas(
+            gen_clips, "media_id long, payload binary"
+        )
+        t = time.time()
+        pairs = video_neardup_pairs(df).count()
+        print(f"  n={n}: {time.time() - t:.1f} s, {pairs} pairs")
+
+
 if __name__ == "__main__":
     spark = get_spark("media_ramp")
     spark.range(32).mapInPandas(lambda it: it, "id long").count()  # warm Arrow
     frames_ramp(spark)
     audio_ramp(spark)
+    image_video_ramp(spark)
