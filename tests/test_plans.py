@@ -446,3 +446,25 @@ def test_pii_scrub_is_map_then_partial_agg(spark):
     # round-robin repartition inside InMemoryRelation doesn't count
     assert plan.count("hashpartitioning") == 1
     assert "partial_sum" in plan  # map-side combine before the group shuffle
+
+
+def test_media_neardup_joins_are_equi_joins(spark):
+    """The three media near-dup rungs must candidate-generate through
+    equality joins (band / (pos, sub) buckets) — never a cartesian or
+    broadcast-nested-loop over payload rows — and verify via a pair join,
+    not a second decode pass."""
+    import numpy as np
+
+    from signalk_parquet_spark.operators.audio import audio_neardup_pairs
+    from signalk_parquet_spark.operators.multimodal import image_neardup_pairs
+    from signalk_parquet_spark.operators.video import video_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x")), (2, bytearray(b"y"))],
+        "media_id long, payload binary",
+    )
+    for op in (image_neardup_pairs, audio_neardup_pairs, video_neardup_pairs):
+        plan = formatted_plan(op(df))
+        assert "CartesianProduct" not in plan, op.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+        assert "MapInPandas" in plan, op.__name__  # one Arrow decode stage
