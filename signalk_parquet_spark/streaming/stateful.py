@@ -543,3 +543,121 @@ def streaming_audio_neardup(
         else GroupStateTimeout.NoTimeout,
     )
 
+
+
+# --- streaming image (perceptual dHash) near-dup -------------------------------
+IMAGE_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("hamming", T.IntegerType()),
+    ]
+)
+#: per-(band, value) bucket state: kept image ids and their full 64-bit hashes
+_IMAGE_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_image_neardup_fn(max_hamming: int, max_bucket: int, ttl_s: float | None = None):
+    """applyInPandasWithState function for one (band, value) dHash bucket:
+    an arriving image within ``max_hamming`` of any kept hash emits a
+    match event; otherwise it joins the bucket (capped). TTL as in the
+    audio rung."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in IMAGE_MATCH_SCHEMA.fields])
+            return
+        ids, hs = state.get if state.exists else ([], [])
+        ids, hs = list(ids), list(hs)
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("media_id")
+            for mid, h in zip(pdf["media_id"].tolist(), pdf["h"].tolist()):
+                h = int(h)
+                hit = None
+                for kid, kh in zip(ids, hs):
+                    ham = bin((h ^ int(kh)) & ((1 << 64) - 1)).count("1")
+                    if ham <= max_hamming:
+                        hit = (kid, ham)
+                        break
+                if hit is not None:
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "dup_of": int(hit[0]),
+                            "band": int(key[0]),
+                            "hamming": int(hit[1]),
+                        }
+                    )
+                elif len(ids) < max_bucket:
+                    ids.append(int(mid))
+                    hs.append(h)
+        state.update((ids, hs))
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
+        yield pd.DataFrame(out, columns=[f.name for f in IMAGE_MATCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_image_neardup(
+    stream: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 64,
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming IMAGE near-dup ACROSS micro-batches — the image rung of
+    the continuous-ingest dedup ladder (batch twin:
+    operators.multimodal.image_neardup_pairs, same dHash arithmetic and
+    the same pigeonhole guarantee: bands > max_hamming makes the
+    candidate conditions exhaustive). Each decoded image's 64-bit dHash is
+    computed in an Arrow batch stage; each 16-bit band value keys a
+    stateful bucket of first-seen hashes; an arriving image within
+    ``max_hamming`` of a kept hash emits a match event instead of joining
+    state. Undecodable payloads are dropped in the hash stage
+    (batch/stream decision consistency). State: one long per kept image
+    per band — tiny; ``ttl_s`` bounds it in time."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import image_dhash
+
+    @pandas_udf(T.LongType())
+    def dhash_udf(payloads: pd.Series) -> pd.Series:
+        return payloads.apply(
+            lambda p: image_dhash(bytes(p))
+        ).astype("object")
+
+    with_h = stream.select(
+        F.col(id_col).alias("media_id"), dhash_udf(F.col(payload_col)).alias("h")
+    ).filter(F.col("h").isNotNull())
+    exploded = with_h.select(
+        "media_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("h", 16 * j).bitwiseAND(F.lit(0xFFFF))
+                for j in range(bands)
+            ])
+        ).alias("band", "bval"),
+    )
+    return exploded.groupBy("band", "bval").applyInPandasWithState(
+        make_image_neardup_fn(max_hamming, max_bucket, ttl_s),
+        IMAGE_MATCH_SCHEMA,
+        _IMAGE_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -449,3 +449,57 @@ def test_streaming_neardup_ttl_evicts_idle_state(spark, tmp_path):
     assert all(dup != 1 for _, dup in got), f"expired state matched: {got}"
     assert (3, 2) in got  # the in-batch pair proves detection still works
 
+
+
+def test_streaming_image_neardup_matches_batch(spark, tmp_path):
+    """The image rung of the streaming ladder: a batch-2 BMP copy of a
+    batch-1 PNG matches across the batch line at Hamming 0 (cross-format,
+    the dHash property), unrelated and undecodable payloads emit nothing,
+    and the distinct match set equals the batch operator's pairs."""
+    import numpy as np
+
+    from signalk_parquet_spark.operators.multimodal import image_neardup_pairs
+    from signalk_parquet_spark.streaming.stateful import streaming_image_neardup
+    from tests.test_raster import make_bmp
+    from tests.test_thresholds_lifecycle import _png_with_pixels
+
+    rng = np.random.RandomState(8)
+    base = np.clip(
+        np.linspace(0, 255, 16)[None, :, None] * np.ones((16, 1, 3))
+        + rng.randint(-30, 30, size=(16, 16, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    other = base[::-1, ::-1].copy()
+    other[0, 0] = 255 - other[0, 0]
+    batches = [
+        [(1, bytearray(_png_with_pixels(base, color_type=2, filters=[0]))),
+         (4, bytearray(b"junk"))],
+        [(2, bytearray(make_bmp(base, 24))),
+         (3, bytearray(make_bmp(other, 24)))],
+    ]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "img_src")
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_image_neardup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("img_nd_out")
+        .option("checkpointLocation", str(tmp_path / "img_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    events = spark.sql("SELECT * FROM img_nd_out").collect()
+    got = {(r["media_id"], r["dup_of"]) for r in events}
+    assert all(r["hamming"] == 0 for r in events if r["media_id"] == 2)
+
+    batch_df = spark.createDataFrame([d for b in batches for d in b], schema)
+    want = {
+        (r["id_b"], r["id_a"]) for r in image_neardup_pairs(batch_df).collect()
+    }
+    assert got == want == {(2, 1)}
