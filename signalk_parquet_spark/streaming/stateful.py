@@ -661,3 +661,134 @@ def streaming_image_neardup(
         if ttl_s is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming video (per-frame dHash) near-dup --------------------------------
+VIDEO_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("frac", T.DoubleType()),
+    ]
+)
+#: per-(frame_idx, band, value) bucket: kept clip ids and their frame-hash lists
+_VIDEO_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("fhs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def make_video_neardup_fn(
+    min_frac: float, max_hamming: int, max_bucket: int, ttl_s: float | None = None
+):
+    """applyInPandasWithState function for one (frame_idx, band, value)
+    bucket: an arriving clip is scored against every kept clip as the
+    fraction of aligned frames within ``max_hamming`` (the batch verify's
+    arithmetic); frac >= ``min_frac`` emits a match, else the clip joins
+    the bucket (capped). TTL as in the audio rung."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in VIDEO_MATCH_SCHEMA.fields])
+            return
+        ids, fhs = state.get if state.exists else ([], [])
+        ids, fhs = list(ids), [[int(v) for v in f] for f in fhs]
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("media_id")
+            for mid, fh in zip(pdf["media_id"].tolist(), pdf["fh"].tolist()):
+                fh = [int(v) for v in fh]
+                hit = None
+                for kid, kfh in zip(ids, fhs):
+                    n = min(len(fh), len(kfh))
+                    m = sum(
+                        1
+                        for a, b in zip(fh[:n], kfh[:n])
+                        if bin((a ^ b) & ((1 << 64) - 1)).count("1") <= max_hamming
+                    )
+                    if n and m / n >= min_frac:
+                        hit = (kid, m / n)
+                        break
+                if hit is not None:
+                    out.append(
+                        {"media_id": int(mid), "dup_of": int(hit[0]), "frac": hit[1]}
+                    )
+                elif len(ids) < max_bucket:
+                    ids.append(int(mid))
+                    fhs.append(fh)
+        state.update((ids, fhs))
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
+        yield pd.DataFrame(out, columns=[f.name for f in VIDEO_MATCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_video_neardup(
+    stream: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int = 16,
+    min_frac: float = 0.5,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 64,
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming VIDEO near-dup ACROSS micro-batches — the final rung:
+    every modality the engine decodes now has BOTH a batch and a
+    streaming near-dup operator (batch twin: operators.video.
+    video_neardup_pairs, same frame hashes, banding, and aligned-fraction
+    verify). Frame dHashes ride one Arrow batch stage; every
+    (frame_idx, band, value) triple keys a stateful bucket of first-seen
+    clips' FULL frame-hash lists; an arriving clip matching any kept clip
+    at >= ``min_frac`` aligned frames emits a match event instead of
+    joining state."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import _sampled_frames, dhash_pixels
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fh_udf(payloads: pd.Series) -> pd.Series:
+        def hashes(p):
+            sampled = _sampled_frames(bytes(p), every_n, max_frames)
+            if sampled is None:
+                return []
+            return [dhash_pixels(px) for _idx, px in sampled[1]]
+
+        return payloads.apply(hashes)
+
+    with_fh = stream.select(
+        F.col(id_col).alias("media_id"), fh_udf(F.col(payload_col)).alias("fh")
+    ).filter(F.size("fh") > 0)
+    exploded = (
+        with_fh.select(
+            "media_id", "fh", F.posexplode("fh").alias("frame_pos", "h")
+        )
+        .select(
+            "media_id",
+            "fh",
+            "frame_pos",
+            F.posexplode(
+                F.array(*[
+                    F.shiftrightunsigned("h", 16 * j).bitwiseAND(F.lit(0xFFFF))
+                    for j in range(bands)
+                ])
+            ).alias("band", "bval"),
+        )
+    )
+    return exploded.groupBy("frame_pos", "band", "bval").applyInPandasWithState(
+        make_video_neardup_fn(min_frac, max_hamming, max_bucket, ttl_s),
+        VIDEO_MATCH_SCHEMA,
+        _VIDEO_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -503,3 +503,53 @@ def test_streaming_image_neardup_matches_batch(spark, tmp_path):
         (r["id_b"], r["id_a"]) for r in image_neardup_pairs(batch_df).collect()
     }
     assert got == want == {(2, 1)}
+
+
+def test_streaming_video_neardup_matches_batch(spark, tmp_path):
+    """The video rung: a batch-2 re-encode (q20) of a batch-1 clip (q16)
+    matches across the batch line at a high aligned-frame fraction; an
+    unrelated clip and junk emit nothing; the distinct match set equals
+    the batch operator's pairs."""
+    from signalk_parquet_spark.operators.video import video_neardup_pairs
+    from signalk_parquet_spark.streaming.stateful import streaming_video_neardup
+    from tests.test_jpeg import _test_image, encode_jpeg
+    from tests.test_video import make_avi
+
+    def clip(seeds, q):
+        return make_avi(
+            [encode_jpeg([_test_image(16, 16, seed=s)], 16, 16, [(1, 1)], [[q] * 64])[0]
+             for s in seeds],
+            16, 16,
+        )
+
+    batches = [
+        [(1, bytearray(clip([1, 2, 3, 4], 16))), (5, bytearray(b"junk"))],
+        [(2, bytearray(clip([1, 2, 3, 4], 20))),
+         (3, bytearray(clip([90, 91, 92, 93], 16)))],
+    ]
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "vid_src")
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_video_neardup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vid_nd_out")
+        .option("checkpointLocation", str(tmp_path / "vid_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    events = spark.sql("SELECT * FROM vid_nd_out").collect()
+    got = {(r["media_id"], r["dup_of"]) for r in events}
+    assert all(r["frac"] >= 0.5 for r in events)
+
+    batch_df = spark.createDataFrame([d for b in batches for d in b], schema)
+    want = {
+        (r["id_b"], r["id_a"]) for r in video_neardup_pairs(batch_df).collect()
+    }
+    assert got == want == {(2, 1)}
