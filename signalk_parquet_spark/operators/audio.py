@@ -79,7 +79,10 @@ def audio_spectral_features(
         return [float("nan")] * (2 + n_bands)
     rate, _nch, x = dec
     if x.size == 0:
-        return [0.0] * (2 + n_bands)
+        # a valid header with no PCM frames scores like SILENCE (the
+        # log-power floor), not 0.0 — which on a log scale reads as LOUD
+        # and sails through loudness screens
+        return [0.0, 0.0] + [-12.0] * n_bands
     p = _stft_power(x, n_fft, hop)
     mean_p = p.mean(axis=0)  # per-bin mean power over time
     freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
@@ -100,9 +103,13 @@ def audio_fingerprint(
 ) -> list[int] | None:
     """Haitsma-Kalker sub-fingerprints: for each STFT frame n and band m,
     bit m is ``sign((E[n,m] - E[n,m+1]) - (E[n-1,m] - E[n-1,m+1]))`` over
-    ``n_bands`` log-spaced energy bands → an (n_bands - 1)-bit integer per
-    frame (32 bits at the paper's 33 bands). Returns None when the payload
-    isn't decodable PCM WAV; [] when it is shorter than two frames."""
+    log-spaced energy bands → one integer per frame. The bit width is
+    ``fingerprint_bits(n_fft, n_bands)``, NOT n_bands-1: integer rounding
+    collapses the low log-spaced edges (25 bits at the defaults, where the
+    paper's 2048-sample windows support the full 32) — every bit-error-
+    rate denominator must come from fingerprint_bits. Returns None when
+    the payload isn't decodable PCM WAV; [] when it is shorter than two
+    frames."""
     import numpy as np
 
     dec = decode_wav_samples(payload)
@@ -112,13 +119,7 @@ def audio_fingerprint(
     p = _stft_power(x, n_fft, hop)
     if p.shape[0] < 2:
         return []
-    # log-spaced band edges over bins [1, n_fft//2] (skip DC), ensured distinct
-    n_bins = p.shape[1]
-    edges = np.unique(
-        np.round(
-            np.exp(np.linspace(np.log(1), np.log(n_bins - 1), n_bands + 1))
-        ).astype(int)
-    )
+    edges = _band_edges(p.shape[1], n_bands)
     if len(edges) < 3:
         return []
     e = np.stack(
@@ -128,6 +129,25 @@ def audio_fingerprint(
     bits = (np.diff(d, axis=0) > 0).astype(np.int64)  # vs previous frame
     weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
     return [int(v) for v in bits @ weights]
+
+
+def _band_edges(n_bins: int, n_bands: int):
+    """Distinct integer log-spaced band edges over bins [1, n_bins-1]
+    (DC skipped). Rounding collapses the low edges, so the REAL band
+    count is len(edges) - 1."""
+    import numpy as np
+
+    return np.unique(
+        np.round(
+            np.exp(np.linspace(np.log(1), np.log(n_bins - 1), n_bands + 1))
+        ).astype(int)
+    )
+
+
+def fingerprint_bits(n_fft: int = 256, n_bands: int = 33) -> int:
+    """Actual bits per sub-fingerprint for the given STFT/band config —
+    the ONLY valid denominator for bit-error rates (25 at the defaults)."""
+    return len(_band_edges(n_fft // 2 + 1, n_bands)) - 2
 
 
 def audio_fingerprints(
@@ -216,10 +236,11 @@ def audio_neardup_pairs(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    bits = float(fingerprint_bits())  # the ACTUAL bit width, not 32
     return (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
-        .withColumn("ber", errs / (32.0 * n))
+        .withColumn("ber", errs / (bits * n))
         .filter(F.col("ber") <= max_ber)
         .select("id_a", "id_b", "hits", F.col("ber").cast("double").alias("ber"))
     )
@@ -228,7 +249,8 @@ def audio_neardup_pairs(
 def fingerprint_hamming(fp_a: list[int], fp_b: list[int]) -> float:
     """Mean per-frame Hamming distance between two aligned fingerprints
     (compared over the common prefix), in bits. The paper's match rule is
-    a bit-error-rate threshold (~0.35 of the 32 bits)."""
+    a bit-error-rate threshold (~0.35); divide by fingerprint_bits() —
+    NOT a hardcoded 32 — to get the rate."""
     n = min(len(fp_a), len(fp_b))
     if n == 0:
         return float("nan")

@@ -460,14 +460,19 @@ def decode_jpeg_pixels(payload: bytes):
                     cs, tda = body[1 + 2 * k : 3 + 2 * k]
                     sel.append((cids.index(cs), tda >> 4, tda & 0x0F))
                 ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
-                # MJPEG convention: a frame with no DHT at all uses the
-                # T.81 Annex K typical tables (OpenDML AVI / RFC 2435).
-                for _ci, td, ta in sel:
-                    for key in ((0, td), (1, ta)):
-                        if key not in huff:
-                            dflt = _default_huffman(key)
-                            if dflt is not None:
-                                huff[key] = dflt
+                # MJPEG convention: ONLY a frame that defined no DHT at
+                # all uses the T.81 Annex K typical tables (OpenDML AVI /
+                # RFC 2435). A file that DID define tables but is missing
+                # one the scan references is corrupt — it must keep
+                # failing to decode (quarantine), not silently decode its
+                # entropy data under substituted tables.
+                if not huff:
+                    for _ci, td, ta in sel:
+                        for key in ((0, td), (1, ta)):
+                            if key not in huff:
+                                dflt = _default_huffman(key)
+                                if dflt is not None:
+                                    huff[key] = dflt
                 # entropy-coded data: unstuff 0xFF00, split at RSTn
                 j = i + 2 + seglen
                 segments: list[bytearray] = [bytearray()]

@@ -460,6 +460,14 @@ def _resize_int(plane, out_h: int, out_w: int):
     import numpy as np
 
     h, w = plane.shape
+    # planes smaller than the target would create empty boxes (zero
+    # counts -> divide-by-zero, and DISTINCT tiny images collapsing to one
+    # hash); replication preserves box means exactly
+    if h < out_h or w < out_w:
+        fy = -(-out_h // max(h, 1))
+        fx = -(-out_w // max(w, 1))
+        plane = plane.repeat(max(fy, 1), axis=0).repeat(max(fx, 1), axis=1)
+        h, w = plane.shape
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     sat = np.zeros((h + 1, w + 1), dtype=np.int64)
@@ -496,6 +504,7 @@ def image_neardup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 3,
     bands: int = 4,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Distributed image near-dup: dHash banding — the simhash ladder
     applied to pixels. Candidates share at least one exact 16-bit band of
@@ -505,6 +514,11 @@ def image_neardup_pairs(
     and therefore SHARES one — so with the default bands=4, recall at the
     default max_hamming=3 is EXACT, not probabilistic. Raising max_hamming
     beyond bands-1 requires more bands for the same guarantee.
+
+    ``max_df`` drops ubiquitous (band, value) buckets before the
+    self-join — blank/solid images all hash to 0 and would make the join
+    quadratic in their count (the winnowing stop-fingerprint cap; flat
+    content has no pair-discriminating signal anyway).
 
     Returns (id_a, id_b, hamming). Cross-format: the same picture stored
     as PNG and BMP (lossless decodes) meets at Hamming 0."""
@@ -523,6 +537,16 @@ def image_neardup_pairs(
             ])
         ).alias("b"),
     ).select("id", "h", "b.band_idx", "b.band_val")
+    if max_df is not None:
+        hot = (
+            band_rows.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("band_idx", "band_val")
+        )
+        band_rows = band_rows.join(
+            F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
+        )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
     return (

@@ -305,6 +305,15 @@ def resize_box(px, out_h: int, out_w: int):
     import numpy as np
 
     h, w = px.shape[:2]
+    # images smaller than the target would create EMPTY boxes (repeated
+    # edge indices -> zero counts -> divide-by-zero and zeroed cells);
+    # integer replication preserves box means exactly and keeps every box
+    # non-empty
+    if h < out_h or w < out_w:
+        fy = -(-out_h // max(h, 1))
+        fx = -(-out_w // max(w, 1))
+        px = px.repeat(max(fy, 1), axis=0).repeat(max(fx, 1), axis=1)
+        h, w = px.shape[:2]
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     # Summed-area table: every box sum in one vectorized gather.

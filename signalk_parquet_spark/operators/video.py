@@ -200,14 +200,17 @@ def video_neardup_pairs(
     max_frames: int = 16,
     min_frac: float = 0.5,
     max_hamming: int = 3,
+    max_df: int | None = 1000,
 ):
     """Distributed video near-dup — the VIDEO rung of the modality-complete
     dedup ladder (text/embeddings/audio/images/this): clips match when at
     least ``min_frac`` of their aligned sampled frames match perceptually
     (per-frame dHash within ``max_hamming``). Candidates come from an
     equality join on (frame_idx, 16-bit hash band); the verify then
-    scores ALL aligned frames JVM-side (bit_count over zipped hash
-    arrays — no second decode).
+    scores ALL frames present in BOTH clips JVM-side via a per-frame
+    equi-join on frame_idx — no second decode, and alignment survives an
+    undecodable frame in one clip (a positional zip would shift every
+    subsequent frame and kill true matches).
 
     Returns (id_a, id_b, n_aligned, n_match, frac). Never all-pairs; both
     shuffles key on the banded frame hash or the pair."""
@@ -215,9 +218,6 @@ def video_neardup_pairs(
 
     fh = video_frame_hashes(df, id_col, payload_col, every_n, max_frames)
     fh.persist().count()  # materialize before the self-join (CLAUDE.md)
-    per_clip = fh.groupBy("id").agg(
-        F.sort_array(F.collect_list(F.struct("frame_idx", "h"))).alias("fs")
-    )
     # candidates: share a 16-bit BAND of some aligned frame's hash — the
     # image_neardup_pairs pigeonhole (4 bands cover Hamming <= 3): any
     # frame pair the verify will count as matching is GUARANTEED to meet
@@ -238,6 +238,19 @@ def video_neardup_pairs(
             ])
         ).alias("b"),
     ).select("id", "frame_idx", "b.band_idx", "b.band_val")
+    if max_df is not None:
+        # blank/letterboxed frames all hash alike: drop ubiquitous
+        # (frame_idx, band, value) buckets before the self-join (the
+        # winnowing stop-fingerprint cap — no pair signal in them anyway)
+        hot = (
+            band_rows.groupBy("frame_idx", "band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("frame_idx", "band_idx", "band_val")
+        )
+        band_rows = band_rows.join(
+            F.broadcast(hot), ["frame_idx", "band_idx", "band_val"], "left_anti"
+        )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -250,25 +263,18 @@ def video_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    fa = per_clip.select(F.col("id").alias("id_a"), F.col("fs").alias("fs_a"))
-    fb = per_clip.select(F.col("id").alias("id_b"), F.col("fs").alias("fs_b"))
-    n = F.least(F.size("fs_a"), F.size("fs_b"))
-    matches = F.aggregate(
-        F.zip_with(
-            F.slice("fs_a", 1, n),
-            F.slice("fs_b", 1, n),
-            lambda x, y: (
-                F.bit_count(x["h"].bitwiseXOR(y["h"])) <= max_hamming
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    fa = fh.select(F.col("id").alias("id_a"), "frame_idx", F.col("h").alias("h_a"))
+    fb = fh.select(F.col("id").alias("id_b"), "frame_idx", F.col("h").alias("h_b"))
+    per_frame = cand.join(fa, "id_a").join(fb, ["id_b", "frame_idx"])
+    matched = (
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+    ).cast("long")
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn("n_aligned", n)
-        .withColumn("n_match", matches)
+        per_frame.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_aligned"),
+            F.sum(matched).alias("n_match"),
+        )
         .withColumn("frac", F.col("n_match") / F.col("n_aligned"))
         .filter(F.col("frac") >= min_frac)
         .select("id_a", "id_b", "n_aligned", "n_match", "frac")

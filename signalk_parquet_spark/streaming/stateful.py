@@ -448,6 +448,9 @@ def make_audio_neardup_fn(max_ber: float, max_bucket: int, ttl_s: float | None =
             state.remove()
             yield pd.DataFrame(columns=[f.name for f in AUDIO_MATCH_SCHEMA.fields])
             return
+        from ..operators.audio import fingerprint_bits
+
+        bits = float(fingerprint_bits())  # the ACTUAL bit width, not 32
         ids, fps = state.get if state.exists else ([], [])
         ids, fps = list(ids), [list(f) for f in fps]
         out: list[dict[str, Any]] = []
@@ -461,7 +464,7 @@ def make_audio_neardup_fn(max_ber: float, max_bucket: int, ttl_s: float | None =
                     errs = sum(
                         bin(a ^ b).count("1") for a, b in zip(fp[:n], kfp[:n])
                     )
-                    ber = errs / (32.0 * n)
+                    ber = errs / (bits * n)
                     if ber <= max_ber:
                         hit = (kid, ber)
                         break
@@ -697,18 +700,28 @@ def make_video_neardup_fn(
             yield pd.DataFrame(columns=[f.name for f in VIDEO_MATCH_SCHEMA.fields])
             return
         ids, fhs = state.get if state.exists else ([], [])
-        ids, fhs = list(ids), [[int(v) for v in f] for f in fhs]
+        # slot-dense hash lists: None marks an undecodable frame, so
+        # alignment is by FRAME SLOT, not list position — one corrupt
+        # frame must not shift every later comparison (state arrays hold
+        # the None slots as SQL nulls)
+        ids = list(ids)
+        fhs = [[None if v is None else int(v) for v in f] for f in fhs]
         out: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("media_id")
             for mid, fh in zip(pdf["media_id"].tolist(), pdf["fh"].tolist()):
-                fh = [int(v) for v in fh]
+                fh = [None if v is None else int(v) for v in fh]
                 hit = None
                 for kid, kfh in zip(ids, fhs):
-                    n = min(len(fh), len(kfh))
+                    pairs = [
+                        (a, b)
+                        for a, b in zip(fh, kfh)
+                        if a is not None and b is not None
+                    ]
+                    n = len(pairs)
                     m = sum(
                         1
-                        for a, b in zip(fh[:n], kfh[:n])
+                        for a, b in pairs
                         if bin((a ^ b) & ((1 << 64) - 1)).count("1") <= max_hamming
                     )
                     if n and m / n >= min_frac:
@@ -757,10 +770,15 @@ def streaming_video_neardup(
     @pandas_udf(T.ArrayType(T.LongType()))
     def fh_udf(payloads: pd.Series) -> pd.Series:
         def hashes(p):
+            # SLOT-dense: position s holds the hash of frame s*every_n, or
+            # None when that frame failed to decode — alignment by slot
             sampled = _sampled_frames(bytes(p), every_n, max_frames)
             if sampled is None:
                 return []
-            return [dhash_pixels(px) for _idx, px in sampled[1]]
+            by_slot = {idx // every_n: dhash_pixels(px) for idx, px in sampled[1]}
+            if not by_slot:
+                return []
+            return [by_slot.get(s) for s in range(max(by_slot) + 1)]
 
         return payloads.apply(hashes)
 

@@ -86,14 +86,18 @@ def test_fingerprint_robustness_ladder():
     rng = np.random.RandomState(9)
     a = (sine(500.0) + sine(1300.0, amp=0.3) + 0.05 * rng.standard_normal(8000)) * 0.5
     fp_a = audio_fingerprint(wav_bytes(a))
+    from signalk_parquet_spark.operators.audio import fingerprint_bits
+
+    bits = fingerprint_bits()
+    assert 20 <= bits <= 32  # edge rounding collapses below the paper's 32
     assert fp_a is not None and len(fp_a) > 50
-    assert all(0 <= v < (1 << 32) for v in fp_a)
+    assert all(0 <= v < (1 << bits) for v in fp_a)
     assert fingerprint_hamming(fp_a, audio_fingerprint(wav_bytes(a))) == 0.0
 
     noisy = a + 0.01 * rng.standard_normal(a.size)
-    ber_noisy = fingerprint_hamming(fp_a, audio_fingerprint(wav_bytes(noisy))) / 32.0
+    ber_noisy = fingerprint_hamming(fp_a, audio_fingerprint(wav_bytes(noisy))) / bits
     other = 0.5 * rng.standard_normal(8000).clip(-1, 1)
-    ber_other = fingerprint_hamming(fp_a, audio_fingerprint(wav_bytes(other))) / 32.0
+    ber_other = fingerprint_hamming(fp_a, audio_fingerprint(wav_bytes(other))) / bits
     assert ber_noisy < 0.2 < 0.35 < ber_other < 0.65
 
     assert audio_fingerprint(b"junk") is None
@@ -139,12 +143,13 @@ def test_audio_neardup_pairs(spark):
     # a BER computed JVM-side must agree with the driver-side helper
     from signalk_parquet_spark.operators.audio import (
         audio_fingerprint,
+        fingerprint_bits,
         fingerprint_hamming,
     )
 
     want = fingerprint_hamming(
         audio_fingerprint(wav_bytes(base)), audio_fingerprint(wav_bytes(noisy))
-    ) / 32.0
+    ) / fingerprint_bits()
     assert pairs[0]["ber"] == pytest.approx(want, abs=1e-12)
     assert audio_neardup_pairs(df, max_df=0).count() == 0
 
@@ -195,3 +200,14 @@ def test_streaming_audio_neardup_matches_batch(spark, tmp_path):
         for r in audio_neardup_pairs(batch_df, max_df=None).collect()
     }
     assert got == want == {(2, 1)}
+
+
+def test_empty_pcm_wav_scores_as_silence():
+    """A valid WAV header with zero PCM frames must score at the log-power
+    FLOOR (silence), not 0.0 — which on a log scale reads as loud and
+    sails through loudness screens (regression)."""
+    feats = audio_spectral_features(wav_bytes(np.zeros(0)))
+    assert feats[:2] == [0.0, 0.0]
+    assert all(b == -12.0 for b in feats[2:])
+    loud = audio_spectral_features(wav_bytes(sine(700.0)))
+    assert max(loud[2:]) > max(feats[2:])

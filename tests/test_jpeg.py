@@ -608,3 +608,32 @@ def test_no_dht_mjpeg_fallback_exact():
         up(exp[2].astype(np.float64))[:h, :w],
     )
     assert np.array_equal(got_n, want)
+
+
+def test_partial_dht_corruption_still_quarantines():
+    """The Annex K backfill applies ONLY to frames that define no DHT at
+    all (the MJPEG convention). A file that DID define tables but lost
+    one must keep returning None (quarantine), never silently decode its
+    entropy data under substituted tables."""
+    from signalk_parquet_spark.operators.jpeg import ANNEX_K_HUFF
+
+    rng = np.random.RandomState(31)
+    y = _test_image(16, 16, seed=31)
+    cb = np.clip(128.0 + rng.randint(-60, 60, size=(16, 16)), 0, 255).astype(np.float64)
+    cr = np.clip(128.0 + rng.randint(-60, 60, size=(16, 16)), 0, 255).astype(np.float64)
+    payload, _ = encode_jpeg(
+        [y, cb, cr], 16, 16, [(1, 1)] * 3, [_QLUMA, _QCHROMA],
+        dht_specs=dict(ANNEX_K_HUFF), table_ids=[(0, 0), (1, 1), (1, 1)],
+    )
+    assert decode_jpeg_pixels(payload) is not None
+    # strip exactly ONE DHT segment (the chroma AC table the scan needs)
+    i = 2
+    stripped = None
+    while i + 4 < len(payload):
+        seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if payload[i + 1] == 0xC4 and (payload[i + 4] >> 4, payload[i + 4] & 0x0F) == (1, 1):
+            stripped = payload[:i] + payload[i + 2 + seglen :]
+            break
+        i += 2 + seglen
+    assert stripped is not None and stripped != payload
+    assert decode_jpeg_pixels(stripped) is None  # quarantined, not backfilled

@@ -387,3 +387,26 @@ def test_image_neardup_pairs_cross_format_and_jpeg(spark):
     if ham_jpeg <= 3:  # lossy re-encode: pinned only when within the radius
         assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_image_dhash_tiny_images_stay_distinct():
+    """Images smaller than the 8x9 hash grid must not collapse: the
+    resize replicates pixels instead of producing empty (divide-by-zero)
+    boxes, so distinct 4x4 images keep distinct hashes (regression: they
+    all hashed identically and were falsely deduplicated)."""
+    import warnings
+
+    from signalk_parquet_spark.operators.multimodal import image_dhash
+    from signalk_parquet_spark.operators.raster import resize_box
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        hs = set()
+        for seed in range(6):
+            img = np.random.RandomState(seed).randint(0, 256, (4, 4, 3)).astype(np.uint8)
+            hs.add(image_dhash(make_bmp(img, 24)))
+        assert len(hs) == 6
+        # and resize_box on frames smaller than the thumb: exact tiling
+        p = np.array([[10, 20], [30, 40]], dtype=np.uint8)[:, :, None]
+        r = resize_box(p, 4, 4)
+        assert (r[0, 0, 0], r[0, 3, 0], r[3, 0, 0], r[3, 3, 0]) == (10, 20, 30, 40)

@@ -259,3 +259,30 @@ def test_video_neardup_pairs(spark):
     loose = {(r["id_a"], r["id_b"]): r["n_match"]
              for r in video_neardup_pairs(df, min_frac=0.25).collect()}
     assert loose.get((1, 3)) == 1
+
+
+def test_video_neardup_survives_corrupt_middle_frame(spark):
+    """Alignment is by FRAME INDEX, not list position: a clip with one
+    undecodable middle frame must still match its clean twin on the
+    remaining aligned frames (regression: a positional zip shifted every
+    later frame and killed the pair)."""
+    from signalk_parquet_spark.operators.video import video_neardup_pairs
+    from tests.test_jpeg import _test_image, encode_jpeg
+
+    frames = [
+        encode_jpeg([_test_image(16, 16, seed=s)], 16, 16, [(1, 1)], [[16] * 64])[0]
+        for s in (1, 2, 3, 4)
+    ]
+    broken = list(frames)
+    broken[1] = b"\xff\xd8garbage"  # sniffs as JPEG, fails to decode
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_avi(frames, 16, 16))),
+            (2, bytearray(make_avi(broken, 16, 16))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in video_neardup_pairs(df).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["n_aligned"] == 3 and r["n_match"] == 3 and r["frac"] == 1.0
