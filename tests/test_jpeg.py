@@ -637,3 +637,63 @@ def test_partial_dht_corruption_still_quarantines():
         i += 2 + seglen
     assert stripped is not None and stripped != payload
     assert decode_jpeg_pixels(stripped) is None  # quarantined, not backfilled
+
+
+def test_randomized_roundtrip_fuzz_exact():
+    """Seeded randomized sweep over the encoder's parameter space —
+    sizes (including non-MCU-aligned), samplings (4:4:4/4:2:2/4:2:0 and
+    asymmetric), restart intervals, quant tables, Annex K vs uniform
+    Huffman, DHT omission — every combination must round-trip EXACTLY to
+    the encoder's decoder-arithmetic reconstruction."""
+    from signalk_parquet_spark.operators.jpeg import ANNEX_K_HUFF
+
+    rng = np.random.RandomState(2024)
+    samplings = [
+        [(1, 1)], [(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)],
+        [(1, 2), (1, 1), (1, 1)], [(1, 1), (1, 1), (1, 1)],
+        [(4, 1), (1, 1), (1, 1)],
+    ]
+    for trial in range(12):
+        h = int(rng.randint(8, 40))
+        w = int(rng.randint(8, 40))
+        sampling = samplings[trial % len(samplings)]
+        ncomp = len(sampling)
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        planes = []
+        for ci in range(ncomp):
+            ch, cv = sampling[ci]
+            sh = -(-h * cv // vmax)
+            sw = -(-w * ch // hmax)
+            planes.append(rng.randint(0, 256, size=(sh, sw)).astype(np.float64))
+        qv = int(rng.choice([8, 16, 24, 40]))
+        qtabs = [[qv] * 64, [qv + 8] * 64][: min(ncomp, 2)]
+        if ncomp == 1:
+            qtabs = [qtabs[0]]
+        restart = int(rng.choice([0, 1, 3]))
+        use_k = trial % 3 == 0
+        kwargs = {}
+        if use_k:
+            kwargs = dict(
+                dht_specs=dict(ANNEX_K_HUFF),
+                table_ids=[(0, 0)] + [(1, 1)] * (ncomp - 1),
+                emit_dht=trial % 6 != 0,  # every other K trial omits DHT
+            )
+        payload, expected = encode_jpeg(
+            planes, h, w, sampling, qtabs, restart_interval=restart, **kwargs
+        )
+        got = decode_jpeg_pixels(payload)
+        assert got is not None, (trial, h, w, sampling, restart)
+        assert got.shape[:2] == (h, w)
+        # compare in component space: upsample expected planes like the decoder
+        if ncomp == 1:
+            assert np.array_equal(got[:, :, 0], expected[0][:h, :w]), (trial, h, w)
+        else:
+            ups = []
+            for ci in range(ncomp):
+                ch, cv = sampling[ci]
+                e = expected[ci].astype(np.float64)
+                e = np.repeat(np.repeat(e, vmax // cv, axis=0), hmax // ch, axis=1)
+                ups.append(e[:h, :w])
+            want = ycbcr_to_rgb(*ups)
+            assert np.array_equal(got, want), (trial, h, w, sampling, restart)
