@@ -479,9 +479,63 @@ def _resize_int(plane, out_h: int, out_w: int):
     return sums // cnt
 
 
-def image_hashes(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+def image_phash(payload: bytes) -> int | None:
+    """64-bit DCT perceptual hash (pHash): integer BT.601 luma box-resized
+    to 32x32, orthonormal 2-D DCT, the low-frequency 8x8 corner
+    thresholded at its own median → 64 bits. A second LENS next to
+    image_dhash: the median threshold keys on the image's dominant
+    low-frequency structure, so it tolerates per-pixel noise and level
+    shifts that flip dHash's adjacent-pixel comparisons (dHash's measured
+    weakness on flat/noisy content). None when undecodable."""
+    import numpy as np
+
+    px = decode_image_pixels(payload)
+    if px is None:
+        return None
+    arr = px.astype(np.int64)
+    if arr.ndim == 3 and arr.shape[2] >= 3:
+        lum = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+    else:
+        lum = 1000 * arr.reshape(arr.shape[0], arr.shape[1], -1)[:, :, 0]
+    small = _resize_int(lum, 32, 32).astype(np.float64)
+    m = _dct_matrix_n(32)
+    coefs = (m @ small @ m.T)[:8, :8].flatten()
+    med = float(np.median(coefs))
+    h = 0
+    for k, c in enumerate(coefs):
+        if c > med:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _dct_matrix_n(n: int):
+    """Orthonormal n-point DCT-II matrix (the 8-point one lives in
+    operators/jpeg._dct_matrix; pHash needs 32)."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((n, n), dtype=np.float64)
+    for u in range(n):
+        cu = math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n)
+        for x in range(n):
+            m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+    return m
+
+
+IMAGE_HASHERS = {"dhash": image_dhash, "phash": image_phash}
+
+
+def image_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+) -> DataFrame:
     """(id, h) per decodable image via one Arrow map stage; undecodable
-    payloads yield no row (quarantine-by-omission)."""
+    payloads yield no row (quarantine-by-omission). ``method`` picks the
+    hash lens from IMAGE_HASHERS (dhash | phash)."""
+    hasher = IMAGE_HASHERS[method]
     out_schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("h", T.LongType())]
     )
@@ -490,7 +544,7 @@ def image_hashes(df: DataFrame, id_col: str = "media_id", payload_col: str = "pa
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                h = image_dhash(bytes(payload))
+                h = hasher(bytes(payload))
                 if h is not None:
                     rows.append((int(mid), h))
             yield pd.DataFrame(rows, columns=["id", "h"])
@@ -505,6 +559,7 @@ def image_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_df: int | None = 1000,
+    method: str = "dhash",
 ) -> DataFrame:
     """Distributed image near-dup: dHash banding — the simhash ladder
     applied to pixels. Candidates share at least one exact 16-bit band of
@@ -522,7 +577,7 @@ def image_neardup_pairs(
 
     Returns (id_a, id_b, hamming). Cross-format: the same picture stored
     as PNG and BMP (lossless decodes) meets at Hamming 0."""
-    hashes = image_hashes(df, id_col, payload_col)
+    hashes = image_hashes(df, id_col, payload_col, method)
     hashes.persist().count()  # materialize before the self-join (CLAUDE.md)
     band_rows = hashes.select(
         "id",

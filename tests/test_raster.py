@@ -410,3 +410,64 @@ def test_image_dhash_tiny_images_stay_distinct():
         p = np.array([[10, 20], [30, 40]], dtype=np.uint8)[:, :, None]
         r = resize_box(p, 4, 4)
         assert (r[0, 0, 0], r[0, 3, 0], r[3, 0, 0], r[3, 3, 0]) == (10, 20, 30, 40)
+
+
+def test_image_phash_second_lens():
+    """pHash: cross-format identity like dHash, unrelated images far
+    apart — and the second-lens property on the content class dHash is
+    MEASURABLY weak on (flat blocks: every adjacent-pixel comparison is a
+    tie that JPEG requantization flips, re-encode Hamming up to ~21):
+    pHash's re-encode distances stay strictly BELOW its unrelated-image
+    distances (clean threshold exists), while dHash's two ranges overlap
+    (no threshold separates them)."""
+    from tests.test_jpeg import encode_jpeg
+    from signalk_parquet_spark.operators.multimodal import (
+        image_dhash,
+        image_phash,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    img = _gradient_rgb(seed=3)
+    h_bmp = image_phash(make_bmp(img, 24))
+    from tests.test_thresholds_lifecycle import _png_with_pixels
+
+    assert h_bmp == image_phash(_png_with_pixels(img, color_type=2, filters=[0]))
+    assert image_phash(b"junk") is None
+
+    def block_img(seed):
+        rng = np.random.RandomState(seed)
+        return np.kron(
+            rng.randint(0, 256, size=(4, 4)).astype(np.float64), np.ones((4, 4))
+        )
+
+    d_re, d_un, p_re, p_un = [], [], [], []
+    for s in range(5):
+        a16 = encode_jpeg([block_img(s)], 16, 16, [(1, 1)], [[16] * 64])[0]
+        a20 = encode_jpeg([block_img(s)], 16, 16, [(1, 1)], [[20] * 64])[0]
+        oth = encode_jpeg([block_img(s + 50)], 16, 16, [(1, 1)], [[16] * 64])[0]
+        d_re.append(ham(image_dhash(a16), image_dhash(a20)))
+        d_un.append(ham(image_dhash(a16), image_dhash(oth)))
+        p_re.append(ham(image_phash(a16), image_phash(a20)))
+        p_un.append(ham(image_phash(a16), image_phash(oth)))
+    assert max(p_re) < min(p_un)  # pHash: a clean threshold exists
+    assert max(d_re) >= min(d_un) - 4  # dHash: ranges (nearly) overlap here
+
+
+def test_image_neardup_pairs_phash_method(spark):
+    from signalk_parquet_spark.operators.multimodal import image_neardup_pairs
+    from tests.test_thresholds_lifecycle import _png_with_pixels
+
+    img = _gradient_rgb(seed=9)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png_with_pixels(img, color_type=2, filters=[0]))),
+            (2, bytearray(make_bmp(img, 24))),
+            (3, bytearray(make_bmp(_gradient_rgb(seed=55)[::-1, ::-1].copy(), 24))),
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(df, method="phash").collect()}
+    assert pairs == {(1, 2): 0}
