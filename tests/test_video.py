@@ -286,3 +286,40 @@ def test_video_neardup_survives_corrupt_middle_frame(spark):
     assert (1, 2) in rows
     r = rows[(1, 2)]
     assert r["n_aligned"] == 3 and r["n_match"] == 3 and r["frac"] == 1.0
+
+
+def test_avi_second_stream_video():
+    """Real AVIs put audio first: the video stream is then stream 01 and
+    its frame chunks are '01dc'. The parser must report video_stream=1
+    and the decoder must read the right chunks (and not the audio)."""
+    frames, wants = _jpeg_frames(2)
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIII", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 8000, 0, 100, 0, 0, 0,
+    ) + b"\x00" * 8
+    vids_strh = struct.pack(
+        "<4s4sIHHIIIIIIII", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, 10, 0, len(frames), 0, 0, 0,
+    ) + b"\x00" * 8
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    avih = struct.pack("<10I", 100000, 0, 0, 0, len(frames), 0, 2, 0, 16, 16) + b"\x00" * 16
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", auds_strh) + _chunk(b"strf", b"\x00" * 16))
+        + _list(b"strl", _chunk(b"strh", vids_strh) + _chunk(b"strf", strf_v)),
+    )
+    movi = _list(
+        b"movi",
+        _chunk(b"00wb", b"\x01\x02\x03\x04")  # audio chunk, must be ignored
+        + b"".join(_chunk(b"01dc", f) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta = parse_avi_header(avi)
+    assert meta["video_stream"] == 1 and meta["n_streams"] == 2
+    assert meta["codec"] == "MJPG" and meta["n_frames"] == 2
+    total, decoded = decode_avi_frames(avi)
+    assert total == 2 and len(decoded) == 2
+    assert np.array_equal(decoded[0][1], wants[0])
