@@ -114,10 +114,15 @@ def head_to_head() -> None:
             "duckdb": time_duckdb(con, oracles[name]),
         }
     ts = sum(v["spark"] for v in out.values())
-    td = sum(v["duckdb"] for v in out.values())
+    # a string marks a DuckDB error under the reference's 512MB pool
+    # (time_duckdb) — those queries have NO reference-side time; total
+    # over the comparable subset and report the failures explicitly
+    duck_fail = sorted(k for k, v in out.items() if isinstance(v["duckdb"], str))
+    td = sum(v["duckdb"] for v in out.values() if not isinstance(v["duckdb"], str))
     print(json.dumps({
         "mode": "head_to_head", "sf_dir": sf_dir,
         "spark_total_s": round(ts, 3), "duckdb_total_s": round(td, 3),
+        "duckdb_failed": duck_fail,
         "queries": out,
     }))
 
