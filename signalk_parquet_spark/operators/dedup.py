@@ -417,3 +417,26 @@ def connected_components(
         prev_sum = cur_sum
     sym.unpersist()
     return labels
+
+
+def pairs_to_decisions(
+    items: DataFrame, pairs: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Generic pair-stream → per-item keep/drop decisions: the dedup_corpus
+    end-product shape for ANY near-dup pair source (the media rungs —
+    audio_neardup_pairs / image_neardup_pairs / video_neardup_pairs — emit
+    (id_a, id_b, ...) exactly like the text family). Transitive closure via
+    connected_components, keep-min-id per cluster, items with no near-dup
+    keep themselves. Same scale shape as dedup_corpus: the label frame
+    holds only items that appear in some pair."""
+    edges = pairs.select("id_a", "id_b")
+    labels = connected_components(edges, "id_a", "id_b").withColumnRenamed("node", "id")
+    return (
+        items.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id")).alias("cluster_rep"),
+            (F.col("label").isNull() | (F.col("label") == F.col("id"))).alias("kept"),
+        )
+    )

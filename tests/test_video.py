@@ -323,3 +323,20 @@ def test_avi_second_stream_video():
     total, decoded = decode_avi_frames(avi)
     assert total == 2 and len(decoded) == 2
     assert np.array_equal(decoded[0][1], wants[0])
+
+
+def test_media_pairs_to_decisions(spark):
+    """Media dedup end product: pair streams feed the SAME connected-
+    components keep/drop machinery as text — a chain (A~B, B~C) keeps
+    only A, singletons keep themselves."""
+    from signalk_parquet_spark.operators.dedup import pairs_to_decisions
+
+    items = spark.createDataFrame([(i,) for i in range(1, 6)], "media_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 1)], "id_a long, id_b long, hamming long"
+    )
+    rows = {r["id"]: (r["cluster_rep"], r["kept"])
+            for r in pairs_to_decisions(items, pairs).collect()}
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True), 5: (5, True),
+    }
