@@ -113,16 +113,20 @@ def head_to_head() -> None:
             "spark": time_spark(qs[name], spark, sf_dir),
             "duckdb": time_duckdb(con, oracles[name]),
         }
-    ts = sum(v["spark"] for v in out.values())
     # a string marks a DuckDB error under the reference's 512MB pool
-    # (time_duckdb) — those queries have NO reference-side time; total
-    # over the comparable subset and report the failures explicitly
+    # (time_duckdb) — those queries have NO reference-side time, so BOTH
+    # totals cover only the comparable subset (summing Spark over all
+    # queries against DuckDB over fewer would skew the headline ratio);
+    # the failures and Spark's time on them are reported separately
     duck_fail = sorted(k for k, v in out.items() if isinstance(v["duckdb"], str))
-    td = sum(v["duckdb"] for v in out.values() if not isinstance(v["duckdb"], str))
+    ts = sum(v["spark"] for k, v in out.items() if k not in duck_fail)
+    td = sum(v["duckdb"] for k, v in out.items() if k not in duck_fail)
+    ts_failed = sum(v["spark"] for k in duck_fail for v in (out[k],))
     print(json.dumps({
         "mode": "head_to_head", "sf_dir": sf_dir,
         "spark_total_s": round(ts, 3), "duckdb_total_s": round(td, 3),
         "duckdb_failed": duck_fail,
+        "spark_total_on_duckdb_failed_s": round(ts_failed, 3),
         "queries": out,
     }))
 

@@ -435,16 +435,23 @@ def image_dhash(payload: bytes) -> int | None:
     return dhash_pixels(px)
 
 
-def dhash_pixels(px) -> int:
-    """dHash of an already-decoded (H, W, C) uint8 array (the shared core
-    under image_dhash and video.video_frame_hashes)."""
+def _int_luma(px):
+    """Exact integer BT.601 luma (x1000) of an (H, W[, C]) uint8 array —
+    the shared plane under dhash_pixels and image_phash (gray weights sum
+    to the same x1000 scale, so gray and RGB encodings of the same
+    picture agree)."""
     import numpy as np
 
     arr = px.astype(np.int64)
     if arr.ndim == 3 and arr.shape[2] >= 3:
-        lum = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
-    else:
-        lum = 1000 * arr.reshape(arr.shape[0], arr.shape[1], -1)[:, :, 0]
+        return 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+    return 1000 * arr.reshape(arr.shape[0], arr.shape[1], -1)[:, :, 0]
+
+
+def dhash_pixels(px) -> int:
+    """dHash of an already-decoded (H, W, C) uint8 array (the shared core
+    under image_dhash and video.video_frame_hashes)."""
+    lum = _int_luma(px)
     small = _resize_int(lum, 8, 9)
     h = 0
     for r in range(8):
@@ -459,15 +466,10 @@ def _resize_int(plane, out_h: int, out_w: int):
     summed-area method without the uint8 clamp — luma here is x1000)."""
     import numpy as np
 
+    from .raster import replicate_to_min
+
+    plane = replicate_to_min(plane, out_h, out_w)
     h, w = plane.shape
-    # planes smaller than the target would create empty boxes (zero
-    # counts -> divide-by-zero, and DISTINCT tiny images collapsing to one
-    # hash); replication preserves box means exactly
-    if h < out_h or w < out_w:
-        fy = -(-out_h // max(h, 1))
-        fx = -(-out_w // max(w, 1))
-        plane = plane.repeat(max(fy, 1), axis=0).repeat(max(fx, 1), axis=1)
-        h, w = plane.shape
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     sat = np.zeros((h + 1, w + 1), dtype=np.int64)
@@ -492,12 +494,7 @@ def image_phash(payload: bytes) -> int | None:
     px = decode_image_pixels(payload)
     if px is None:
         return None
-    arr = px.astype(np.int64)
-    if arr.ndim == 3 and arr.shape[2] >= 3:
-        lum = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
-    else:
-        lum = 1000 * arr.reshape(arr.shape[0], arr.shape[1], -1)[:, :, 0]
-    small = _resize_int(lum, 32, 32).astype(np.float64)
+    small = _resize_int(_int_luma(px), 32, 32).astype(np.float64)
     m = _dct_matrix_n(32)
     coefs = (m @ small @ m.T)[:8, :8].flatten()
     med = float(np.median(coefs))

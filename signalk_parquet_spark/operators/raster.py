@@ -297,6 +297,20 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
         return None
 
 
+def replicate_to_min(px, min_h: int, min_w: int):
+    """Integer pixel replication up to at least (min_h, min_w): inputs
+    smaller than a resize target would otherwise create EMPTY boxes
+    (repeated edge indices -> zero counts -> divide-by-zero, and distinct
+    tiny images collapsing to one hash). Replication preserves box means
+    exactly. Shared by resize_box and multimodal._resize_int."""
+    h, w = px.shape[:2]
+    if h >= min_h and w >= min_w:
+        return px
+    fy = -(-min_h // max(h, 1))
+    fx = -(-min_w // max(w, 1))
+    return px.repeat(max(fy, 1), axis=0).repeat(max(fx, 1), axis=1)
+
+
 def resize_box(px, out_h: int, out_w: int):
     """Integer box-filter resize of an (H, W, C) uint8 array: each output
     pixel is the floor-mean of its source box. Exact integer arithmetic
@@ -304,16 +318,8 @@ def resize_box(px, out_h: int, out_w: int):
     step of a media feature pipeline."""
     import numpy as np
 
+    px = replicate_to_min(px, out_h, out_w)
     h, w = px.shape[:2]
-    # images smaller than the target would create EMPTY boxes (repeated
-    # edge indices -> zero counts -> divide-by-zero and zeroed cells);
-    # integer replication preserves box means exactly and keeps every box
-    # non-empty
-    if h < out_h or w < out_w:
-        fy = -(-out_h // max(h, 1))
-        fx = -(-out_w // max(w, 1))
-        px = px.repeat(max(fy, 1), axis=0).repeat(max(fx, 1), axis=1)
-        h, w = px.shape[:2]
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     # Summed-area table: every box sum in one vectorized gather.

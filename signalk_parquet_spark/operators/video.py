@@ -201,6 +201,7 @@ def video_neardup_pairs(
     min_frac: float = 0.5,
     max_hamming: int = 3,
     max_df: int | None = 1000,
+    min_aligned: int = 2,
 ):
     """Distributed video near-dup — the VIDEO rung of the modality-complete
     dedup ladder (text/embeddings/audio/images/this): clips match when at
@@ -276,6 +277,9 @@ def video_neardup_pairs(
             F.sum(matched).alias("n_match"),
         )
         .withColumn("frac", F.col("n_match") / F.col("n_aligned"))
-        .filter(F.col("frac") >= min_frac)
+        # min_aligned floor: a mostly-corrupt clip co-decodable with
+        # another on ONE frame would otherwise reach frac=1.0 from a
+        # single aligned match — too little evidence to call a dup
+        .filter((F.col("n_aligned") >= min_aligned) & (F.col("frac") >= min_frac))
         .select("id_a", "id_b", "n_aligned", "n_match", "frac")
     )

@@ -441,6 +441,12 @@ def make_audio_neardup_fn(max_ber: float, max_bucket: int, ttl_s: float | None =
     state mode every long-running deployment needs (dedup only promises
     to catch dups arriving within the TTL window)."""
 
+    from ..operators.audio import fingerprint_bits
+
+    bits = float(fingerprint_bits())  # the ACTUAL bit width, not 32 —
+    # computed once here and captured by the closure (the fn runs once
+    # per occupied bucket per trigger)
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -448,9 +454,6 @@ def make_audio_neardup_fn(max_ber: float, max_bucket: int, ttl_s: float | None =
             state.remove()
             yield pd.DataFrame(columns=[f.name for f in AUDIO_MATCH_SCHEMA.fields])
             return
-        from ..operators.audio import fingerprint_bits
-
-        bits = float(fingerprint_bits())  # the ACTUAL bit width, not 32
         ids, fps = state.get if state.exists else ([], [])
         ids, fps = list(ids), [list(f) for f in fps]
         out: list[dict[str, Any]] = []
@@ -671,6 +674,7 @@ VIDEO_MATCH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("dup_of", T.LongType()),
+        T.StructField("frame_pos", T.IntegerType()),  # bucket provenance
         T.StructField("frac", T.DoubleType()),
     ]
 )
@@ -684,7 +688,8 @@ _VIDEO_STATE = T.StructType(
 
 
 def make_video_neardup_fn(
-    min_frac: float, max_hamming: int, max_bucket: int, ttl_s: float | None = None
+    min_frac: float, max_hamming: int, max_bucket: int,
+    ttl_s: float | None = None, min_aligned: int = 2,
 ):
     """applyInPandasWithState function for one (frame_idx, band, value)
     bucket: an arriving clip is scored against every kept clip as the
@@ -724,12 +729,17 @@ def make_video_neardup_fn(
                         for a, b in pairs
                         if bin((a ^ b) & ((1 << 64) - 1)).count("1") <= max_hamming
                     )
-                    if n and m / n >= min_frac:
+                    if n >= min_aligned and m / n >= min_frac:
                         hit = (kid, m / n)
                         break
                 if hit is not None:
                     out.append(
-                        {"media_id": int(mid), "dup_of": int(hit[0]), "frac": hit[1]}
+                        {
+                            "media_id": int(mid),
+                            "dup_of": int(hit[0]),
+                            "frame_pos": int(key[0]),
+                            "frac": hit[1],
+                        }
                     )
                 elif len(ids) < max_bucket:
                     ids.append(int(mid))
@@ -753,6 +763,7 @@ def streaming_video_neardup(
     bands: int = 4,
     max_bucket: int = 64,
     ttl_s: float | None = None,
+    min_aligned: int = 2,
 ) -> DataFrame:
     """Streaming VIDEO near-dup ACROSS micro-batches — the final rung:
     every modality the engine decodes now has BOTH a batch and a
@@ -789,6 +800,10 @@ def streaming_video_neardup(
         with_fh.select(
             "media_id", "fh", F.posexplode("fh").alias("frame_pos", "h")
         )
+        # null slots mark undecodable frames: they must not key buckets
+        # (every corrupt-at-slot-s clip would congregate in a NULL bucket,
+        # storing its full hash list 4x and emitting junk matches)
+        .filter(F.col("h").isNotNull())
         .select(
             "media_id",
             "fh",
@@ -802,7 +817,7 @@ def streaming_video_neardup(
         )
     )
     return exploded.groupBy("frame_pos", "band", "bval").applyInPandasWithState(
-        make_video_neardup_fn(min_frac, max_hamming, max_bucket, ttl_s),
+        make_video_neardup_fn(min_frac, max_hamming, max_bucket, ttl_s, min_aligned),
         VIDEO_MATCH_SCHEMA,
         _VIDEO_STATE,
         "append",

@@ -340,3 +340,28 @@ def test_media_pairs_to_decisions(spark):
     assert rows == {
         1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True), 5: (5, True),
     }
+
+
+def test_video_neardup_min_aligned_floor(spark):
+    """A mostly-corrupt clip co-decodable with another on a SINGLE frame
+    must not be declared its dup from that one aligned match (regression:
+    frac was computed over co-decodable frames only, so n_aligned=1 and
+    frac=1.0 passed min_frac)."""
+    from signalk_parquet_spark.operators.video import video_neardup_pairs
+    from tests.test_jpeg import _test_image, encode_jpeg
+
+    good = [
+        encode_jpeg([_test_image(16, 16, seed=s)], 16, 16, [(1, 1)], [[16] * 64])[0]
+        for s in (1, 2, 3, 4)
+    ]
+    mostly_corrupt = [good[0]] + [b"\xff\xd8junk"] * 3
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_avi(good, 16, 16))),
+            (2, bytearray(make_avi(mostly_corrupt, 16, 16))),
+        ],
+        "media_id long, payload binary",
+    )
+    assert video_neardup_pairs(df, min_frac=0.25).count() == 0
+    # explicit opt-in to single-frame evidence still works
+    assert video_neardup_pairs(df, min_frac=0.25, min_aligned=1).count() == 1
