@@ -115,7 +115,11 @@ def _movi_chunks(payload: bytes, start: int, end: int, want: set):
     for cid, body, cend in _iter_riff(payload, start, end):
         if cid == b"LIST":  # 'rec ' interleave groups
             yield from _movi_chunks(payload, body + 4, cend, want)
-        elif cid in want and cend > body:
+        elif cid in want:
+            # zero-length chunks (dropped-frame placeholders) are yielded
+            # too: skipping them would SHIFT every later frame index and
+            # misalign clips against their placeholder-free twins; the
+            # decode step quarantines them per-chunk instead
             yield payload[body:cend]
 
 

@@ -296,3 +296,43 @@ def test_semantic_keep_modes_agree_on_ties(spark_global, vecs, n_cent):
     fused = {(r["id"], r["cid"], r["keep"])
              for r in semantic_keep(df, cdf, "vec_id", "embedding", 0.5, mode="numpy").collect()}
     assert expr == fused
+
+
+# --- RIFF walker properties (operators/video) ---------------------------------
+_riff_payload = st.binary(min_size=0, max_size=40)
+
+
+@given(
+    frames=st.lists(_riff_payload, min_size=0, max_size=6),
+    use_rec=st.booleans(),
+    junk=st.binary(min_size=0, max_size=16),
+)
+@settings(max_examples=150, deadline=None)
+def test_riff_walker_roundtrips_any_chunk_payloads(frames, use_rec, junk):
+    """Muxing ARBITRARY frame payloads (any bytes, any parity of lengths)
+    and walking them back returns exactly the same sequence, with or
+    without 'rec ' interleave groups — and trailing junk after the movi
+    list never changes the result or raises."""
+    from signalk_parquet_spark.operators.video import (
+        iter_video_chunks,
+        parse_avi_header,
+    )
+    from tests.test_video import make_avi
+
+    avi = make_avi(frames, 4, 4, use_rec=use_rec) + junk
+    got = list(iter_video_chunks(avi, 0))
+    assert got == frames
+    meta = parse_avi_header(avi)
+    assert meta is not None and meta["n_frames"] == len(frames)
+
+
+@given(data=st.binary(min_size=0, max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_riff_walker_never_raises_on_arbitrary_bytes(data):
+    from signalk_parquet_spark.operators.video import (
+        iter_video_chunks,
+        parse_avi_header,
+    )
+
+    parse_avi_header(b"RIFF\x80\x00\x00\x00AVI " + data)
+    list(iter_video_chunks(b"RIFF\x80\x00\x00\x00AVI " + data, 0))
