@@ -471,3 +471,48 @@ def test_image_neardup_pairs_phash_method(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in image_neardup_pairs(df, method="phash").collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_gif_animation_random_compositing_differential():
+    """Seeded random animations (frame rects at offsets, transparency
+    holes, all disposal methods) decoded by decode_gif_frames must equal
+    an INDEPENDENT numpy replication of the GIF89a compositing model."""
+    from signalk_parquet_spark.operators.raster import decode_gif_frames
+    from tests.test_raster import make_animated_gif  # self-import for clarity
+
+    rng = np.random.RandomState(123)
+    for trial in range(8):
+        h = w = int(rng.randint(6, 12))
+        n_frames = int(rng.randint(1, 5))
+        frames = []
+        for _ in range(n_frames):
+            fh = int(rng.randint(1, h + 1))
+            fw = int(rng.randint(1, w + 1))
+            top = int(rng.randint(0, h - fh + 1))
+            left = int(rng.randint(0, w - fw + 1))
+            idx = rng.randint(0, len(_PALETTE), size=(fh, fw)).astype(np.uint8)
+            transparent = int(rng.randint(0, len(_PALETTE))) if rng.rand() < 0.5 else None
+            disposal = int(rng.choice([0, 1, 2, 3]))
+            frames.append((idx, left, top, transparent, disposal))
+        gif = make_animated_gif((h, w), frames, _PALETTE)
+        got = decode_gif_frames(gif)
+        assert got is not None and len(got) == n_frames, trial
+
+        # independent compositor
+        bg = _PALETTE[0]
+        canvas = np.broadcast_to(bg, (h, w, 3)).astype(np.uint8).copy()
+        for k, (idx, left, top, transparent, disposal) in enumerate(frames):
+            fh, fw = idx.shape
+            before = canvas[top : top + fh, left : left + fw].copy()
+            rgb = _PALETTE[idx]
+            region = canvas[top : top + fh, left : left + fw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            assert np.array_equal(got[k], canvas), (trial, k)
+            if disposal == 2:
+                canvas[top : top + fh, left : left + fw] = bg
+            elif disposal == 3:
+                canvas[top : top + fh, left : left + fw] = before
