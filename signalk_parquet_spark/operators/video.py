@@ -125,9 +125,16 @@ def _movi_chunks(payload: bytes, start: int, end: int, want: set):
 
 def iter_video_chunks(payload: bytes, stream_no: int):
     """Yield the raw frame chunks ('##dc'/'##db') of one video stream, in
-    container order, descending into 'rec ' interleave groups."""
+    container order, descending into 'rec ' interleave groups. The walk
+    honors the RIFF header's declared size: bytes appended past the
+    container's end (broken muxers, polyglot files) must not parse as
+    phantom top-level chunks."""
     want = {b"%02ddb" % stream_no, b"%02ddc" % stream_no}
-    for cid, body, cend in _iter_riff(payload, 12, len(payload)):
+    end = len(payload)
+    if len(payload) >= 8:
+        (declared,) = struct.unpack("<I", payload[4:8])
+        end = min(end, 8 + declared)
+    for cid, body, cend in _iter_riff(payload, 12, end):
         if cid == b"LIST" and payload[body : body + 4] == b"movi":
             yield from _movi_chunks(payload, body + 4, cend, want)
 

@@ -478,7 +478,6 @@ def test_gif_animation_random_compositing_differential():
     holes, all disposal methods) decoded by decode_gif_frames must equal
     an INDEPENDENT numpy replication of the GIF89a compositing model."""
     from signalk_parquet_spark.operators.raster import decode_gif_frames
-    from tests.test_raster import make_animated_gif  # self-import for clarity
 
     rng = np.random.RandomState(123)
     for trial in range(8):

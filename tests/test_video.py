@@ -365,3 +365,14 @@ def test_video_neardup_min_aligned_floor(spark):
     assert video_neardup_pairs(df, min_frac=0.25).count() == 0
     # explicit opt-in to single-frame evidence still works
     assert video_neardup_pairs(df, min_frac=0.25, min_aligned=1).count() == 1
+
+
+def test_iter_video_chunks_honors_declared_riff_size():
+    """Bytes appended past the RIFF header's declared size must not parse
+    as phantom frames — even when the junk forms a valid movi LIST."""
+    frames, _ = _jpeg_frames(2)
+    avi = make_avi(frames, 16, 16)
+    phantom = _list(b"movi", _chunk(b"00dc", b"\xff\xd8phantom"))
+    assert list(iter_video_chunks(avi + phantom, 0)) == frames
+    meta = parse_avi_header(avi + phantom)
+    assert meta is not None and meta["n_frames"] == 2
