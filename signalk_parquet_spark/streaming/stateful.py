@@ -623,6 +623,7 @@ def streaming_image_neardup(
     bands: int = 4,
     max_bucket: int = 64,
     ttl_s: float | None = None,
+    method: str = "dhash",
 ) -> DataFrame:
     """Streaming IMAGE near-dup ACROSS micro-batches — the image rung of
     the continuous-ingest dedup ladder (batch twin:
@@ -637,12 +638,14 @@ def streaming_image_neardup(
     per band — tiny; ``ttl_s`` bounds it in time."""
     from pyspark.sql.functions import pandas_udf
 
-    from ..operators.multimodal import image_dhash
+    from ..operators.multimodal import IMAGE_HASHERS
+
+    hasher = IMAGE_HASHERS[method]  # dhash | phash, same lenses as batch
 
     @pandas_udf(T.LongType())
     def dhash_udf(payloads: pd.Series) -> pd.Series:
         return payloads.apply(
-            lambda p: image_dhash(bytes(p))
+            lambda p: hasher(bytes(p))
         ).astype("object")
 
     with_h = stream.select(

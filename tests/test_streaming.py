@@ -553,3 +553,44 @@ def test_streaming_video_neardup_matches_batch(spark, tmp_path):
         (r["id_b"], r["id_a"]) for r in video_neardup_pairs(batch_df).collect()
     }
     assert got == want == {(2, 1)}
+
+
+def test_streaming_image_neardup_phash_method(spark, tmp_path):
+    """The streaming image rung takes the same hash-lens parameter as the
+    batch operator: cross-format PNG/BMP twins still meet at Hamming 0
+    under method='phash'."""
+    import numpy as np
+
+    from signalk_parquet_spark.streaming.stateful import streaming_image_neardup
+    from tests.test_raster import make_bmp
+    from tests.test_thresholds_lifecycle import _png_with_pixels
+
+    rng = np.random.RandomState(21)
+    img = np.clip(
+        np.linspace(0, 255, 16)[None, :, None] * np.ones((16, 1, 3))
+        + rng.randint(-30, 30, size=(16, 16, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    schema = "media_id long, payload binary"
+    src = str(tmp_path / "ph_src")
+    spark.createDataFrame(
+        [(1, bytearray(_png_with_pixels(img, color_type=2, filters=[0]))),
+         (2, bytearray(make_bmp(img, 24)))],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    q = (
+        streaming_image_neardup(
+            spark.readStream.schema(schema).parquet(src), method="phash"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ph_out")
+        .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["media_id"], r["dup_of"], r["hamming"])
+           for r in spark.sql("SELECT * FROM ph_out").collect()}
+    assert {(m, d) for m, d, _ in got} == {(2, 1)}
+    assert all(h == 0 for _, _, h in got)
