@@ -594,3 +594,68 @@ def test_streaming_image_neardup_phash_method(spark, tmp_path):
            for r in spark.sql("SELECT * FROM ph_out").collect()}
     assert {(m, d) for m, d, _ in got} == {(2, 1)}
     assert all(h == 0 for _, _, h in got)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the stateful decision fns
+    directly — fast coverage of the timeout/remove branches the wall-clock
+    TTL test only exercises for one rung."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.ttl_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.ttl_ms = ms
+
+
+def test_stateful_fns_timeout_branches_evict():
+    """Every near-dup rung's fn must, on a timed-out invocation, remove
+    the bucket state and yield an empty frame; and with ttl_s set, arm the
+    timeout after a data invocation."""
+    import pandas as pd
+
+    from signalk_parquet_spark.streaming.stateful import (
+        make_audio_neardup_fn,
+        make_image_neardup_fn,
+        make_neardup_fn,
+        make_video_neardup_fn,
+    )
+
+    cases = [
+        (make_neardup_fn(0.5, 64, ttl_s=2.0), (0, "k"),
+         pd.DataFrame({"doc_id": [1], "sig": ["a|b|c|d"]})),
+        (make_audio_neardup_fn(0.35, 64, ttl_s=2.0), (0, 7),
+         pd.DataFrame({"media_id": [1], "fp": [[5, 6]]})),
+        (make_image_neardup_fn(3, 64, ttl_s=2.0), (0, 7),
+         pd.DataFrame({"media_id": [1], "h": [123]})),
+        (make_video_neardup_fn(0.5, 3, 64, ttl_s=2.0), (0, 0, 7),
+         pd.DataFrame({"media_id": [1], "fh": [[11, 12]]})),
+    ]
+    for fn, key, pdf in cases:
+        # timed-out invocation: state removed, empty output
+        st = _FakeState(timed_out=True)
+        out = list(fn(key, iter([pdf]), st))
+        assert st.removed and sum(len(o) for o in out) == 0, fn
+        # data invocation: first item joins state, timeout armed
+        st = _FakeState()
+        out = list(fn(key, iter([pdf]), st))
+        assert st.exists and st.ttl_ms == 2000, fn
+        assert sum(len(o) for o in out) == 0  # first-seen: no match events
