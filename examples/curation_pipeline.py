@@ -25,7 +25,11 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.operators.audio import audio_neardup_pairs
-from signalk_parquet_spark.operators.dedup import dedup_corpus, exact_dedup
+from signalk_parquet_spark.operators.dedup import (
+    dedup_corpus,
+    exact_dedup,
+    pairs_to_decisions,
+)
 from signalk_parquet_spark.operators.multimodal import decode_features
 from signalk_parquet_spark.operators.sampling import pack_token_stream, stratified_sample
 from signalk_parquet_spark.operators.scrub import PII_PATTERNS, scrub_report
@@ -231,12 +235,13 @@ def main() -> None:
         F.array_max(F.slice("features", 3, 8)) > F.lit(-4.0)
     ).select("media_id")
     audio_kept = audio.join(loud, "media_id")
-    dup_audio = (
-        audio_neardup_pairs(audio_kept)
-        .select(F.col("id_b").alias("media_id"))
-        .distinct()
+    audio_decisions = pairs_to_decisions(
+        audio_kept, audio_neardup_pairs(audio_kept)
     )
-    audio_final = audio_kept.join(dup_audio, "media_id", "left_anti")
+    audio_final = audio_kept.join(
+        audio_decisions.filter("kept").select(F.col("id").alias("media_id")),
+        "media_id",
+    )
     na0, na1, na2 = audio.count(), audio_kept.count(), audio_final.count()
 
     print(f"documents: {n0}")
