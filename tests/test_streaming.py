@@ -659,3 +659,39 @@ def test_stateful_fns_timeout_branches_evict():
         out = list(fn(key, iter([pdf]), st))
         assert st.exists and st.ttl_ms == 2000, fn
         assert sum(len(o) for o in out) == 0  # first-seen: no match events
+
+
+def test_stateful_fns_match_path_keeps_state_unchanged():
+    """The ladder's keep-first-seen rule, pinned per rung: an arrival
+    matching kept content emits exactly one event pointing at the kept id
+    and does NOT join the bucket state."""
+    import pandas as pd
+
+    from signalk_parquet_spark.streaming.stateful import (
+        make_audio_neardup_fn,
+        make_image_neardup_fn,
+        make_neardup_fn,
+        make_video_neardup_fn,
+    )
+
+    cases = [
+        (make_neardup_fn(0.5, 64), (0, "k"),
+         pd.DataFrame({"doc_id": [1], "sig": ["a|b|c|d"]}),
+         pd.DataFrame({"doc_id": [9], "sig": ["a|b|c|X"]})),   # 3/4 agree
+        (make_audio_neardup_fn(0.35, 64), (0, 7),
+         pd.DataFrame({"media_id": [1], "fp": [[5, 6]]}),
+         pd.DataFrame({"media_id": [9], "fp": [[5, 7]]})),     # few bit errors
+        (make_image_neardup_fn(3, 64), (0, 7),
+         pd.DataFrame({"media_id": [1], "h": [0b1000]}),
+         pd.DataFrame({"media_id": [9], "h": [0b1001]})),      # Hamming 1
+        (make_video_neardup_fn(0.5, 3, 64, min_aligned=2), (0, 0, 7),
+         pd.DataFrame({"media_id": [1], "fh": [[11, 12]]}),
+         pd.DataFrame({"media_id": [9], "fh": [[11, 13]]})),   # both frames close
+    ]
+    for fn, key, first, second in cases:
+        st = _FakeState()
+        list(fn(key, iter([first]), st))
+        state_after_first = st.get
+        out = [r for o in fn(key, iter([second]), st) for _, r in o.iterrows()]
+        assert len(out) == 1 and out[0].iloc[0] == 9 and out[0].iloc[1] == 1, fn
+        assert st.get == state_after_first, fn  # dup did NOT join the bucket
