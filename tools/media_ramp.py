@@ -174,9 +174,80 @@ def image_video_ramp(spark, sizes=(200, 1000, 4000)):
         print(f"  n={n}: {time.time() - t:.1f} s, {pairs} pairs")
 
 
+def streaming_ramp(spark, n_batches: int = 10, per_batch: int = 60):
+    """Reproduces the SCALE.md streaming-rung throughput numbers: N
+    micro-batches of clips/images through each streaming near-dup rung
+    (memory sink, availableNow), reporting end-to-end rate and how many
+    of the planted 10% dups were flagged."""
+    import os
+    import tempfile
+
+    from signalk_parquet_spark.streaming.stateful import (
+        streaming_audio_neardup,
+        streaming_image_neardup,
+        streaming_video_neardup,
+    )
+    from tests.test_jpeg import encode_jpeg
+    from tests.test_video import make_avi
+
+    def smooth(seed, h=16, w=16):
+        rng = np.random.RandomState(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w))
+        for _ in range(3):
+            fy, fx = rng.uniform(0.3, 1.5, 2)
+            py, px_ = rng.uniform(0, 2 * np.pi, 2)
+            img += rng.uniform(0.5, 1.0) * np.cos(
+                2 * np.pi * fy * y / h + py
+            ) * np.cos(2 * np.pi * fx * x / w + px_)
+        img -= img.min()
+        img *= 255.0 / max(img.max(), 1e-9)
+        return img
+
+    def jpg(seed, q):
+        return encode_jpeg([smooth(seed)], 16, 16, [(1, 1)], [[q] * 64])[0]
+
+    def dup_params(i):
+        return (i - 9 if i % 10 == 9 else i), (20 if i % 10 == 9 else 16)
+
+    rungs = (
+        ("audio", streaming_audio_neardup, lambda i: _clip(i)),
+        ("image", streaming_image_neardup,
+         lambda i: jpg(*dup_params(i))),
+        ("video", streaming_video_neardup,
+         lambda i: make_avi(
+             [jpg(dup_params(i)[0] * 4 + k, dup_params(i)[1]) for k in range(4)],
+             16, 16)),
+    )
+    for name, op, payload_fn in rungs:
+        d = tempfile.mkdtemp()
+        src = os.path.join(d, "src")
+        for b in range(n_batches):
+            rows = [(b * per_batch + i, bytearray(payload_fn(b * per_batch + i)))
+                    for i in range(per_batch)]
+            spark.createDataFrame(rows, "media_id long, payload binary") \
+                .coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("media_id long, payload binary") \
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        t0 = time.time()
+        q = (op(stream).writeStream.outputMode("append").format("memory")
+             .queryName(f"ramp_{name}")
+             .option("checkpointLocation", os.path.join(d, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        wall = time.time() - t0
+        total = n_batches * per_batch
+        dups = spark.sql(
+            f"SELECT count(DISTINCT media_id) c FROM ramp_{name}"
+        ).collect()[0]["c"]
+        print(f"  {name}: {total} payloads / {wall:.1f}s = {total / wall:.0f}/s, "
+              f"dups flagged {dups}/{total // 10}")
+
 if __name__ == "__main__":
     spark = get_spark("media_ramp")
     spark.range(32).mapInPandas(lambda it: it, "id long").count()  # warm Arrow
     frames_ramp(spark)
     audio_ramp(spark)
     image_video_ramp(spark)
+    print("streaming rung throughput:")
+    streaming_ramp(spark)
