@@ -485,10 +485,13 @@ def image_phash(payload: bytes) -> int | None:
     """64-bit DCT perceptual hash (pHash): integer BT.601 luma box-resized
     to 32x32, orthonormal 2-D DCT, the low-frequency 8x8 corner
     thresholded at its own median → 64 bits. A second LENS next to
-    image_dhash: the median threshold keys on the image's dominant
-    low-frequency structure, so it tolerates per-pixel noise and level
-    shifts that flip dHash's adjacent-pixel comparisons (dHash's measured
-    weakness on flat/noisy content). None when undecodable."""
+    image_dhash, not a replacement — each is fragile exactly where its
+    comparisons are near ties (measured, SCALE.md): dHash breaks on
+    flat-block content (adjacent-pixel ties flipped by requantization,
+    re-encode Hamming 8-21) where pHash separates cleanly; pHash breaks
+    on sparse-spectrum content (most DCT coefficients sit near the
+    median) where dHash holds at Hamming 0-6. Production dedup runs both
+    lenses and unions candidates. None when undecodable."""
     import numpy as np
 
     px = decode_image_pixels(payload)
