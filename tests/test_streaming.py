@@ -695,3 +695,27 @@ def test_stateful_fns_match_path_keeps_state_unchanged():
         out = [r for o in fn(key, iter([second]), st) for _, r in o.iterrows()]
         assert len(out) == 1 and out[0].iloc[0] == 9 and out[0].iloc[1] == 1, fn
         assert st.get == state_after_first, fn  # dup did NOT join the bucket
+
+
+def test_stateful_fns_bucket_cap_stops_growth():
+    """max_bucket caps state: once full, a NEW non-matching arrival
+    neither joins the bucket nor emits an event (the winnowing max_df
+    lesson applied to state — an uncapped hot bucket grows O(n) state and
+    O(n^2) compares)."""
+    import pandas as pd
+
+    from signalk_parquet_spark.streaming.stateful import make_image_neardup_fn
+
+    fn = make_image_neardup_fn(0, max_bucket=2)  # exact-match only, cap 2
+    st = _FakeState()
+    far = [0, 1 << 20, 1 << 40]  # pairwise Hamming 2 > 0: never match
+    for k, h in enumerate(far):
+        out = [r for o in fn((0, 7), iter([pd.DataFrame({"media_id": [k], "h": [h]})]), st)
+               for _, r in o.iterrows()]
+        assert out == []
+    ids, hs = st.get
+    assert list(ids) == [0, 1] and list(hs) == far[:2]  # third never joined
+    # an exact copy of a KEPT entry still matches even with the bucket full
+    out = [r for o in fn((0, 7), iter([pd.DataFrame({"media_id": [9], "h": [far[1]]})]), st)
+           for _, r in o.iterrows()]
+    assert len(out) == 1 and out[0].iloc[1] == 1
