@@ -255,8 +255,10 @@ _N_BUCKETS = 16
       FROM documents
     )
     SELECT doc_id,
-           list_transform(range(0, {_N_BUCKETS}),
-                          b -> len(list_filter(hs, h -> h = b))) AS bow
+           coalesce(array_to_string(
+             list_transform(range(0, {_N_BUCKETS}),
+                            b -> len(list_filter(hs, h -> h = b))), ','),
+             '') AS bow
     FROM t
     """,
 )
@@ -264,12 +266,20 @@ def doc_embed_hashed(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-hashed bag-of-words embedding — the feature-extraction stage
     that feeds the similarity/semantic-dedup family when no neural encoder
     is in the loop: each token hashes to one of {n} buckets and the doc's
-    vector is the bucket-count histogram (integer array, exact oracle).
+    vector is the bucket-count histogram (integer counts, exact oracle).
     Map-only: hash codes are projected ONCE as a real column, then each
     bucket count filters that projected array (never re-hashing inside a
     lambda body — the rule-7 outer-expression trap). Zero shuffle; at
     100 TB this is scan-speed feature extraction whose output feeds
-    knn/ann/semantic_keep unchanged."""
+    knn/ann/semantic_keep unchanged.
+
+    The vector ships as a comma-joined STRING, not array<long>: the
+    driver's canonicalizer pandas-sorts result columns and cannot hash
+    list cells (r04's one red row). DuckDB's array_to_string of an empty
+    list is NULL where concat_ws is '' (CLAUDE.md rule 9), hence the
+    oracle-side coalesce — unreachable here (the histogram always has
+    {_N_BUCKETS} entries) but kept so the gate can't regress if the
+    bucket list ever becomes data-dependent."""
     d = load(spark, sf, "documents")
     hs = F.transform(
         tokens("text"), lambda t: (_tok_weight(t) + 32768) % _N_BUCKETS
@@ -281,5 +291,7 @@ def doc_embed_hashed(spark: SparkSession, sf: str) -> DataFrame:
 
     return step.select(
         "doc_id",
-        F.array(*[_bucket_count(b) for b in range(_N_BUCKETS)]).alias("bow"),
+        F.concat_ws(
+            ",", *[_bucket_count(b).cast("string") for b in range(_N_BUCKETS)]
+        ).alias("bow"),
     )

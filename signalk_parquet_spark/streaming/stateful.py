@@ -47,8 +47,13 @@ def make_threshold_transition_fn(threshold: float, op: str = "gt"):
         out: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("signalk_timestamp")
-            for _, row in pdf.iterrows():
-                v = row["value"]
+            # zip over .tolist() columns, never pdf.iterrows() — iterrows
+            # builds a Series per row and cost 1.6x end-to-end on the
+            # streaming near-dup path (CLAUDE.md); same pattern as the
+            # near-dup rungs below.
+            for ts, v in zip(
+                pdf["signalk_timestamp"].tolist(), pdf["value"].tolist()
+            ):
                 if v is None or pd.isna(v):
                     continue
                 cond = v > threshold if op == "gt" else v < threshold
@@ -60,7 +65,7 @@ def make_threshold_transition_fn(threshold: float, op: str = "gt"):
                         {
                             "context": key[0],
                             "path": key[1],
-                            "ts": row["signalk_timestamp"],
+                            "ts": ts,
                             "value": float(v),
                             "event": "activated" if cond else "deactivated",
                         }
@@ -107,8 +112,10 @@ def make_ema_fn(alpha: float = 0.2):
         out: list[dict[str, Any]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("signalk_timestamp")
-            for _, row in pdf.iterrows():
-                v = row["value"]
+            # .tolist() zip, not iterrows (CLAUDE.md; see transition fn)
+            for ts, v in zip(
+                pdf["signalk_timestamp"].tolist(), pdf["value"].tolist()
+            ):
                 if v is None or pd.isna(v):
                     continue
                 prev = float(v) if prev is None else alpha * float(v) + (1.0 - alpha) * prev
@@ -116,7 +123,7 @@ def make_ema_fn(alpha: float = 0.2):
                     {
                         "context": key[0],
                         "path": key[1],
-                        "ts": row["signalk_timestamp"],
+                        "ts": ts,
                         "value": float(v),
                         "ema": prev,
                     }
