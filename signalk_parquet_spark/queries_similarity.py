@@ -460,3 +460,87 @@ def ann_scalar_quant(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("iscore").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOPK)
+
+
+# --- learned (k-means) coarse quantizer — the actual 100 TB deployment path ------
+_KMEANS_K = 8
+_KM_NPROBE = 2  # the approximate setting the recall gate measures
+
+#: fitted centroid frame shared by both kmeans gates (one MLlib fit/session)
+_KMEANS_MEMO = SessionMemo()
+
+
+def _kmeans_cents(spark: SparkSession, sf: str) -> DataFrame:
+    def build() -> DataFrame:
+        from .operators.similarity import kmeans_centroids
+
+        e = load(spark, sf, "embeddings")
+        c = kmeans_centroids(e, "vec_id", "embedding", k=_KMEANS_K, seed=7)
+        c = c.persist()
+        c.count()
+        return c
+
+    return _KMEANS_MEMO.get_or_build(spark, f"kmeans_cents|{sf}", build)
+
+
+@register(
+    "ann_ivf_kmeans",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, emb AS ea FROM e WHERE vec_id < {_NQ}),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DD_COS.replace("eb", "e.emb")} , 4) AS cos4
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos4, rank FROM r WHERE rank <= {_TOPK}
+    """,
+)
+def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF over a LEARNED k-means coarse quantizer (MLlib KMeans — the real
+    deployment path SCALE.md documents behind the stride stand-in), run
+    end-to-end with n_probe = K so EVERY cell is probed. With all cells
+    probed the result equals exact top-k if and only if the assignment
+    step lands every vector in exactly ONE inverted list — so the
+    exact-knn oracle verifies the partition property of the learned
+    quantizer pipeline (a vector assigned to two cells would duplicate a
+    candidate pair and corrupt the rank column; a dropped vector would
+    lose a neighbor). k-means centroids are not SQL-expressible, which is
+    exactly why the gate is framed so the ORACLE doesn't need them.
+    ivf_kmeans_recall measures the approximate (n_probe < K) setting."""
+    from .operators.similarity import ivf_topk
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    out = ivf_topk(
+        e, q, _kmeans_cents(spark, sf), "vec_id", "embedding",
+        k=_TOPK, n_probe=_KMEANS_K, dim=_DIM, assign="numpy",
+    )
+    return out.withColumnRenamed("cos", "cos4")
+
+
+@register("ivf_kmeans_recall")  # no oracle: k-means centroids aren't SQL-expressible
+def ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the learned-quantizer IVF at the APPROXIMATE setting
+    (n_probe=2 of K=8 cells) against exact top-k — the number a
+    deployment tunes n_probe by. No DuckDB oracle is possible (a
+    deliberate gap besides approx_stats, CLAUDE.md): MLlib's k-means||
+    init and float reduction order cannot be reproduced in SQL, so the
+    driver records the weaker rows-only check; the measured-recall FLOOR
+    is pinned by tests/test_similarity_ops.py instead, and
+    ann_ivf_kmeans (exact oracle) covers the same code path's
+    correctness. Evaluation cost is n_queries x k rows — corpus-size
+    independent (topk_recall)."""
+    from .operators.similarity import ivf_topk, topk_recall
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    approx = ivf_topk(
+        e, q, _kmeans_cents(spark, sf), "vec_id", "embedding",
+        k=_TOPK, n_probe=_KM_NPROBE, dim=_DIM, assign="numpy",
+    )
+    return topk_recall(approx, knn_bruteforce(spark, sf))

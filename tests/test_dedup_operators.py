@@ -107,6 +107,20 @@ def test_ivf_operator_with_learned_and_stride_quantizers(spark):
     assert ivf_k2 == ivf_k
 
 
+def test_ivf_kmeans_recall_floor(spark, sf_smoke):
+    """The learned-quantizer gate pair: ann_ivf_kmeans is oracle-exact (all
+    cells probed), so this pins the other half — approximate-probe recall
+    must clear a floor on real testdata (measured 0.57-0.65 mean across
+    sf0.001/0.01/0.1; floor set with margin). This is the measured-quality
+    gate the no-oracle ivf_kmeans_recall query points at."""
+    from signalk_parquet_spark.queries_similarity import ivf_kmeans_recall
+
+    rows = ivf_kmeans_recall(spark, sf_smoke).collect()
+    assert len(rows) == 20
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.35, f"kmeans-IVF mean recall collapsed: {mean}"
+
+
 def test_ivf_numpy_assignment_matches_expr(spark):
     from signalk_parquet_spark.operators.similarity import ivf_topk, stride_centroids
 
