@@ -196,6 +196,7 @@ def _import_all() -> None:
         "queries_text",
         "queries_ivfpq",  # post-window: window is full this round (docstring)
         "queries_transform",  # post-window: same reason (docstring)
+        "queries_media",
     ):
         try:
             __import__(f"{__package__}.{mod}")
