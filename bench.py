@@ -18,12 +18,26 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
+#: `--smoke`: the 20 heaviest gates of the r4 full run (~40% of total wall
+#: in ~1/6 of the queries) — the dev-loop perf tier so iteration doesn't
+#: pay an 85 s full session. Record official numbers from FULL runs only.
+SMOKE_TIER = (
+    "dedup_keep_longest,dedup_ngram_jaccard,dedup_jaccard_prefix,"
+    "cobucketed_revenue,semdedup_recall,dedup_minhash_lsh,tpch_q21,"
+    "dedup_winnowing,scrub_duplicate_spans,proximity_pairs,dedup_simhash,"
+    "dedup_exact,source_divergence,dedup_semantic,ivfpq_recall,tpch_q2,"
+    "dedup_levenshtein,tpch_q8,pq_recall,tpch_q7"
+).split(",")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("signalk-parquet-spark-bench")
 
     qs = registry.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if "--smoke" in sys.argv and not only:
+        only = ",".join(SMOKE_TIER)
     if only:  # dev loop: time a comma-separated subset
         subset = set(only.split(","))
         qs = {k: v for k, v in qs.items() if k in subset}

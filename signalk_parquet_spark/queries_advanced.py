@@ -287,9 +287,9 @@ def daily_activity(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
 
 
-# regex_extract_tokens and unpivot_aligned moved to queries_text.py (post-window):
-# both are r03-driver-green and unedited in r4, so they ceded their window
-# slots to the never-checked queries_pq / queries_lm gates (VERDICT r03 #4).
+# regex_extract_tokens and unpivot_aligned live in queries_text.py (they
+# ceded their r4 window slots to never-checked gates; r5 rotated them back
+# in via registry._WINDOW_FIRST, which now manages the window explicitly).
 
 
 # --- ranking functions beyond ROW_NUMBER (rank / dense_rank / ntile) ------------------

@@ -3,10 +3,9 @@ ladder (exact → LSH → IVF → int8 SQ → PQ → IVF-PQ), over the `embeddin
 table: IVF cell pruning cuts the candidate set, PQ/ADC cuts the bytes per
 candidate — FAISS's IVFx,PQy as one differential-proved query.
 
-Registered LAST in registry._import_all (this round's 50-slot driver window
-is exactly full with the never-checked + r4-edited set), so its driver row
-arrives with the next round's rotation; until then correctness evidence is
-the local parity suite (sf0.01 + sf0.001) plus test_ivfpq_modes_agree /
+Added post-window in r4; rotated into the r5 driver window via
+registry._WINDOW_FIRST. Standing evidence: the local parity suite
+(sf0.01 + sf0.001) plus test_ivfpq_modes_agree /
 test_ivfpq_composes_pruning_and_codes.
 
 The oracle rebuilds BOTH quantizers in SQL: the float coarse quantizer in

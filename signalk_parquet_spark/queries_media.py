@@ -6,7 +6,7 @@ CTE oracles (dedup_keep_corpus); the media rungs were pytest-only because
 DuckDB cannot hash image bytes. This gate closes that gap with a planted
 plant the oracle CAN know: every ``doc_id // 4`` group shares one
 pseudorandom picture, encoded as 24-bit BMP for even ids and grayscale PNG
-for odd ids (functions/imagegen). The Spark side must genuinely decode two
+for odd ids (functions/mediagen). The Spark side must genuinely decode two
 codecs, dHash, band-join, transitively close the pair relation and apply
 the keep-min-id policy to land exactly on the SQL's window-min answer —
 any missed within-group pair (decode divergence, band bug) or false
@@ -25,17 +25,27 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .registry import load, register
 
 _GROUP = 4  # doc_id // _GROUP = planted content group
+#: evaluation-corpus bound, mirrored in every oracle (WHERE doc_id < cap):
+#: covers sf0.001/sf0.01 entirely (500 docs) and 600 planted groups at
+#: sf0.1 — the gate verifies pipeline correctness, not throughput (the
+#: _NQ/_SEM_SLICE precedent; scaling is measured by tools/media_ramp.py,
+#: which ramps the SAME operators uncapped). NOT a silent cap: stated
+#: here, in each docstring, and in the oracle text.
+_CAP = 2400
 
 
-def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
+def _synthetic_corpus(docs: DataFrame, gen_name: str) -> DataFrame:
     """(doc_id, payload) with the planted group structure — generated
     executor-side in one Arrow map stage (at corpus scale the payloads
-    would arrive from the lake; the generator stands in for the scan)."""
+    would arrive from the lake; the generator stands in for the scan).
+    ``gen_name`` is a functions.mediagen generator, resolved INSIDE the
+    batch fn so only the name is captured by the closure."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -44,26 +54,32 @@ def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
     )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .functions.imagegen import payload_for
+        from .functions import mediagen
 
+        gen = getattr(mediagen, gen_name)
         for pdf in it:
             ids = [int(x) for x in pdf["doc_id"].tolist()]
             yield pd.DataFrame(
-                {"doc_id": ids, "payload": [payload_for(i, _GROUP) for i in ids]}
+                {"doc_id": ids, "payload": [gen(i, _GROUP) for i in ids]}
             )
 
     return docs.select("doc_id").mapInPandas(_batches, schema=out_schema)
 
 
-@register(
-    "image_dedup_decisions",
-    f"""
+def synthetic_image_corpus(docs: DataFrame) -> DataFrame:
+    return _synthetic_corpus(docs, "payload_for")
+
+
+_PLANT_ORACLE = f"""
     SELECT doc_id AS id,
            min(doc_id) OVER (PARTITION BY doc_id // {_GROUP}) AS cluster_rep,
            doc_id = min(doc_id) OVER (PARTITION BY doc_id // {_GROUP}) AS kept
     FROM documents
-    """,
-)
+    WHERE doc_id < {_CAP}
+    """
+
+
+@register("image_dedup_decisions", _PLANT_ORACLE)
 def image_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
     """Image dHash pairs → keep/drop decisions (pairs_to_decisions), the
     media mirror of dedup_keep_corpus: decode (BMP + PNG) → dHash → band
@@ -77,9 +93,55 @@ def image_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import pairs_to_decisions
     from .operators.multimodal import image_neardup_pairs
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < _CAP)
     imgs = synthetic_image_corpus(docs)
     pairs = image_neardup_pairs(
         imgs, id_col="doc_id", payload_col="payload", max_hamming=3, bands=4
+    )
+    return pairs_to_decisions(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+@register("audio_dedup_decisions", _PLANT_ORACLE)
+def audio_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio Haitsma-Kalker pairs → keep/drop decisions — the audio leg of
+    keep-policy parity. Planted variants are mono vs stereo-with-L=R WAVs
+    of the same group noise: decode_wav_samples channel-averaging makes
+    their fingerprints bit-identical (the mean of two equal floats is that
+    float), so within-group pairs verify at BER 0 while cross-group noise
+    shares zero (pos, sub-fingerprint) buckets (measured) and any stray
+    bucket collision dies at the BER≈0.5 verify. Same analytic window-min
+    oracle as the image gate. Scale shape: one Arrow stage for
+    generate+STFT+fingerprint, (pos, sub) equality join with max_df stop
+    caps, JVM-side BER verify, shared connected_components."""
+    from .operators.audio import audio_neardup_pairs
+    from .operators.dedup import pairs_to_decisions
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < _CAP)
+    wavs = _synthetic_corpus(docs, "audio_payload_for")
+    pairs = audio_neardup_pairs(
+        wavs, id_col="doc_id", payload_col="payload", max_ber=0.35, min_hits=1
+    )
+    return pairs_to_decisions(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+@register("video_dedup_decisions", _PLANT_ORACLE)
+def video_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """Video per-frame-banding pairs → keep/drop decisions — the video leg
+    of keep-policy parity. Planted variants are animated GIFs of the same
+    four group-noise frames: even ids with the identity gray palette, odd
+    ids with BOTH the palette and index planes permuted per-doc, so the
+    bytes (palette + LZW streams) differ item-to-item but the decoded RGB
+    — and hence every frame dHash — is identical. A green row therefore
+    certifies real LZW + palette decode, frame-INDEX alignment (not list
+    position), banding, and the keep policy end-to-end against the same
+    analytic window-min oracle."""
+    from .operators.dedup import pairs_to_decisions
+    from .operators.video import video_neardup_pairs
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < _CAP)
+    gifs = _synthetic_corpus(docs, "video_payload_for")
+    pairs = video_neardup_pairs(
+        gifs, id_col="doc_id", payload_col="payload",
+        max_frames=8, min_frac=0.5, max_hamming=3,
     )
     return pairs_to_decisions(docs.select("doc_id"), pairs, id_col="doc_id")

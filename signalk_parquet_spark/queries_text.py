@@ -338,11 +338,9 @@ def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     parity between Java regex and RE2, not a 0-vs-0 pass. Map-only: one
     projection, one partial-aggregated groupBy on a low-cardinality key.
 
-    Registered post-window (added after the r4 window was finalized — its
-    50 slots are committed to the never-checked + r03-red set, registry
-    comment); driver row arrives with the next round's rotation. Until
-    then: local parity at sf0.01 + sf0.001, tests/test_scrub.py, and the
-    plan-shape test."""
+    Added post-window in r4; rotated into the r5 driver window via
+    registry._WINDOW_FIRST. Standing evidence: local parity at sf0.01 +
+    sf0.001, tests/test_scrub.py, and the plan-shape test."""
     from .operators.scrub import PII_PATTERNS, _POLICY_GATE_PATTERNS, scrub_report
 
     pats = {**PII_PATTERNS, **_POLICY_GATE_PATTERNS}

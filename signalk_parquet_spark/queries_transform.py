@@ -4,10 +4,8 @@ each document (Lee et al. 2022; the stats side is dedup_substring_spans).
 This is the stage a training pipeline actually ships: cleaned text, not
 just duplication scores.
 
-Registered post-window in registry._import_all (this round's 50-slot
-driver window is committed to the never-checked + r4-edited set — the
-queries_ivfpq precedent), so its driver row arrives with the next round's
-rotation; until then correctness evidence is the local parity suite at
+Added post-window in r4; rotated into the r5 driver window via
+registry._WINDOW_FIRST. Standing evidence: the local parity suite at
 sf0.01 + sf0.001 plus the operator test.
 
 The oracle rebuilds the whole transform in SQL with the same 48-bit

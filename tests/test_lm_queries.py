@@ -14,7 +14,11 @@ def test_doc_embed_buckets_conserve_token_count(spark, sf_smoke):
     counts sum to the doc's token count for EVERY document (no token
     dropped or double-bucketed by the hash % mapping)."""
     qs = registry.queries()
-    bow = qs["doc_embed_hashed"](spark, sf_smoke)
+    # bow ships as a comma-joined string since r5 (the driver's pandas
+    # canonicalizer can't hash list cells) — split it back for the sum
+    bow = qs["doc_embed_hashed"](spark, sf_smoke).select(
+        "doc_id", F.split("bow", ",").cast("array<long>").alias("bow")
+    )
     stats = qs["text_token_stats"](spark, sf_smoke).select("doc_id", "n_tokens")
     bad = (
         bow.select("doc_id", F.aggregate("bow", F.lit(0).cast("long"), lambda a, x: a + x).alias("s"))

@@ -1,4 +1,4 @@
-"""The media keep/drop gate's foundations: imagegen encoders round-trip
+"""The media keep/drop gates' foundations: mediagen encoders round-trip
 through the repo's own decoders, cross-format dHash parity holds, and the
 pair screen recovers exactly the planted group structure."""
 
@@ -7,7 +7,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from signalk_parquet_spark.functions.imagegen import (
+from signalk_parquet_spark.functions.mediagen import (
     encode_bmp_gray_as_rgb24,
     encode_png_gray,
     group_pixels,
@@ -69,6 +69,39 @@ def test_pair_screen_recovers_planted_groups_exactly(spark):
         if a // group == b // group
     }
     assert pairs == expected
+
+
+def test_audio_variants_fingerprint_identical():
+    """mono vs stereo-L=R must be BIT-identical (channel mean of equal
+    floats), and cross-group noise must share no sub-fingerprints — the
+    two facts the audio gate's exactness rests on."""
+    from signalk_parquet_spark.functions.mediagen import audio_payload_for
+    from signalk_parquet_spark.operators.audio import audio_fingerprint
+
+    f_mono, f_stereo = audio_fingerprint(audio_payload_for(0)), audio_fingerprint(
+        audio_payload_for(1)
+    )
+    assert f_mono and f_mono == f_stereo
+    f_other = audio_fingerprint(audio_payload_for(4))  # group 1
+    assert sum(a == b for a, b in zip(f_mono, f_other)) == 0
+
+
+def test_video_palette_permutation_decodes_to_same_rgb():
+    from signalk_parquet_spark.functions.mediagen import video_payload_for
+    from signalk_parquet_spark.operators.multimodal import dhash_pixels
+    from signalk_parquet_spark.operators.raster import decode_gif_frames
+
+    fr_id = decode_gif_frames(video_payload_for(0))
+    fr_perm = decode_gif_frames(video_payload_for(1))
+    assert len(fr_id) == len(fr_perm) == 4
+    for a, b in zip(fr_id, fr_perm):
+        assert np.array_equal(a, b)
+    # and the bytes really differ (the permutation exercises palette decode)
+    assert video_payload_for(0) != video_payload_for(1)
+    h_a = [dhash_pixels(f) for f in fr_id]
+    h_other = [dhash_pixels(f) for f in decode_gif_frames(video_payload_for(4))]
+    mask = (1 << 64) - 1
+    assert min(bin((x ^ y) & mask).count("1") for x in h_a for y in h_other) > 3
 
 
 def test_decisions_match_planted_truth(spark, sf_smoke):
