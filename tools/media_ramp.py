@@ -243,11 +243,55 @@ def streaming_ramp(spark, n_batches: int = 10, per_batch: int = 60):
         print(f"  {name}: {total} payloads / {wall:.1f}s = {total / wall:.0f}/s, "
               f"dups flagged {dups}/{total // 10}")
 
+def decisions_ramp(spark, sizes=(2_000, 8_000, 32_000)):
+    """END-TO-END keep/drop decisions (the image_dedup_decisions pipeline,
+    UNCAPPED): planted mediagen corpus of N items -> decode(BMP+PNG) ->
+    dHash -> band join -> CC -> keep-min-id. Verifies the gate's _CAP is
+    purely an evaluation bound: the pipeline itself must stay ~linear and
+    keep recovering exactly N/4 planted groups as N ramps past the cap."""
+    from pyspark.sql import types as T
+
+    from signalk_parquet_spark.operators.dedup import pairs_to_decisions
+    from signalk_parquet_spark.operators.multimodal import image_neardup_pairs
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from signalk_parquet_spark.functions.mediagen import payload_for
+
+        for pdf in it:
+            ids = [int(x) for x in pdf["id"].tolist()]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [payload_for(i) for i in ids]}
+            )
+
+    print("image decisions ramp (decode->hash->band->CC->keep, uncapped):")
+    for n in sizes:
+        docs = spark.range(n).repartition(32)
+        imgs = docs.mapInPandas(gen, schema=schema)
+        t0 = time.perf_counter()
+        pairs = image_neardup_pairs(
+            imgs, id_col="doc_id", payload_col="payload", max_hamming=3, bands=4
+        )
+        dec = pairs_to_decisions(
+            docs.select(F.col("id").alias("doc_id")), pairs, id_col="doc_id"
+        )
+        kept = dec.filter("kept").count()
+        wall = time.perf_counter() - t0
+        ok = "exact" if kept == (n + 3) // 4 else f"EXPECTED {(n + 3) // 4}"
+        print(f"  N={n}: {wall:.1f}s ({n / wall:.0f} items/s), kept {kept} [{ok}]")
+
+
 if __name__ == "__main__":
     spark = get_spark("media_ramp")
     spark.range(32).mapInPandas(lambda it: it, "id long").count()  # warm Arrow
     frames_ramp(spark)
     audio_ramp(spark)
     image_video_ramp(spark)
+    decisions_ramp(spark)
     print("streaming rung throughput:")
     streaming_ramp(spark)
