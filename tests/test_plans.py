@@ -468,3 +468,30 @@ def test_media_neardup_joins_are_equi_joins(spark):
         assert "CartesianProduct" not in plan, op.__name__
         assert "BroadcastNestedLoopJoin" not in plan, op.__name__
         assert "MapInPandas" in plan, op.__name__  # one Arrow decode stage
+
+
+def test_media_decision_gates_plan_clean(spark):
+    """The keep/drop end products must stay equi-join-only: generation/
+    decode/hash in Arrow map stages, candidates from band-bucket equality
+    joins, decisions from the label join — no cartesian anywhere."""
+    from signalk_parquet_spark.queries_media import (
+        audio_dedup_decisions,
+        image_dedup_decisions,
+        video_dedup_decisions,
+    )
+
+    for gate in (image_dedup_decisions, audio_dedup_decisions, video_dedup_decisions):
+        plan = formatted_plan(gate(spark, SF))
+        assert "CartesianProduct" not in plan, gate.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, gate.__name__
+
+
+def test_kmeans_ivf_gate_plan_clean(spark):
+    """The learned-quantizer IVF gate: the fused numpy path keeps the
+    collection in one Arrow map stage (no shuffle of the big side before
+    top-k) and never degenerates to a cartesian join."""
+    from signalk_parquet_spark.queries_similarity import ann_ivf_kmeans
+
+    plan = formatted_plan(ann_ivf_kmeans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the fused assign+probe+score stage
