@@ -268,6 +268,7 @@ def _import_all() -> None:
         "queries_ivfpq",  # post-window: window is full this round (docstring)
         "queries_transform",  # post-window: same reason (docstring)
         "queries_media",
+        "queries_replay",  # post-window r5: rotates into the r6 window
     ):
         try:
             __import__(f"{__package__}.{mod}")
