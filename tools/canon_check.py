@@ -9,9 +9,11 @@ hash_pandas_object) against each window query's collected result, so an
 unsortable/unhashable output shape is caught locally BEFORE it burns a
 driver row.
 
-Usage: python tools/canon_check.py [sf_dir]   (default /root/testdata/sf0.01)
-Exits non-zero listing any window query whose result the driver-shaped
-canonicalizer cannot process.
+Usage: python tools/canon_check.py [sf_dir] [--all]
+(default sf_dir /root/testdata/sf0.01; --all checks EVERY registered
+query, not just the current window — run it after adding gates so future
+window rotations are pre-validated). Exits non-zero listing any checked
+query whose result the driver-shaped canonicalizer cannot process.
 """
 
 from __future__ import annotations
@@ -36,21 +38,24 @@ def canon(pdf: pd.DataFrame) -> int:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    check_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("canon-check")
     qs = registry.queries()
-    window = list(qs)[:50]
+    window = list(qs) if check_all else list(qs)[:50]
     bad: list[tuple[str, str]] = []
     for name in window:
         try:
             canon(qs[name](spark, sf_dir).toPandas())
         except Exception as e:  # the whole point: find what the driver can't canon
             bad.append((name, f"{type(e).__name__}: {e}"))
-    print(f"canon-checked {len(window)} window queries at {sf_dir}")
+    scope = "registered" if check_all else "window"
+    print(f"canon-checked {len(window)} {scope} queries at {sf_dir}")
     for name, err in bad:
         print(f"CANON-FAIL {name}: {err.splitlines()[0]}")
     if not bad:
-        print("all window results canonicalize cleanly")
+        print(f"all {scope} results canonicalize cleanly")
     return 1 if bad else 0
 
 
