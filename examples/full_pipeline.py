@@ -2,7 +2,8 @@
 """End-to-end lifecycle demo — the full reference workflow on this engine:
 
   live stream → hot buffer → daily export → tier rollups → retention →
-  federated History query (with smoothing + spatial) → text dedup sweep
+  federated History query (with smoothing + spatial) → historical replay
+  → cloud sync
 
 Run: python examples/full_pipeline.py   (~1 min on local[32])
 """
@@ -18,7 +19,13 @@ from datetime import datetime, timedelta, timezone
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from signalk_parquet_spark.api import discovery_response, get_values_response
+from signalk_parquet_spark.operators.cloudsync import (
+    distributed_copy,
+    list_files,
+    sync_plan,
+)
 from signalk_parquet_spark.operators.lifecycle import RetentionRule, retention_cleanup
+from signalk_parquet_spark.streaming.replay import emission_schedule, replay
 from signalk_parquet_spark.operators.rollup import rollup_angular, rollup_scalar
 from signalk_parquet_spark.plans.history import HistoryPlanner
 from signalk_parquet_spark.session import get_spark
@@ -86,6 +93,31 @@ def main() -> None:
         print("   ", row)
 
     print("6. discovery:", discovery_response(planner))
+
+    # 7. historical replay: the History result re-emitted as paced deltas
+    #    (the reference's non-functional historical-streaming.ts, working —
+    #    a real consumer passes a WebSocket send as emit)
+    wide = spark.createDataFrame(
+        [tuple(r) for r in resp["data"]], resp["columns"]
+    )
+    waits: list[float] = []
+    deltas: list[dict] = []
+    n = replay(
+        emission_schedule(wide, ts_col=resp["columns"][0], batch_points=3),
+        deltas.append, tick_s=0.1, sleep=waits.append, context="vessels.self",
+    )
+    print(f"7. replayed {n} deltas in {len(waits) + 1} ticks; first:", deltas[0])
+
+    # 8. cloud sync: plan + distcp-style copy (second local root stands in
+    #    for the bucket; s3:// URIs take the same path when network exists)
+    plan = sync_plan(list_files(spark, lake.roots[0]), list_files(spark, f"{base}/bucket"))
+    stats = distributed_copy(spark, plan, lake.roots[0], f"{base}/bucket")
+    print(f"8. synced {stats['uploaded']} files ({stats['bytes']} bytes) to the bucket;"
+          f" re-plan uploads:",
+          sync_plan(list_files(spark, lake.roots[0]),
+                    list_files(spark, f"{base}/bucket"))
+          .filter("action = 'upload'").count())
+
     print("done — lake at", base)
 
 
