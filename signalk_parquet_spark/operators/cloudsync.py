@@ -60,22 +60,41 @@ def _fs_for(root: str):
     )
 
 
-def list_files(spark: SparkSession, root: str) -> DataFrame:
-    """(rel_path, size, mtime_ms) of every file under ``root``: first-level
-    entries enumerated driver-side, each one's subtree walked by an
-    executor task (pyarrow.fs recursive selector)."""
+def list_files(spark: SparkSession, root: str, seed_depth: int = 2) -> DataFrame:
+    """(rel_path, size, mtime_ms) of every file under ``root``. Seeds are
+    enumerated driver-side breadth-first DOWN TO ``seed_depth`` levels
+    (stopping early once there are enough to occupy the executors) so a
+    canonical single-context lake (ONE top-level vessels.self dir) still
+    fans out across its per-path subdirectories instead of degenerating
+    to one task walking the whole tree; each seed's subtree is then
+    walked by an executor task (pyarrow.fs recursive selector), one
+    output batch per seed (bounded memory)."""
     from pyarrow import fs as pafs
 
     filesystem, base = _fs_for(root)
     base = base.rstrip("/")
+    target = spark.sparkContext.defaultParallelism
     try:
-        top = filesystem.get_file_info(pafs.FileSelector(base, recursive=False))
+        infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=False))
     except FileNotFoundError:
         # an absent root lists as empty (first sync to a fresh bucket/dir)
         return spark.createDataFrame([], _LIST_SCHEMA)
-    seeds = []  # (path, is_dir); top-level plain files are their own seed
-    for info in top:
-        seeds.append((info.path, info.type == pafs.FileType.Directory))
+    seeds = [(i.path, i.type == pafs.FileType.Directory) for i in infos]
+    depth = 1
+    while depth < seed_depth and any(d for _, d in seeds) and len(seeds) < target:
+        expanded = []
+        for path, is_dir in seeds:
+            if is_dir:
+                expanded.extend(
+                    (i.path, i.type == pafs.FileType.Directory)
+                    for i in filesystem.get_file_info(
+                        pafs.FileSelector(path, recursive=False)
+                    )
+                )
+            else:
+                expanded.append((path, False))
+        seeds = expanded
+        depth += 1
     if not seeds:
         return spark.createDataFrame([], _LIST_SCHEMA)
 
@@ -84,26 +103,27 @@ def list_files(spark: SparkSession, root: str) -> DataFrame:
 
         fs2, _ = _fs_for(root)
         for pdf in it:
-            rows = []
             for path, is_dir in zip(pdf["path"].tolist(), pdf["is_dir"].tolist()):
-                infos = (
+                infos2 = (
                     fs2.get_file_info(pafs2.FileSelector(path, recursive=True))
                     if is_dir
                     else [fs2.get_file_info([path])[0]]
                 )
-                for fi in infos:
-                    if fi.type == pafs2.FileType.File:
-                        rows.append(
-                            (
-                                fi.path[len(base) + 1 :],
-                                int(fi.size),
-                                int(fi.mtime.timestamp() * 1000) if fi.mtime else 0,
-                            )
-                        )
-            yield pd.DataFrame(rows, columns=["rel_path", "size", "mtime_ms"])
+                rows = [
+                    (
+                        fi.path[len(base) + 1 :],
+                        int(fi.size),
+                        int(fi.mtime.timestamp() * 1000) if fi.mtime else 0,
+                    )
+                    for fi in infos2
+                    if fi.type == pafs2.FileType.File
+                ]
+                # one yield per SEED subtree: a task never materializes
+                # more than one subtree's listing at once
+                yield pd.DataFrame(rows, columns=["rel_path", "size", "mtime_ms"])
 
     seed_df = spark.createDataFrame(seeds, "path string, is_dir boolean")
-    n = max(1, min(len(seeds), spark.sparkContext.defaultParallelism))
+    n = max(1, min(len(seeds), target))
     return seed_df.repartition(n).mapInPandas(_walk, schema=_LIST_SCHEMA)
 
 
@@ -120,9 +140,14 @@ def sync_plan(
 ) -> DataFrame:
     """(rel_path, size, action) for every local file: ``excluded`` for the
     reference's skip-subtree rule, ``present`` when the same rel_path is
-    remote (or, with ``skip_synced_dirs``, when ANY remote file shares its
-    directory — data-handler.ts:1078-1091), else ``upload``. Pure
-    anti-join shape: the big sides never collect."""
+    remote WITH THE SAME SIZE (a same-name file whose bytes changed —
+    re-export, repair — re-uploads rather than silently diverging; mtime
+    is deliberately NOT compared, it is not preserved across filesystems),
+    else ``upload``. With ``skip_synced_dirs`` the reference's coarser
+    StartupSync rule applies instead: ANY remote file sharing the
+    directory marks the whole directory synced (data-handler.ts:
+    1078-1091) — directory granularity can't compare sizes, faithfully to
+    the reference. Pure anti-join shape: the big sides never collect."""
     is_excluded = F.lit(False)
     for d in excluded:
         is_excluded = is_excluded | F.col("rel_path").contains(f"/{d}/") | F.col(
@@ -131,9 +156,13 @@ def sync_plan(
     if skip_synced_dirs:
         remote_keys = remote.select(_dir_of(F.col("rel_path")).alias("k")).distinct()
         local_keyed = local.withColumn("k", _dir_of(F.col("rel_path")))
+        present = F.col("_remote").isNotNull()
     else:
-        remote_keys = remote.select(F.col("rel_path").alias("k")).distinct()
+        remote_keys = remote.select(
+            F.col("rel_path").alias("k"), F.col("size").alias("_rsize")
+        )
         local_keyed = local.withColumn("k", F.col("rel_path"))
+        present = F.col("_rsize") == F.col("size")
     mark = local_keyed.join(
         remote_keys.withColumn("_remote", F.lit(True)), "k", "left"
     )
@@ -141,7 +170,7 @@ def sync_plan(
         "rel_path",
         "size",
         F.when(is_excluded, F.lit("excluded"))
-        .when(F.col("_remote").isNotNull(), F.lit("present"))
+        .when(present, F.lit("present"))
         .otherwise(F.lit("upload"))
         .alias("action"),
     )
@@ -158,7 +187,17 @@ def distributed_copy(
     """Execute the plan's ``upload`` rows: each executor task streams its
     files src→dst through pyarrow.fs in ``chunk``-byte pieces (bounded
     memory per task; works local↔local here and local↔s3 when deployed —
-    same operator, different URI). Returns {'uploaded': n, 'bytes': b}."""
+    same operator, different URI). Returns {'uploaded': n, 'bytes': b}
+    (+ 'deleted' with ``delete_after``).
+
+    ``delete_after`` (the reference's deleteAfterUpload) runs as a SECOND
+    distributed phase, never inline with the copy: a Spark task is
+    retryable, and a task that deleted sources before dying would make
+    every retry fail on the missing file and strand the lake half-moved.
+    Both phases are idempotent under retry instead — the copy phase only
+    overwrites destinations, and the delete phase removes a source only
+    after re-verifying the destination's existence AND size, tolerating
+    an already-deleted source (a retried delete task)."""
     uploads = plan.filter(F.col("action") == "upload").select("rel_path", "size")
 
     def _copy(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,8 +218,6 @@ def distributed_copy(
                             break
                         w.write(buf)
                         n += len(buf)
-                if delete_after:  # the reference's deleteAfterUpload
-                    sfs.delete_file(src)
                 done.append((rel, n))
             yield pd.DataFrame(done, columns=["rel_path", "bytes"])
 
@@ -188,4 +225,33 @@ def distributed_copy(
     agg = out.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("bytes"), F.lit(0)).alias("b")
     ).collect()[0]
-    return {"uploaded": int(agg["n"]), "bytes": int(agg["b"])}
+    stats = {"uploaded": int(agg["n"]), "bytes": int(agg["b"])}
+    if not delete_after:
+        return stats
+
+    def _delete(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyarrow import fs as pafs
+
+        sfs, sbase = _fs_for(src_root)
+        dfs, dbase = _fs_for(dst_root)
+        sbase, dbase = sbase.rstrip("/"), dbase.rstrip("/")
+        for pdf in it:
+            done = []
+            for rel, size in zip(pdf["rel_path"].tolist(), pdf["size"].tolist()):
+                fi = dfs.get_file_info([f"{dbase}/{rel}"])[0]
+                ok = fi.type == pafs.FileType.File and int(fi.size) == int(size)
+                if ok:
+                    try:
+                        sfs.delete_file(f"{sbase}/{rel}")
+                    except FileNotFoundError:
+                        pass  # a retried delete task — already gone
+                done.append((rel, bool(ok)))
+            yield pd.DataFrame(done, columns=["rel_path", "deleted"])
+
+    deleted = (
+        uploads.mapInPandas(_delete, schema="rel_path string, deleted boolean")
+        .filter("deleted")
+        .count()
+    )
+    stats["deleted"] = int(deleted)
+    return stats

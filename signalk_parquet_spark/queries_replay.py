@@ -55,4 +55,6 @@ def replay_schedule(spark: SparkSession, sf: str) -> DataFrame:
         .pivot("event_type", list(_TYPES))
         .agg(F.round(F.avg("value"), 6))
     )
-    return emission_schedule(wide, batch_points=_BATCH)
+    # all-numeric series here, so value_str is all-null — dropped to keep
+    # the oracle's column set (string series are covered by test_replay)
+    return emission_schedule(wide, batch_points=_BATCH).drop("value_str")

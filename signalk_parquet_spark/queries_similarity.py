@@ -505,20 +505,30 @@ def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     deployment path SCALE.md documents behind the stride stand-in), run
     end-to-end with n_probe = K so EVERY cell is probed. With all cells
     probed the result equals exact top-k if and only if the assignment
-    step lands every vector in exactly ONE inverted list — so the
-    exact-knn oracle verifies the partition property of the learned
-    quantizer pipeline (a vector assigned to two cells would duplicate a
-    candidate pair and corrupt the rank column; a dropped vector would
-    lose a neighbor). k-means centroids are not SQL-expressible, which is
-    exactly why the gate is framed so the ORACLE doesn't need them.
-    ivf_kmeans_recall measures the approximate (n_probe < K) setting."""
+    step lands every vector in exactly ONE inverted list — a vector
+    assigned to two cells duplicates a candidate pair and corrupts the
+    rank column; a dropped vector loses a neighbor. k-means centroids are
+    not SQL-expressible, which is exactly why the gate is framed so the
+    ORACLE doesn't need them.
+
+    assign="expr" is LOAD-BEARING here, not a speed choice: only the expr
+    path materializes real inverted lists (groupBy-argmin assignment +
+    equi-join on cell id) where that partition property can actually
+    break; the fused numpy path computes one argmin per vector, which
+    cannot duplicate or drop by construction, and would make this oracle
+    vacuous (r5 code-review finding). numpy≡expr is pinned separately by
+    test_ivf_numpy_assignment_matches_expr, and the expr path costs
+    2.2-2.8 s at these SFs (the 215 s HOF figure is the 60k x 480 ramp).
+    What the oracle still can't see is centroid QUALITY — that's
+    ivf_kmeans_recall's job (approximate n_probe < K setting, pytest
+    floor)."""
     from .operators.similarity import ivf_topk
 
     e = load(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < _NQ)
     out = ivf_topk(
         e, q, _kmeans_cents(spark, sf), "vec_id", "embedding",
-        k=_TOPK, n_probe=_KMEANS_K, dim=_DIM, assign="numpy",
+        k=_TOPK, n_probe=_KMEANS_K, dim=_DIM, assign="expr",
     )
     return out.withColumnRenamed("cos", "cos4")
 

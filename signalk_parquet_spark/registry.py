@@ -168,16 +168,21 @@ def oracle_sql() -> dict[str, str]:
 #: semantics-EDITED gate, (2) gates with no driver row in any round, then
 #: (3) fill to 50 with the gates whose last green row is OLDEST.
 #: tools/window_check.py prints the result; a name listed here that is not
-#: registered raises at import (typo guard).
+#: registered raises at import (typo guard) — UNLESS an optional queries
+#: module was absent, in which case its names drop out silently (the same
+#: degradation _import_all's except clause grants the module itself).
 #:
-#: r5 window: 7 never-checked (4 registered post-window in r4 by design +
-#: 3 new this round) + doc_embed_hashed (r4's one red row, output shape
-#: fixed) + regex_extract_tokens/unpivot_aligned (displaced in r4e, named
-#: in VERDICT r4) + 40 of the 43 gates last verified in r02 (the 3 left
-#: for r6 — topk_values, distinct_users, count_by_type — are the
-#: lowest-risk single-aggregate shapes). The rotated-out r4 window is
-#: entirely green in CORRECTNESS_r04, so the union of round windows still
-#: covers every registered query.
+#: r5 window (7 + 3 + 2 + 38 = 50): 7 never-checked (4 registered
+#: post-window in r4 by design + ann_ivf_kmeans/ivf_kmeans_recall/
+#: image_dedup_decisions new this round) + doc_embed_hashed (r4's one red
+#: row, output shape fixed) + regex_extract_tokens/unpivot_aligned
+#: (displaced in r4e, named in VERDICT r4) + audio/video_dedup_decisions
+#: (new, registered in the stalest block's tail) + 38 of the 43 gates
+#: last verified in r02. The FIVE r02-era gates deferred to r6 are
+#: topk_values, distinct_users, count_by_type, curation_diverse,
+#: multimodal_meta (lowest-risk shapes, all three-times-green). The
+#: rotated-out r4 window is entirely green in CORRECTNESS_r04, so the
+#: union of round windows still covers every registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
     # --- must-verify: never driver-checked / edited this round ---
     "pii_scrub",
@@ -236,11 +241,19 @@ _WINDOW_FIRST: tuple[str, ...] = (
 )
 
 
+#: optional queries modules _import_all found absent (their names are
+#: allowed to be missing from _WINDOW_FIRST resolution)
+_ABSENT_MODULES: list[str] = []
+
+
 def _apply_window_order() -> None:
     missing = [n for n in _WINDOW_FIRST if n not in REGISTRY]
-    if missing:
+    if missing and not _ABSENT_MODULES:
+        # every module imported, so a missing name is a TYPO — fail loudly
         raise KeyError(f"_WINDOW_FIRST names not registered: {missing}")
-    front = {n: REGISTRY[n] for n in _WINDOW_FIRST}
+    # with a module legitimately absent, degrade the same way _import_all
+    # does for the module itself: drop its names, keep serving queries
+    front = {n: REGISTRY[n] for n in _WINDOW_FIRST if n in REGISTRY}
     rest = {n: v for n, v in REGISTRY.items() if n not in front}
     REGISTRY.clear()
     REGISTRY.update(front)
@@ -278,4 +291,6 @@ def _import_all() -> None:
             # drop its queries from the driver window
             if e.name != f"{__package__}.{mod}":
                 raise
+            if mod not in _ABSENT_MODULES:
+                _ABSENT_MODULES.append(mod)
     _apply_window_order()

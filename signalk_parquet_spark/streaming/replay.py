@@ -45,33 +45,52 @@ DEFAULT_SOURCE = "signalk-parquet-historical"
 def emission_schedule(
     wide: DataFrame, ts_col: str = "bucket_ts", batch_points: int = 10
 ) -> DataFrame:
-    """(batch_idx, seq, ts, path, value) for every non-null data point of a
-    History-shaped wide frame (ts column + one column per series), in
-    emission order: points sort by (ts, path), ``seq`` numbers them 0..N-1
-    and ``batch_idx = seq div batch_points`` groups them into the
-    reference's 10-point ticks. One window sort — no shuffle beyond it."""
+    """(batch_idx, seq, ts, path, value, value_str) for every non-null data
+    point of a History-shaped wide frame (ts column + one column per
+    series), in emission order: points sort by (ts, path), ``seq`` numbers
+    them 0..N-1 and ``batch_idx = seq div batch_points`` groups them into
+    the reference's 10-point ticks. Numeric series fill ``value``,
+    string-typed series fill ``value_str`` (exactly one is non-null per
+    row). One window sort — no shuffle beyond it."""
+    from pyspark.sql import types as T
+
     series = [c for c in wide.columns if c != ts_col]
+    types = dict(wide.dtypes)
     # SignalK paths are dotted (nav.speedOverGround) — backtick-quote so
     # F.col reads a COLUMN, not a struct field (the applyInPandas gotcha's
-    # cousin, CLAUDE.md)
-    long = wide.select(
-        F.col(f"`{ts_col}`").alias("ts"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("path"),
-                    F.col(f"`{c}`").cast("double").alias("value"),
-                )
-                for c in series
-            ])
-        ).alias("p"),
-    ).select("ts", "p.path", "p.value").filter(F.col("value").isNotNull())
+    # cousin, CLAUDE.md). String-valued series (the History API's
+    # value_text columns, e.g. navigation.state aggregated as first) ride
+    # in value_str and numerics in value — decided by COLUMN TYPE, never
+    # by whether a string happens to parse as a number; the reference
+    # re-emits any non-null value as-is (:198), so a double-cast-only melt
+    # would silently drop every string series (code-review finding).
+    def _point(c: str):
+        is_str = types[c] in ("string", "varchar")
+        col = F.col(f"`{c}`")
+        return F.struct(
+            F.lit(c).alias("path"),
+            (F.lit(None).cast("double") if is_str else col.cast("double")).alias(
+                "value"
+            ),
+            (col.cast("string") if is_str else F.lit(None).cast("string")).alias(
+                "value_str"
+            ),
+        )
+
+    long = (
+        wide.select(
+            F.col(f"`{ts_col}`").alias("ts"),
+            F.explode(F.array(*[_point(c) for c in series])).alias("p"),
+        )
+        .select("ts", "p.path", "p.value", "p.value_str")
+        .filter(F.col("value").isNotNull() | F.col("value_str").isNotNull())
+    )
     w = Window.orderBy("ts", "path")
     return long.select(
-        "ts", "path", "value",
+        "ts", "path", "value", "value_str",
         (F.row_number().over(w) - 1).cast("long").alias("seq"),
     ).withColumn("batch_idx", (F.col("seq") / batch_points).cast("long")).select(
-        "batch_idx", "seq", "ts", "path", "value"
+        "batch_idx", "seq", "ts", "path", "value", "value_str"
     )
 
 
@@ -107,11 +126,20 @@ def replay(
     gap between consecutive DISTINCT timestamps (needs ``parse_ts`` when
     ts is an ISO string; timestamps/numerics pace natively). ``sleep`` is
     injectable so tests replay instantly and assert the waits."""
-    rows = schedule.toLocalIterator() if isinstance(schedule, DataFrame) else iter(schedule)
+    # order is the CONTRACT here, not an artifact of the upstream plan —
+    # sort explicitly (a no-op shuffle on the already-sorted single
+    # partition, and insurance if a caller hands in a repartitioned frame)
+    rows = (
+        schedule.orderBy("seq").toLocalIterator()
+        if isinstance(schedule, DataFrame)
+        else iter(schedule)
+    )
     n = 0
     prev_batch = prev_t = None
     for r in rows:
         ts, path, value, batch = r["ts"], r["path"], r["value"], r["batch_idx"]
+        if value is None and "value_str" in r:
+            value = r["value_str"]  # string-typed series ride in value_str
         if speed is None:
             if prev_batch is not None and batch != prev_batch:
                 sleep(tick_s)

@@ -95,12 +95,41 @@ def test_distributed_copy_round_trip_and_idempotence(spark, tmp_path):
     assert distributed_copy(spark, plan2, src, dst) == {"uploaded": 0, "bytes": 0}
 
 
+def test_changed_file_same_name_is_reuploaded(spark, tmp_path):
+    """A locally rewritten file (re-export/repair) must not hide behind a
+    rel_path match: size mismatch ⇒ upload again (code-review finding —
+    rel_path-only matching silently diverges the cloud copy forever)."""
+    src, dst = str(tmp_path / "s3"), str(tmp_path / "d3")
+    rel = "vessels.self/nav.speed/2024/05/01/data.parquet"
+    _mk(src, rel, b"new-longer-content")
+    _mk(dst, rel, b"old")
+    plan = {
+        r["rel_path"]: r["action"]
+        for r in sync_plan(list_files(spark, src), list_files(spark, dst)).collect()
+    }
+    assert plan[rel] == "upload"
+    distributed_copy(spark, sync_plan(list_files(spark, src), list_files(spark, dst)), src, dst)
+    with open(os.path.join(dst, rel), "rb") as f:
+        assert f.read() == b"new-longer-content"
+
+
+def test_listing_seeds_below_single_top_dir(spark, tmp_path):
+    """A single-context lake (one vessels.self top dir) must still produce
+    multiple listing seeds (the depth-2 fan-out) — and list identically."""
+    root = str(tmp_path / "single")
+    for p in ("nav.speed", "env.wind", "nav.position"):
+        _mk(root, f"vessels.self/{p}/2024/05/01/data.parquet", b"x" * 10)
+    df = list_files(spark, root)
+    assert df.count() == 3
+    assert df.rdd.getNumPartitions() >= 3  # one seed per path subtree
+
+
 def test_delete_after_upload(spark, tmp_path):
     src, dst = str(tmp_path / "s2"), str(tmp_path / "d2")
     _mk(src, "vessels.self/nav.speed/2024/05/03/data.parquet", b"e" * 10)
     plan = sync_plan(list_files(spark, src), list_files(spark, dst))
     stats = distributed_copy(spark, plan, src, dst, delete_after=True)
-    assert stats["uploaded"] == 1
+    assert stats["uploaded"] == 1 and stats["deleted"] == 1
     assert not os.path.exists(
         os.path.join(src, "vessels.self/nav.speed/2024/05/03/data.parquet")
     )

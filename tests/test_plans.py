@@ -487,11 +487,12 @@ def test_media_decision_gates_plan_clean(spark):
 
 
 def test_kmeans_ivf_gate_plan_clean(spark):
-    """The learned-quantizer IVF gate: the fused numpy path keeps the
-    collection in one Arrow map stage (no shuffle of the big side before
-    top-k) and never degenerates to a cartesian join."""
+    """The learned-quantizer IVF gate runs the EXPR path (load-bearing for
+    its oracle — real inverted lists, see the gate docstring): centroids
+    broadcast to the assignment, candidates from the cell equi-join,
+    never a cartesian over the collection."""
     from signalk_parquet_spark.queries_similarity import ann_ivf_kmeans
 
     plan = formatted_plan(ann_ivf_kmeans(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "MapInPandas" in plan  # the fused assign+probe+score stage
+    assert "BroadcastHashJoin" in plan  # probe x inverted-list cell join

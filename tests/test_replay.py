@@ -70,6 +70,32 @@ def test_replay_event_time_pacing_scales_gaps(spark):
     assert [round(w, 6) for w in waits] == [1.0, 1.0, 1.0]
 
 
+def test_string_series_replay_type_faithfully(spark):
+    """value_text series (e.g. navigation.state) must replay as strings —
+    decided by COLUMN type, so a numeric-looking string stays a string
+    (code-review finding: the double-cast melt dropped them all)."""
+    wide = spark.createDataFrame(
+        [
+            ("2024-01-01T00:00:00Z", 5.5, "anchored"),
+            ("2024-01-01T01:00:00Z", None, "3.5"),
+            ("2024-01-01T02:00:00Z", 6.5, None),
+        ],
+        "bucket_ts string, `nav.speed` double, `nav.state` string",
+    )
+    out = []
+    n = replay(emission_schedule(wide), out.append, sleep=lambda s: None)
+    assert n == 4  # 6 cells - 2 nulls
+    vals = {
+        (d["updates"][0]["values"][0]["path"], d["updates"][0]["timestamp"][11:13]):
+        d["updates"][0]["values"][0]["value"]
+        for d in out
+    }
+    assert vals[("nav.state", "00")] == "anchored"
+    assert vals[("nav.state", "01")] == "3.5"  # stays a string
+    assert vals[("nav.speed", "00")] == 5.5
+    assert vals[("nav.speed", "02")] == 6.5
+
+
 def test_replay_accepts_plain_rows():
     rows = [
         {"batch_idx": 0, "seq": 0, "ts": 0.0, "path": "a", "value": 1.0},
