@@ -18,15 +18,16 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
-#: `--smoke`: the 20 heaviest gates of the r4 full run (~40% of total wall
+#: `--smoke`: the 20 heaviest gates of the r5 full run (~44% of total wall
 #: in ~1/6 of the queries) — the dev-loop perf tier so iteration doesn't
-#: pay an 85 s full session. Record official numbers from FULL runs only.
+#: pay a 100 s full session. Record official numbers from FULL runs only;
+#: refresh this list from BENCH_local.json when the heavy set shifts.
 SMOKE_TIER = (
-    "dedup_keep_longest,dedup_ngram_jaccard,dedup_jaccard_prefix,"
-    "cobucketed_revenue,semdedup_recall,dedup_minhash_lsh,tpch_q21,"
-    "dedup_winnowing,scrub_duplicate_spans,proximity_pairs,dedup_simhash,"
-    "dedup_exact,source_divergence,dedup_semantic,ivfpq_recall,tpch_q2,"
-    "dedup_levenshtein,tpch_q8,pq_recall,tpch_q7"
+    "ann_ivf_kmeans,audio_dedup_decisions,image_dedup_decisions,"
+    "video_dedup_decisions,cobucketed_revenue,scrub_duplicate_spans,"
+    "ivfpq_recall,dedup_jaccard_prefix,dedup_keep_longest,tpch_q21,"
+    "semdedup_recall,dedup_winnowing,proximity_pairs,ann_ivfpq,tpch_q7,"
+    "dedup_ngram_jaccard,pii_scrub,tpch_q5,source_divergence,tpch_q3"
 ).split(",")
 
 
