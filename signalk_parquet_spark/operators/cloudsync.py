@@ -76,8 +76,13 @@ def list_files(spark: SparkSession, root: str, seed_depth: int = 2) -> DataFrame
     target = spark.sparkContext.defaultParallelism
     try:
         infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=False))
-    except FileNotFoundError:
-        # an absent root lists as empty (first sync to a fresh bucket/dir)
+    except OSError:
+        # an absent root lists as empty (first sync to a fresh bucket/dir).
+        # OSError, not just FileNotFoundError: pyarrow's S3 filesystem
+        # surfaces a missing bucket as a generic IO error. An unlistable
+        # root is SAFE to treat as empty on either side — an empty source
+        # plans nothing, an empty destination plans a (re-)upload, which
+        # the size-checked copy makes idempotent.
         return spark.createDataFrame([], _LIST_SCHEMA)
     seeds = [(i.path, i.type == pafs.FileType.Directory) for i in infos]
     depth = 1
@@ -198,7 +203,14 @@ def distributed_copy(
     overwrites destinations, and the delete phase removes a source only
     after re-verifying the destination's existence AND size, tolerating
     an already-deleted source (a retried delete task)."""
-    uploads = plan.filter(F.col("action") == "upload").select("rel_path", "size")
+    # FREEZE the upload set before the copy mutates the destination: the
+    # plan's lineage re-lists both roots on every action, so an unpersisted
+    # frame re-evaluated by the delete phase would reclassify every
+    # just-copied file as 'present' and delete NOTHING (second-review
+    # catch, empirically reproduced on an incremental sync; the CLAUDE.md
+    # persist-then-count rule). Also saves the redundant re-listing.
+    uploads = plan.filter(F.col("action") == "upload").select("rel_path", "size").persist()
+    uploads.count()
 
     def _copy(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sfs, sbase = _fs_for(src_root)
@@ -227,6 +239,7 @@ def distributed_copy(
     ).collect()[0]
     stats = {"uploaded": int(agg["n"]), "bytes": int(agg["b"])}
     if not delete_after:
+        uploads.unpersist()
         return stats
 
     def _delete(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,4 +267,5 @@ def distributed_copy(
         .count()
     )
     stats["deleted"] = int(deleted)
+    uploads.unpersist()
     return stats

@@ -169,8 +169,10 @@ def oracle_sql() -> dict[str, str]:
 #: (3) fill to 50 with the gates whose last green row is OLDEST.
 #: tools/window_check.py prints the result; a name listed here that is not
 #: registered raises at import (typo guard) — UNLESS an optional queries
-#: module was absent, in which case its names drop out silently (the same
-#: degradation _import_all's except clause grants the module itself).
+#: module was absent, in which case missing names drop out with a WARNING
+#: naming both lists (the same degradation _import_all's except clause
+#: grants the module itself, kept visible because a dropped name can't be
+#: attributed: it might be the absent module's — or a typo).
 #:
 #: r5 window (7 + 3 + 2 + 38 = 50): 7 never-checked (4 registered
 #: post-window in r4 by design + ann_ivf_kmeans/ivf_kmeans_recall/
@@ -251,8 +253,20 @@ def _apply_window_order() -> None:
     if missing and not _ABSENT_MODULES:
         # every module imported, so a missing name is a TYPO — fail loudly
         raise KeyError(f"_WINDOW_FIRST names not registered: {missing}")
-    # with a module legitimately absent, degrade the same way _import_all
-    # does for the module itself: drop its names, keep serving queries
+    if missing:
+        # a module is legitimately absent, so degrade rather than crash —
+        # but a missing name cannot be ATTRIBUTED to the absent module
+        # (its names were never registered), so a typo would also land
+        # here. Warn loudly with both lists so it can't pass silently
+        # (second-review catch: the degraded path disabled the typo guard
+        # for every name, invisibly).
+        import warnings
+
+        warnings.warn(
+            f"_WINDOW_FIRST names dropped (absent modules {_ABSENT_MODULES}"
+            f" — verify none of these is a typo): {missing}",
+            stacklevel=2,
+        )
     front = {n: REGISTRY[n] for n in _WINDOW_FIRST if n in REGISTRY}
     rest = {n: v for n, v in REGISTRY.items() if n not in front}
     REGISTRY.clear()

@@ -124,6 +124,26 @@ def test_listing_seeds_below_single_top_dir(spark, tmp_path):
     assert df.rdd.getNumPartitions() >= 3  # one seed per path subtree
 
 
+def test_delete_after_on_incremental_sync(spark, tmp_path):
+    """Regression (second review, empirically reproduced): the delete phase
+    must run on the upload set FROZEN before the copy — an unpersisted plan
+    re-lists the destination after the copy, reclassifies every just-copied
+    file 'present', and deletes nothing while reporting deleted=0."""
+    src, dst = str(tmp_path / "s4"), str(tmp_path / "d4")
+    rel_old = "vessels.self/nav.speed/2024/05/01/data.parquet"
+    rel_new = "vessels.self/nav.speed/2024/05/02/data.parquet"
+    _mk(src, rel_old, b"a" * 100)
+    _mk(src, rel_new, b"b" * 200)
+    _mk(dst, rel_old, b"a" * 100)  # dst EXISTS and already holds day 01
+    plan = sync_plan(list_files(spark, src), list_files(spark, dst))
+    stats = distributed_copy(spark, plan, src, dst, delete_after=True)
+    assert stats == {"uploaded": 1, "bytes": 200, "deleted": 1}
+    assert not os.path.exists(os.path.join(src, rel_new))
+    assert os.path.exists(os.path.join(dst, rel_new))
+    # day 01 was 'present', not uploaded — its source must survive
+    assert os.path.exists(os.path.join(src, rel_old))
+
+
 def test_delete_after_upload(spark, tmp_path):
     src, dst = str(tmp_path / "s2"), str(tmp_path / "d2")
     _mk(src, "vessels.self/nav.speed/2024/05/03/data.parquet", b"e" * 10)
