@@ -145,3 +145,30 @@ def video_dedup_decisions(spark: SparkSession, sf: str) -> DataFrame:
         max_frames=8, min_frac=0.5, max_hamming=3,
     )
     return pairs_to_decisions(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+@register("image_dedup_decisions_phash", _PLANT_ORACLE)
+def image_dedup_decisions_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """The SECOND image-hash lens (pHash — DCT low-frequency, the lens for
+    flat-block content where dHash's adjacent-pixel ties flip, SCALE.md)
+    driven to the same keep/drop end product against the same planted
+    oracle: until r5 pHash had only pytest evidence while dHash had the
+    gate. Within-group pHash is bit-identical across the BMP/PNG variants
+    (lossless decode + integer luma), and cross-group noise measures
+    >=16 bits apart at the Hamming-3 verify radius — the plant is exact
+    for this lens too. Same plan shape as the dHash gate (one Arrow hash
+    stage, band equality join, shared connected_components).
+
+    Added post-window in r5 (the window was already committed); rotates
+    into the r6 window per the CLAUDE.md policy; until then evidence is
+    local parity + driver-sim at both SFs."""
+    from .operators.dedup import pairs_to_decisions
+    from .operators.multimodal import image_neardup_pairs
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < _CAP)
+    imgs = synthetic_image_corpus(docs)
+    pairs = image_neardup_pairs(
+        imgs, id_col="doc_id", payload_col="payload",
+        max_hamming=3, bands=4, method="phash",
+    )
+    return pairs_to_decisions(docs.select("doc_id"), pairs, id_col="doc_id")
