@@ -174,15 +174,17 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r5 window (7 + 3 + 2 + 38 = 50): 7 never-checked (4 registered
+#: r5 window (9 + 3 + 2 + 36 = 50): 9 never-checked (4 registered
 #: post-window in r4 by design + ann_ivf_kmeans/ivf_kmeans_recall/
-#: image_dedup_decisions new this round) + doc_embed_hashed (r4's one red
-#: row, output shape fixed) + regex_extract_tokens/unpivot_aligned
-#: (displaced in r4e, named in VERDICT r4) + audio/video_dedup_decisions
-#: (new, registered in the stalest block's tail) + 38 of the 43 gates
-#: last verified in r02. The FIVE r02-era gates deferred to r6 are
-#: topk_values, distinct_users, count_by_type, curation_diverse,
-#: multimodal_meta (lowest-risk shapes, all three-times-green). The
+#: image_dedup_decisions new this round + image_dedup_decisions_phash/
+#: replay_schedule created late in r5 and pulled in over two triple-green
+#: text gates) + doc_embed_hashed (r4's one red row, output shape fixed)
+#: + regex_extract_tokens/unpivot_aligned (displaced in r4e, named in
+#: VERDICT r4) + audio/video_dedup_decisions (new, registered in the
+#: stalest block's tail) + 36 of the 43 gates last verified in r02. The
+#: SEVEN r02-era gates deferred to r6 are topk_values, distinct_users,
+#: count_by_type, curation_diverse, multimodal_meta, text_lang_id,
+#: text_fingerprint (lowest-risk shapes, all multi-round green). The
 #: rotated-out r4 window is entirely green in CORRECTNESS_r04, so the
 #: union of round windows still covers every registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
@@ -194,6 +196,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_ivf_kmeans",
     "ivf_kmeans_recall",
     "image_dedup_decisions",
+    "image_dedup_decisions_phash",
+    "replay_schedule",
     "doc_embed_hashed",
     "regex_extract_tokens",
     "unpivot_aligned",
@@ -227,8 +231,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "curation_hash_split",
     "text_token_stats",
     "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
     "text_top_tokens",
     "json_extract_props",
     "text_bpe_tokens",
