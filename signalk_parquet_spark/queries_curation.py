@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.text import stopword_ratio, tokens, type_token_ratio
+from .functions.text import (
+    EN_STOPWORDS,
+    mean_token_len,
+    stopword_ratio,
+    tokens,
+    type_token_ratio,
+)
 from .registry import load, register
 
 _TRAIN_HI = "cd"  # md5 first byte < 0xcd -> train  (205/256 ~ 80.1%)
@@ -311,4 +317,125 @@ def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
             F.max("n_bytes").alias("max_bytes"),
         )
+    )
+
+
+#: Gopher's published list is ("the","be","to","of","and","that","have",
+#: "with"); the synthetic corpus's only function words are "the" and "a",
+#: so we count against the repo's corpus-lexicon EN_STOPWORDS instead —
+#: same rule ("contains at least 2 distinct stop words"), same threshold.
+_GOPHER_STOPS = EN_STOPWORDS
+_GS = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+
+
+@register(
+    "quality_gopher",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(toks) AS alpha_ratio,
+        len(list_filter(list_distinct(toks), x -> x IN ({_GS}))) AS stop_hits,
+        (length(text) - length(replace(text, '#', ''))) / len(toks) AS hash_ratio,
+        ((length(text) - length(replace(text, '...', ''))) / 3) / len(toks) AS ell_ratio,
+        CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*]'))) AS DOUBLE) / len(lines) AS bullet_ratio,
+        CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$'))) AS DOUBLE) / len(lines) AS ell_end_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+      CAST(n_words BETWEEN 25 AND 100000 AS INT) AS r_words,
+      CAST(mean_word_len BETWEEN 3 AND 10 AS INT) AS r_mwl,
+      CAST(alpha_ratio >= 0.8 AS INT) AS r_alpha,
+      CAST(stop_hits >= 2 AS INT) AS r_stops,
+      CAST(hash_ratio <= 0.1 AND ell_ratio <= 0.1 AS INT) AS r_symbol,
+      CAST(bullet_ratio <= 0.9 AND ell_end_ratio <= 0.3 AS INT) AS r_lines,
+      CAST(n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+           AND alpha_ratio >= 0.8 AND stop_hits >= 2
+           AND hash_ratio <= 0.1 AND ell_ratio <= 0.1
+           AND bullet_ratio <= 0.9 AND ell_end_ratio <= 0.3 AS INT) AS keep
+    FROM m
+    """,
+)
+def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule filtering (Rae et al. 2021, App. A — the
+    published doc-level rule set real pretraining pipelines apply before
+    dedup): word-count bounds, mean word length in [3,10], >=80% of words
+    alphabetic, >=2 of the 8 Gopher stop words, hash/ellipsis
+    symbol-to-word ratios <=0.1, and bullet-start / ellipsis-end line
+    ratios. Emits the metrics, one 0/1 flag per rule, and the final keep
+    decision. (Two corpus adaptations, both documented at their
+    definitions: word-count lower bound 50 -> 25 for the ~25-60-word
+    synthetic documents, and the stop-word lexicon swapped for the
+    corpus's EN_STOPWORDS; every rule shape and other threshold is as
+    published.)
+
+    Engine-exact by construction: every ratio is an integer/integer IEEE
+    quotient (no rounding anywhere), thresholds are continuum compares
+    (CLAUDE.md rule 4), and flags are CAST to INT on both sides. Scale:
+    map-only, zero shuffle — the filter a 100 TB corpus runs first,
+    before any exchange."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        tokens("text").alias("toks"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    n_words = F.size("toks")
+    n_lines = F.size("lines")
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_token_len(F.col("toks")).alias("mean_word_len"),
+        (
+            F.size(F.filter("toks", lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+            / n_words
+        ).alias("alpha_ratio"),
+        F.size(
+            F.filter(F.array_distinct("toks"), lambda x: x.isin(*_GOPHER_STOPS))
+        ).alias("stop_hits"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            / n_words
+        ).alias("hash_ratio"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+            / F.lit(3)
+            / n_words
+        ).alias("ell_ratio"),
+        (
+            F.size(F.filter("lines", lambda x: x.rlike("^[-*]"))).cast("double")
+            / n_lines
+        ).alias("bullet_ratio"),
+        (
+            F.size(F.filter("lines", lambda x: x.rlike("\\.\\.\\.$"))).cast("double")
+            / n_lines
+        ).alias("ell_end_ratio"),
+    )
+    r_words = F.col("n_words").between(25, 100000)
+    r_mwl = F.col("mean_word_len").between(3, 10)
+    r_alpha = F.col("alpha_ratio") >= 0.8
+    r_stops = F.col("stop_hits") >= 2
+    r_symbol = (F.col("hash_ratio") <= 0.1) & (F.col("ell_ratio") <= 0.1)
+    r_lines = (F.col("bullet_ratio") <= 0.9) & (F.col("ell_end_ratio") <= 0.3)
+    keep = r_words & r_mwl & r_alpha & r_stops & r_symbol & r_lines
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_ratio",
+        "stop_hits",
+        r_words.cast("int").alias("r_words"),
+        r_mwl.cast("int").alias("r_mwl"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stops.cast("int").alias("r_stops"),
+        r_symbol.cast("int").alias("r_symbol"),
+        r_lines.cast("int").alias("r_lines"),
+        keep.cast("int").alias("keep"),
     )
