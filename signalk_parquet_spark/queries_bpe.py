@@ -1,0 +1,82 @@
+"""BPE tokenizer-training gates (LLM-extension set; see operators/bpe.py
+for the distributed design).
+
+`bpe_pair_counts` is the trainer's inner loop — weighted adjacent-symbol
+pair counts over the distinct-word table — and is exactly SQL-expressible,
+so it carries a full DuckDB oracle (deterministic total order: count DESC,
+pair ASC, LIMIT 20; counts are BIGINT-cast per CLAUDE.md rule 6).
+
+`bpe_train_merges` runs the full iterative trainer. The global argmax +
+feedback loop is not expressible as one SQL statement (each iteration's
+input depends on the previous argmax), so like `approx_stats` it is
+deliberately oracle-less for the driver (rows-only row); its exactness
+evidence is tests/test_bpe.py's three-way differential — the Spark trainer,
+a pure-Python reference trainer, and the pair-counts oracle all agreeing
+on the crafted corpus and on sf0.001/sf0.01 — plus determinism by
+construction (total tie-break order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import shingles
+from .operators.bpe import train_bpe, word_freq
+from .registry import load, register
+
+#: merge budget for the gates: enough to cross from char pairs into
+#: multi-char subwords on the ~30-word synthetic lexicon, small enough to
+#: keep the bench cost at a few tiny jobs
+N_MERGES = 12
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT x AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+      GROUP BY 1
+    ), p AS (
+      SELECT list_transform(
+               range(1, len(string_split(word, ''))),
+               i -> string_split(word, '')[i] || ' ' || string_split(word, '')[i + 1]
+             ) AS prs,
+             freq
+      FROM w
+    )
+    SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT unnest(prs) AS pr, freq FROM p)
+    GROUP BY 1
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """First-iteration BPE statistics: corpus-weighted adjacent character
+    pair counts, top 20. Plan: one corpus-sized shuffle (word rollup), one
+    pair-keyed rollup over the distinct-word table, top-k."""
+    d = load(spark, sf, "documents")
+    w = word_freq(d)
+    p = w.select(F.split("word", "").alias("syms"), "freq").select(
+        F.explode(shingles(F.col("syms"), 2)).alias("pair"), "freq"
+    )
+    return (
+        p.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+        .select("pair", "cnt")
+    )
+
+
+@register("bpe_train_merges", None)
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned BPE merge table (rank order). Deliberately oracle-less:
+    iterative global-argmax training is not one SQL statement — see module
+    docstring for the differential evidence chain."""
+    d = load(spark, sf, "documents")
+    merges = train_bpe(word_freq(d), N_MERGES, tiny=True)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string, merged string")

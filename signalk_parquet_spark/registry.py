@@ -174,17 +174,18 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r5 window (10 + 3 + 2 + 35 = 50): 10 never-checked (4 registered
+#: r5 window (12 + 3 + 2 + 33 = 50): 12 never-checked (4 registered
 #: post-window in r4 by design + ann_ivf_kmeans/ivf_kmeans_recall/
 #: image_dedup_decisions new this round + image_dedup_decisions_phash/
-#: replay_schedule/quality_gopher created late in r5 and pulled in over
-#: three multi-green text gates) + doc_embed_hashed (r4's one red row,
-#: output shape fixed) + regex_extract_tokens/unpivot_aligned (displaced
-#: in r4e, named in VERDICT r4) + audio/video_dedup_decisions (new,
-#: registered in the stalest block's tail) + 35 of the 43 gates last
-#: verified in r02. The EIGHT r02-era gates deferred to r6 are
-#: topk_values, distinct_users, count_by_type, curation_diverse,
-#: multimodal_meta, text_lang_id, text_fingerprint, text_token_stats
+#: replay_schedule/quality_gopher/bpe_pair_counts/bpe_train_merges
+#: created late in r5 and pulled in over five multi-green r02-era gates)
+#: + doc_embed_hashed (r4's one red row, output shape fixed)
+#: + regex_extract_tokens/unpivot_aligned (displaced in r4e, named in
+#: VERDICT r4) + audio/video_dedup_decisions (new, registered in the
+#: stalest block's tail) + 33 of the 43 gates last verified in r02. The
+#: TEN r02-era gates deferred to r6 are topk_values, distinct_users,
+#: count_by_type, curation_diverse, multimodal_meta, text_lang_id,
+#: text_fingerprint, text_token_stats, text_quality, curation_hash_split
 #: (lowest-risk shapes, all multi-round green). The rotated-out r4
 #: window is entirely green in CORRECTNESS_r04, so the union of round
 #: windows still covers every registered query.
@@ -200,6 +201,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "image_dedup_decisions_phash",
     "replay_schedule",
     "quality_gopher",
+    "bpe_pair_counts",
+    "bpe_train_merges",
     "doc_embed_hashed",
     "regex_extract_tokens",
     "unpivot_aligned",
@@ -230,8 +233,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
-    "curation_hash_split",
-    "text_quality",
     "text_top_tokens",
     "json_extract_props",
     "text_bpe_tokens",
@@ -295,6 +296,7 @@ def _import_all() -> None:
         "queries_tpch",
         "queries_curation",
         "queries_text",
+        "queries_bpe",
         "queries_ivfpq",  # post-window: window is full this round (docstring)
         "queries_transform",  # post-window: same reason (docstring)
         "queries_media",
