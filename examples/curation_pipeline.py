@@ -1,14 +1,15 @@
 #!/usr/bin/env python3
 """End-to-end LLM training-data curation demo over the synthetic corpus:
 
-  PII scrub -> quality scoring -> repetition filter ->
+  PII scrub -> quality scoring + Gopher rule filter -> repetition filter ->
   classifier + corpus-LM screens ->
   exact + MinHash-LSH dedup ->
   copied-span screening -> semantic (SemDeDup) dedup ->
   deterministic train/val/test split ->
   eval decontamination -> embedding-space diversity balancing ->
   per-language quotas -> stratified mix re-balancing ->
-  token-stream packing into training chunks
+  token-stream packing into training chunks ->
+  BPE tokenizer training on the curated train split + tokenization
 
 Every stage is the same operator the gate queries verify against DuckDB;
 this script just chains them the way a pipeline run would. Run with:
@@ -25,6 +26,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.operators.audio import audio_neardup_pairs
+from signalk_parquet_spark.operators.bpe import apply_bpe, train_bpe, word_freq
 from signalk_parquet_spark.operators.dedup import (
     dedup_corpus,
     exact_dedup,
@@ -71,20 +73,26 @@ def main() -> None:
     # bigrams the corpus has never seen twice)
     q = registry.queries()
     quality = q["text_quality"](spark, sf).select("doc_id", "quality_score")
+    gopher = q["quality_gopher"](spark, sf).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
     rep = q["repetition_score"](spark, sf).select("doc_id", "repetitive")
     clf = q["quality_classifier"](spark, sf).select("doc_id", "keep")
     lm = q["lm_bigram_score"](spark, sf).select("doc_id", "lm_score")
     kept = (
         docs.join(quality, "doc_id")
+        .join(gopher, "doc_id")
         .join(rep, "doc_id")
         .join(clf, "doc_id")
         .join(lm, "doc_id")
         .filter(
             (F.col("quality_score") > 0.2)
+            & (F.col("gopher_keep") == 1)
             & ~F.col("repetitive")
             & (F.col("keep") == 1)
             & (F.col("lm_score") > 2.0)
         )
+        .drop("gopher_keep")
     )
     n1 = kept.count()
 
@@ -181,6 +189,20 @@ def main() -> None:
     n_chunks = packed.select("shard", "chunk_id").distinct().count()
     n7 = packed.count()
 
+    # 6b. tokenizer: learn BPE merges from the CURATED train split (the
+    # order real pipelines use — train the tokenizer after cleaning, or
+    # boilerplate dominates the merge table), then tokenize with it.
+    # Subword tokens >= whitespace tokens by construction (each word maps
+    # to >= 1 learned symbols); the ratio is the compression the merges buy.
+    train_docs = kept.filter(F.col("split") == "train")
+    merges = train_bpe(word_freq(train_docs), 12, tiny=True)
+    toked = apply_bpe(train_docs, merges)
+    tok_counts = toked.agg(
+        F.sum(F.size("bpe_tokens")).alias("bpe"),
+        F.sum(F.size(F.split("text", " "))).alias("ws"),
+    ).collect()[0]
+    n_bpe, n_ws = tok_counts["bpe"], tok_counts["ws"]
+
     # 7. modality sidecar: an AUDIO table curated with the same ladder —
     # spectral screen (drop near-silent clips), then fingerprint near-dup
     # dedup (the Haitsma-Kalker bucket join; streaming twin:
@@ -256,11 +278,14 @@ def main() -> None:
     print(f"per-language quota sample: {n5}")
     print(f"after mix re-balancing: {n6}")
     print(f"packed train docs: {n7} into {n_chunks} x 512-token chunks")
+    print(f"tokenizer: {len(merges)} learned merges; train split = "
+          f"{n_ws} whitespace tokens -> {n_bpe} BPE subword tokens")
     print(f"audio sidecar: {na0} clips -> {na1} after spectral screen "
           f"-> {na2} after fingerprint dedup")
     assert n0 >= n1 >= n2 >= n2b >= n2c >= n3 > 0
     assert n6 <= n3 and n7 > 0 and n_chunks > 0
     assert na0 > na1 > na2 > 0  # both audio stages dropped something
+    assert len(merges) == 12 and n_bpe >= n_ws > 0
 
 
 if __name__ == "__main__":
