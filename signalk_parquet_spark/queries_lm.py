@@ -295,3 +295,204 @@ def doc_embed_hashed(spark: SparkSession, sf: str) -> DataFrame:
             ",", *[_bucket_count(b).cast("string") for b in range(_N_BUCKETS)]
         ).alias("bow"),
     )
+
+
+# --- DSIR importance resampling -----------------------------------------------
+_DSIR_B = 64
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang, unnest({_BIGRAMS_DD}) AS g FROM documents)
+    ), db AS (
+      SELECT doc_id, lang, b, count(*) AS k FROM bg GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT b, CAST(sum(k) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS BIGINT) AS t
+      FROM db GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(r) AS BIGINT) AS n_raw,
+             CAST(sum(t) AS BIGINT) AS n_tgt
+      FROM stats
+    )
+    SELECT db.doc_id,
+           CAST(sum(db.k) AS BIGINT) AS n_feats,
+           CAST(sum(db.k * (stats.t * tot.n_raw - stats.r * tot.n_tgt))
+                AS BIGINT) AS score_num,
+           CAST(CAST(sum(db.k * (stats.t * tot.n_raw - stats.r * tot.n_tgt))
+                     AS BIGINT) AS DOUBLE)
+             / CAST(sum(db.k) AS BIGINT) AS dsir_score,
+           CASE WHEN CAST(sum(db.k * (stats.t * tot.n_raw
+                                      - stats.r * tot.n_tgt)) AS BIGINT) > 0
+                THEN 1 ELSE 0 END AS keep
+    FROM db JOIN stats USING (b) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-bigram feature profile resembles a
+    TARGET distribution (here: the English slice of the corpus) versus the
+    raw pool, then keep the target-typical docs. DSIR's weight is
+    sum_b k_b * log(p_tgt(b)/p_raw(b)); logs are transcendental and libm
+    differs across engines (CLAUDE.md rule 4), so the gate ships the
+    first-order LINEARIZATION with the same decision boundary, which is
+    integer-exact: sum_b k_b * (t_b*N_raw - r_b*N_tgt) > 0 iff the doc's
+    features are on average more target-typical than pool-typical (each
+    term has the sign of p_tgt(b) - p_raw(b), the linearized log-ratio).
+    A real deployment would ship the float log weights for sampling; the
+    selection decision and all evidence columns here never touch a float
+    except one final division of two integer-valued operands (bit-exact).
+
+    Shape: explode bigrams -> 16-bit md5 feature-hash mod {_DSIR_B}
+    (engine-portable, same trick as quality_classifier) -> one exchange to
+    per-(doc, bucket) counts; the bucket stats table is {_DSIR_B} rows
+    derived from that pre-agg and BROADCAST back, the corpus totals are one
+    broadcast row, and the final per-doc rollup is the only other
+    corpus-sized exchange. Nothing scales with vocabulary: the hashed
+    feature space is fixed, which is exactly DSIR's own scaling argument.
+    100 TB: two exchanges keyed by (doc_id, b) / doc_id, one 64-row
+    broadcast — no skew (bucket keys are md5-uniform), no driver collect.
+    """
+    d = load(spark, sf, "documents")
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(tokens("text"), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    db = bg.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("k"))
+    db = db.persist()
+    db.count()  # materialize before the stats/probe double-read
+    stats = db.groupBy("b").agg(
+        F.sum("k").alias("r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0)).alias(
+            "t"
+        ),
+    )
+    tot = stats.agg(
+        F.sum("r").alias("n_raw"), F.sum("t").alias("n_tgt")
+    )
+    score = F.sum(
+        F.col("k")
+        * (
+            F.col("t") * F.col("n_raw")
+            - F.col("r") * F.col("n_tgt")
+        )
+    )
+    return (
+        db.join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_feats"),
+            score.alias("score_num"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "score_num",
+            (
+                F.col("score_num").cast("double") / F.col("n_feats")
+            ).alias("dsir_score"),
+            F.when(F.col("score_num") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
+# --- CCNet-style perplexity bucketing -----------------------------------------
+@register(
+    "perplexity_buckets",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, lang, unnest({_BIGRAMS_DD}) AS g FROM documents
+    ), db AS (
+      SELECT doc_id, lang, g, count(*) AS k FROM bg GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT g, CAST(sum(k) AS BIGINT) AS cnt FROM db GROUP BY 1
+    ), s AS (
+      SELECT db.doc_id, db.lang,
+             CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+             CAST(sum(db.k * c.cnt) AS BIGINT) AS freq_sum,
+             CAST(CAST(sum(db.k * c.cnt) AS BIGINT) AS DOUBLE)
+               / CAST(sum(db.k) AS BIGINT) AS lm_score
+      FROM db JOIN c USING (g)
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT s.*,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC, doc_id) AS bucket
+      FROM s
+    )
+    SELECT doc_id, lang, n_bigrams, freq_sum, lm_score, bucket,
+           CASE WHEN bucket <= 2 THEN 1 ELSE 0 END AS keep
+    FROM b
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by LM fluency WITHIN its language and split each language into
+    head / middle / tail terciles; keep = head+middle (CCNet's default
+    filter). The "LM" is the corpus-bigram frequency model shared with
+    lm_bigram_score (high mean bigram frequency = fluent/low-perplexity =
+    head), whose score is exact — one IEEE division of integer-valued
+    operands — so the tercile ORDER is bit-identical across engines and the
+    ntile assignment hash-matches with zero rounding; ties broken by
+    doc_id for a total order (CLAUDE.md rule 4: ordering/thresholding on a
+    continuum is safe where rounding is not).
+
+    Shape: the lm_bigram_score plan (one exchange on the hashed bigram for
+    the window-summed corpus counts, one per-doc rollup), then ONE ntile
+    window exchange keyed by lang. The per-language window is the honest
+    test-scale form of CCNet's per-language split; at 100 TB a single
+    language's partition is unbounded, so the production path computes
+    approximate tercile cutpoints (percentile_approx per lang, a tiny
+    broadcast table) and buckets map-only — same output columns, cutpoint
+    error bounded by the sketch; the gate proves the bucket semantics the
+    approx path must reproduce."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(tokens("text"), 2)).alias("gs"),
+    ).select("doc_id", "lang", F.xxhash64("gs").alias("g"))
+    db = bg.groupBy("doc_id", "lang", "g").agg(F.count(F.lit(1)).alias("k"))
+    withc = db.withColumn("cnt", F.sum("k").over(Window.partitionBy("g")))
+    s = (
+        withc.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("cnt")).alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "freq_sum",
+            (F.col("freq_sum").cast("double") / F.col("n_bigrams")).alias(
+                "lm_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_score"), F.asc("doc_id")
+    )
+    return s.withColumn("bucket", F.ntile(3).over(w)).withColumn(
+        "keep",
+        F.when(F.col("bucket") <= 2, F.lit(1)).otherwise(F.lit(0)),
+    )

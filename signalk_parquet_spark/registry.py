@@ -204,6 +204,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "bpe_pair_counts",
     "bpe_train_merges",
     "doc_embed_hashed",
+    "dsir_weights",
+    "perplexity_buckets",
     "regex_extract_tokens",
     "unpivot_aligned",
     # --- stalest greens: last verified r02 (registration-relative order) ---
@@ -238,8 +240,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_bpe_tokens",
     "length_quantiles",
     "curation_quota",
-    "decontaminate_ngram",
-    "repetition_score",
+    # decontaminate_ngram / repetition_score (r02 greens) ceded their fill
+    # slots to the late-r5 dsir_weights / perplexity_buckets gates → r6
     # audio/video decision gates are NEW this round, so they outrank the
     # two remaining r02-era fills (curation_diverse, multimodal_meta → r6)
     "audio_dedup_decisions",

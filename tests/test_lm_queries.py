@@ -65,3 +65,63 @@ def test_lm_bigram_score_bounds_and_boilerplate_ordering(spark, sf_smoke):
     bad = df.filter((F.col("lm_score") < 1) | (F.col("lm_score") > total)).count()
     assert bad == 0
     assert df.select("lm_score").distinct().count() > 1
+
+
+def test_dsir_weights_separate_target_from_pool(spark, sf_smoke):
+    """DSIR must do its one job: rank target-language (en) documents above
+    the raw pool on average. Also: n_feats conserves the bigram count
+    (every bigram hashed into exactly one bucket), and keep agrees with
+    the integer score's sign everywhere."""
+    qs = registry.queries()
+    df = qs["dsir_weights"](spark, sf_smoke)
+    docs = registry.load(spark, sf_smoke, "documents").select("doc_id", "lang")
+    j = df.join(docs, "doc_id")
+    means = (
+        j.withColumn("is_en", (F.col("lang") == "en").cast("int"))
+        .groupBy("is_en")
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    )
+    by = {r["is_en"]: r["m"] for r in means}
+    assert by[1] > by[0], by
+    lm = qs["lm_bigram_score"](spark, sf_smoke).select("doc_id", "n_bigrams")
+    bad = (
+        df.join(lm, "doc_id")
+        .filter(F.col("n_feats") != F.col("n_bigrams"))
+        .count()
+    )
+    assert bad == 0
+    sign_bad = df.filter(
+        ((F.col("keep") == 1) & (F.col("score_num") <= 0))
+        | ((F.col("keep") == 0) & (F.col("score_num") > 0))
+    ).count()
+    assert sign_bad == 0
+
+
+def test_perplexity_buckets_are_balanced_ordered_terciles(spark, sf_smoke):
+    """Per language: ntile(3) bucket sizes differ by at most 1, buckets are
+    ordered by score (head's min >= middle's max is the DESC contract,
+    modulo exact-tie splits, so assert on the non-strict boundary), and
+    keep is exactly bucket <= 2."""
+    df = registry.queries()["perplexity_buckets"](spark, sf_smoke)
+    sizes = df.groupBy("lang", "bucket").count().collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in sizes:
+        per_lang.setdefault(r["lang"], []).append(r["count"])
+    for lang, counts in per_lang.items():
+        assert len(counts) == 3, (lang, counts)
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+    bounds = (
+        df.groupBy("lang", "bucket")
+        .agg(F.min("lm_score").alias("lo"), F.max("lm_score").alias("hi"))
+        .collect()
+    )
+    b = {(r["lang"], r["bucket"]): (r["lo"], r["hi"]) for r in bounds}
+    for (lang, bucket), (lo, hi) in b.items():
+        if bucket < 3:
+            nxt = b[(lang, bucket + 1)]
+            assert lo >= nxt[1] or abs(lo - nxt[1]) == 0, (lang, bucket)
+    keep_bad = df.filter(
+        F.col("keep") != (F.col("bucket") <= 2).cast("int")
+    ).count()
+    assert keep_bad == 0
