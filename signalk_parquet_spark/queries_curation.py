@@ -439,3 +439,297 @@ def quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
         r_lines.cast("int").alias("r_lines"),
         keep.cast("int").alias("keep"),
     )
+
+
+# --- Bloom-filter decontamination (the broadcast/map-only scale path) ---------
+_BLOOM_BITS = 65536  # m: 2048 words x 32 bits, packed into BIGINTs
+_BLOOM_K = 3  # hash functions; FP ~ (1 - e^(-K*n/m))^K
+
+# K positions = K disjoint 8-hex-char slices of ONE md5 (32 hex chars
+# available) — one hash per shingle instead of K, portable on both engines
+_B_POS_DD = [
+    f"CAST(('0x' || substr(md5(g), {1 + 8 * i}, 8)) AS BIGINT) % {_BLOOM_BITS}"
+    for i in range(_BLOOM_K)
+]
+_B_SPLIT_DD = f"""
+    s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split,
+             list_distinct({_SH8_DD}) AS sh
+      FROM documents
+    ),
+    te AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE split = 'test'),
+    tpos AS (
+      {" UNION ALL ".join(f"SELECT {p} AS pos FROM te" for p in _B_POS_DD)}
+    ),
+    filt AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS w
+      FROM tpos GROUP BY 1
+    )
+"""
+
+
+def _bloom_pos_cols(g: str = "g") -> list:
+    """The K probe positions of a shingle column: disjoint 8-hex slices of
+    one md5 (matches _B_POS_DD)."""
+    m = F.md5(F.col(g))
+    return [
+        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_words(df: DataFrame) -> DataFrame:
+    """Explode each shingle `g` into its K (word, mask) probe coordinates."""
+    return (
+        df.withColumn("pos", F.explode(F.array(*_bloom_pos_cols())))
+        .withColumn("word", F.floor(F.col("pos") / 32).cast("long"))
+        .withColumn("mask", F.expr("shiftleft(1L, cast(pos % 32 as int))"))
+    )
+
+
+_BLOOM_MEMO: dict[str, DataFrame] = {}
+
+
+def _bloom_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted (doc_id, split, sh) frame shared by the two bloom gates —
+    the shingle pass is the expensive stage; everything downstream is
+    probe-sized. Same split/shingle semantics as decontaminate_ngram."""
+    from .functions.text import shingles
+
+    if sf in _BLOOM_MEMO:
+        return _BLOOM_MEMO[sf]
+    d = load(spark, sf, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
+    )
+    s = (
+        d.select("doc_id", split.alias("split"), "text")
+        .filter(F.col("split") != "val")
+        .select(
+            "doc_id",
+            "split",
+            F.array_distinct(shingles(tokens("text"), _NG)).alias("sh"),
+        )
+        .persist()
+    )
+    s.count()  # materialize before the te/tr branches fork (see
+    # decontaminate_ngram for the measured race cost)
+    _BLOOM_MEMO[sf] = s
+    return s
+
+
+def _bloom_filter_words(s: DataFrame) -> DataFrame:
+    te = (
+        s.filter(F.col("split") == "test")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    return _bloom_words(te).groupBy("word").agg(F.bit_or("mask").alias("w"))
+
+
+def _bloom_filter_map(s: DataFrame) -> DataFrame:
+    """One-row frame holding the packed filter as a word->bits map — the
+    relational stand-in for a broadcast variable. crossJoin(broadcast) of
+    this row makes the probe pass MAP-ONLY: every executor tests all K
+    bits locally. The first cut instead exploded K rows per shingle and
+    shuffled on (doc, shingle) to count matches — same answers, but a
+    corpus-sized exchange that exists purely as an implementation artifact;
+    at test scale both are warm-sub-second, at 100 TB the exchange is the
+    difference between a scan and a shuffle of every train shingle."""
+    return _bloom_filter_words(s).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "w"))).alias("fm")
+    )
+
+
+def _with_bloom_hit(probes: DataFrame, fmap: DataFrame) -> DataFrame:
+    """Add boolean `bloom_hit_b`: all K probe bits of `g` set in the
+    broadcast filter map (absent word => bit unset => False)."""
+    out = probes.crossJoin(F.broadcast(fmap))
+    hit = F.lit(True)
+    tmp = [f"_p{i}" for i in range(_BLOOM_K)]
+    pos_cols = _bloom_pos_cols()
+    for i, p in enumerate(tmp):
+        out = out.withColumn(p, pos_cols[i])
+        word = F.floor(F.col(p) / 32).cast("long")
+        mask = F.expr(f"shiftleft(1L, cast({p} % 32 as int))")
+        hit = hit & F.coalesce(
+            (F.element_at(F.col("fm"), word).bitwiseAND(mask)) != 0,
+            F.lit(False),
+        )
+    return out.withColumn("bloom_hit_b", hit).drop("fm", *tmp)
+
+
+@register(
+    "decontaminate_bloom",
+    f"""
+    WITH {_B_SPLIT_DD},
+    tr AS (SELECT doc_id AS train_doc, unnest(sh) AS g FROM s WHERE split = 'train'),
+    ppos AS (
+      {" UNION ALL ".join(f"SELECT train_doc, g, {p} AS pos FROM tr" for p in _B_POS_DD)}
+    ),
+    hits AS (
+      SELECT p.train_doc, p.g
+      FROM (SELECT train_doc, g, pos // 32 AS word,
+                   1::BIGINT << CAST(pos % 32 AS INTEGER) AS mask
+            FROM ppos) p
+      JOIN filt USING (word)
+      WHERE (filt.w & p.mask) != 0
+      GROUP BY 1, 2
+      HAVING count(*) = {_BLOOM_K}
+    )
+    SELECT tr.train_doc,
+           count(*) AS n_shingles,
+           count(h.g) AS bloom_hits,
+           count(e.g) AS exact_hits,
+           count(h.g) - count(e.g) AS false_pos
+    FROM tr
+    LEFT JOIN hits h ON h.train_doc = tr.train_doc AND h.g = tr.g
+    LEFT JOIN te e ON e.g = tr.g
+    GROUP BY 1
+    HAVING count(h.g) > 0
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefilter decontamination — the 100 TB companion to
+    decontaminate_ngram's exact join. The eval/benchmark set is the SMALL
+    side (here: the test split's distinct 8-grams), so it compresses into a
+    fixed {_BLOOM_BITS}-bit filter ({_BLOOM_BITS // 32} BIGINT words,
+    bit_or-aggregated) that BROADCASTS to every executor; screening 100 TB
+    of train docs is then a map-only pass — no corpus-sized shuffle at all,
+    versus the exact join's explode-and-shuffle of every train shingle.
+    K={_BLOOM_K} probe positions per shingle, taken as disjoint 8-hex-char
+    slices of ONE md5 (one hash per shingle; the engine-portable hex->int
+    trick shared with dsir_weights); a shingle is bloom-positive iff all K
+    bits are set.
+
+    The gate ships the screen AND its own differential: per flagged train
+    doc, bloom_hits vs exact_hits (the te equi-join ground truth) and the
+    false_pos count. Bloom filters have NO false negatives — every exact
+    hit is bloom-flagged, tested as an invariant — so the screen is safe to
+    run before the exact verify join, which then touches only flagged docs
+    (at the measured FP rate, orders of magnitude fewer).
+
+    Reference analogue: the contamination screen of
+    src/claude-analyzer.ts-style corpus hygiene, generalized; SURVEY §7
+    step 10 (LLM-pipeline operators at 100 TB). The filter ships as a
+    one-row word->bits MAP crossJoin-broadcast to every task, so the whole
+    screen is a single map stage over the train shingles; the only
+    corpus-sized exchange in the gate is the per-doc rollup (the exact
+    differential's te join is broadcast too — the benchmark side is small
+    by construction). DuckDB replays the same bits relationally from the
+    2048-row word table."""
+    s = _bloom_split(spark, sf)
+    fmap = _bloom_filter_map(s)
+    tr = s.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
+    )
+    ex = (
+        s.filter(F.col("split") == "test")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    return (
+        _with_bloom_hit(tr, fmap)
+        .join(F.broadcast(ex), "g", "left")
+        .groupBy("train_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("bloom_hit_b"), 1)).alias("bloom_hits"),
+            F.count("exact_hit").alias("exact_hits"),
+        )
+        .filter(F.col("bloom_hits") > 0)
+        .select(
+            "train_doc",
+            "n_shingles",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
+        )
+    )
+
+
+@register(
+    "bloom_fp_rate",
+    f"""
+    WITH {_B_SPLIT_DD},
+    trg AS (
+      SELECT DISTINCT g
+      FROM (SELECT unnest(sh) AS g FROM s WHERE split = 'train')
+    ),
+    ppos AS (
+      {" UNION ALL ".join(f"SELECT g, {p} AS pos FROM trg" for p in _B_POS_DD)}
+    ),
+    ghits AS (
+      SELECT p.g
+      FROM (SELECT g, pos // 32 AS word,
+                   1::BIGINT << CAST(pos % 32 AS INTEGER) AS mask
+            FROM ppos) p
+      JOIN filt USING (word)
+      WHERE (filt.w & p.mask) != 0
+      GROUP BY 1
+      HAVING count(*) = {_BLOOM_K}
+    ),
+    j AS (
+      SELECT trg.g, h.g AS bg, e.g AS eg
+      FROM trg
+      LEFT JOIN ghits h ON h.g = trg.g
+      LEFT JOIN te e ON e.g = trg.g
+    )
+    SELECT count(*) AS n_probes,
+           count(bg) AS bloom_pos,
+           count(eg) AS exact_pos,
+           count(bg) - count(eg) AS false_pos,
+           CASE WHEN count(*) - count(eg) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(count(bg) - count(eg) AS DOUBLE)
+                     / (count(*) - count(eg)) END AS fp_rate
+    FROM j
+    """,
+)
+def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured-quality gate for decontaminate_bloom, same genus as
+    minhash_estimate_error / ann_recall: over the DISTINCT train-shingle
+    probe set, how many are bloom-positive vs truly in the test set, and
+    the realized false-positive rate among true negatives — the number
+    that sizes the exact verify join the screen feeds. fp_rate is one IEEE
+    division of two integer-valued counts (bit-exact across engines,
+    CLAUDE.md rule 3); expected value is (1 - e^(-K*n/m))^K for n distinct
+    test shingles, checked as a loose envelope in tests."""
+    s = _bloom_split(spark, sf)
+    fmap = _bloom_filter_map(s)
+    trg = (
+        s.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    ex = (
+        s.filter(F.col("split") == "test")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("eh", F.lit(1))
+    )
+    agg = (
+        _with_bloom_hit(trg, fmap)
+        .join(F.broadcast(ex), "g", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.count(F.when(F.col("bloom_hit_b"), 1)).alias("bloom_pos"),
+            F.count("eh").alias("exact_pos"),
+        )
+    )
+    denom = F.col("n_probes") - F.col("exact_pos")
+    fp = F.col("bloom_pos") - F.col("exact_pos")
+    return agg.select(
+        "n_probes",
+        "bloom_pos",
+        "exact_pos",
+        fp.alias("false_pos"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(fp.cast("double") / denom)
+        .alias("fp_rate"),
+    )
