@@ -146,12 +146,19 @@ def main() -> None:
     )
     n2c = kept.count()
 
-    # 3. deterministic split + decontamination (drop leaked test docs)
+    # 3. deterministic split + decontamination (drop leaked test docs).
+    # Production shape: the broadcast Bloom screen flags candidate train
+    # docs map-only (no false negatives), then the exact join verifies
+    # ONLY the flagged slice — here both run on the full corpus so the
+    # demo can assert the screen really is a superset of the truth.
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     kept = kept.withColumn(
         "split",
         F.when(hx < "cd", "train").when(hx < "e6", "val").otherwise("test"),
     )
+    screened = q["decontaminate_bloom"](spark, sf)
+    n_screen = screened.count()
+    n_screen_true = screened.filter(F.col("exact_hits") > 0).count()
     leaked = (
         q["decontaminate_ngram"](spark, sf)
         .select(F.col("test_doc").alias("doc_id"))
@@ -273,6 +280,8 @@ def main() -> None:
     print(f"after copied-span screen: {n2b} "
           f"({n_span_words_removed} duplicated-span words removed)")
     print(f"after semantic dedup: {n2c}")
+    print(f"bloom screen: {n_screen} train docs flagged "
+          f"({n_screen_true} with true eval overlap)")
     print(f"after decontamination: {n3}  splits: {split_counts}")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
@@ -283,6 +292,7 @@ def main() -> None:
     print(f"audio sidecar: {na0} clips -> {na1} after spectral screen "
           f"-> {na2} after fingerprint dedup")
     assert n0 >= n1 >= n2 >= n2b >= n2c >= n3 > 0
+    assert n_screen >= n_screen_true > 0  # bloom screen over-approximates
     assert n6 <= n3 and n7 > 0 and n_chunks > 0
     assert na0 > na1 > na2 > 0  # both audio stages dropped something
     assert len(merges) == 12 and n_bpe >= n_ws > 0

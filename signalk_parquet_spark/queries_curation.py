@@ -472,20 +472,23 @@ _B_SPLIT_DD = f"""
 """
 
 
-def _bloom_pos_cols(g: str = "g") -> list:
+def _bloom_pos_cols(g: str = "g", bits: int = _BLOOM_BITS) -> list:
     """The K probe positions of a shingle column: disjoint 8-hex slices of
-    one md5 (matches _B_POS_DD)."""
+    one md5 (matches _B_POS_DD). `bits` parameterizes the filter size —
+    the gates pin _BLOOM_BITS so the oracle is fixed; deployments size it
+    as m ~ 16-24 bits per expected distinct benchmark n-gram (see
+    tools/bloom_ramp.py for the measured saturation when undersized)."""
     m = F.md5(F.col(g))
     return [
-        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_BITS
+        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("long") % bits
         for i in range(_BLOOM_K)
     ]
 
 
-def _bloom_words(df: DataFrame) -> DataFrame:
+def _bloom_words(df: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
     """Explode each shingle `g` into its K (word, mask) probe coordinates."""
     return (
-        df.withColumn("pos", F.explode(F.array(*_bloom_pos_cols())))
+        df.withColumn("pos", F.explode(F.array(*_bloom_pos_cols(bits=bits))))
         .withColumn("word", F.floor(F.col("pos") / 32).cast("long"))
         .withColumn("mask", F.expr("shiftleft(1L, cast(pos % 32 as int))"))
     )
@@ -523,45 +526,60 @@ def _bloom_split(spark: SparkSession, sf: str) -> DataFrame:
     return s
 
 
-def _bloom_filter_words(s: DataFrame) -> DataFrame:
+def _bloom_filter_words(s: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
     te = (
         s.filter(F.col("split") == "test")
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
-    return _bloom_words(te).groupBy("word").agg(F.bit_or("mask").alias("w"))
-
-
-def _bloom_filter_map(s: DataFrame) -> DataFrame:
-    """One-row frame holding the packed filter as a word->bits map — the
-    relational stand-in for a broadcast variable. crossJoin(broadcast) of
-    this row makes the probe pass MAP-ONLY: every executor tests all K
-    bits locally. The first cut instead exploded K rows per shingle and
-    shuffled on (doc, shingle) to count matches — same answers, but a
-    corpus-sized exchange that exists purely as an implementation artifact;
-    at test scale both are warm-sub-second, at 100 TB the exchange is the
-    difference between a scan and a shuffle of every train shingle."""
-    return _bloom_filter_words(s).agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "w"))).alias("fm")
+    return (
+        _bloom_words(te, bits).groupBy("word").agg(F.bit_or("mask").alias("w"))
     )
 
 
-def _with_bloom_hit(probes: DataFrame, fmap: DataFrame) -> DataFrame:
+def _with_bloom_hit(
+    probes: DataFrame, filt: DataFrame, bits: int = _BLOOM_BITS
+) -> DataFrame:
     """Add boolean `bloom_hit_b`: all K probe bits of `g` set in the
-    broadcast filter map (absent word => bit unset => False)."""
-    out = probes.crossJoin(F.broadcast(fmap))
+    broadcast filter (absent word => bit unset => False).
+
+    Shape: K broadcast HASH joins of the word table, one per probe
+    position — every stage is map-side (BroadcastHashJoin), no probe
+    shuffle, and lookups are O(1) regardless of filter size. Two earlier
+    cuts are worth recording: (a) explode-K-rows + groupBy(doc, g) to
+    count matches — a corpus-sized exchange that exists purely as an
+    implementation artifact; (b) the whole filter as a ONE-ROW map column
+    probed with element_at — correct and shuffle-free, but Spark MapType
+    lookups are a LINEAR SCAN of the entries array, so at a
+    deployment-sized m (2^23 bits = 262k words) the probe went
+    quadratic-ish: measured 151 s vs 9 s for this join form at 150k docs
+    (tools/bloom_ramp.py). BroadcastHashJoin is the hash-lookup Spark
+    actually gives you."""
+    out = probes
     hit = F.lit(True)
-    tmp = [f"_p{i}" for i in range(_BLOOM_K)]
-    pos_cols = _bloom_pos_cols()
-    for i, p in enumerate(tmp):
-        out = out.withColumn(p, pos_cols[i])
-        word = F.floor(F.col(p) / 32).cast("long")
+    tmp: list[str] = []
+    pos_cols = _bloom_pos_cols(bits=bits)
+    for i in range(_BLOOM_K):
+        p, w, fw = f"_p{i}", f"_w{i}", f"_f{i}"
+        tmp += [p, w, fw]
+        out = (
+            out.withColumn(p, pos_cols[i])
+            .withColumn(w, F.floor(F.col(p) / 32).cast("long"))
+            .join(
+                F.broadcast(
+                    filt.select(
+                        F.col("word").alias(w), F.col("w").alias(fw)
+                    )
+                ),
+                w,
+                "left",
+            )
+        )
         mask = F.expr(f"shiftleft(1L, cast({p} % 32 as int))")
         hit = hit & F.coalesce(
-            (F.element_at(F.col("fm"), word).bitwiseAND(mask)) != 0,
-            F.lit(False),
+            (F.col(fw).bitwiseAND(mask)) != 0, F.lit(False)
         )
-    return out.withColumn("bloom_hit_b", hit).drop("fm", *tmp)
+    return out.withColumn("bloom_hit_b", hit).drop(*tmp)
 
 
 @register(
@@ -624,7 +642,7 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     by construction). DuckDB replays the same bits relationally from the
     2048-row word table."""
     s = _bloom_split(spark, sf)
-    fmap = _bloom_filter_map(s)
+    filt = _bloom_filter_words(s)
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
     )
@@ -635,7 +653,7 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("exact_hit", F.lit(1))
     )
     return (
-        _with_bloom_hit(tr, fmap)
+        _with_bloom_hit(tr, filt)
         .join(F.broadcast(ex), "g", "left")
         .groupBy("train_doc")
         .agg(
@@ -701,7 +719,7 @@ def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
     CLAUDE.md rule 3); expected value is (1 - e^(-K*n/m))^K for n distinct
     test shingles, checked as a loose envelope in tests."""
     s = _bloom_split(spark, sf)
-    fmap = _bloom_filter_map(s)
+    filt = _bloom_filter_words(s)
     trg = (
         s.filter(F.col("split") == "train")
         .select(F.explode("sh").alias("g"))
@@ -714,7 +732,7 @@ def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("eh", F.lit(1))
     )
     agg = (
-        _with_bloom_hit(trg, fmap)
+        _with_bloom_hit(trg, filt)
         .join(F.broadcast(ex), "g", "left")
         .agg(
             F.count(F.lit(1)).alias("n_probes"),
