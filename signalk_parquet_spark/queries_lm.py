@@ -462,7 +462,23 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     approximate tercile cutpoints (percentile_approx per lang, a tiny
     broadcast table) and buckets map-only — same output columns, cutpoint
     error bounded by the sketch; the gate proves the bucket semantics the
-    approx path must reproduce."""
+    approx path must reproduce (perplexity_buckets_approx below IS that
+    path, pinned to this gate by test)."""
+    from pyspark.sql import Window
+
+    s = _lm_score_frame(spark, sf)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_score"), F.asc("doc_id")
+    )
+    return s.withColumn("bucket", F.ntile(3).over(w)).withColumn(
+        "keep",
+        F.when(F.col("bucket") <= 2, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _lm_score_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, lang, n_bigrams, freq_sum, lm_score): the corpus-bigram
+    fluency score shared by perplexity_buckets and its approx twin."""
     from pyspark.sql import Window
 
     d = load(spark, sf, "documents")
@@ -473,7 +489,7 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", F.xxhash64("gs").alias("g"))
     db = bg.groupBy("doc_id", "lang", "g").agg(F.count(F.lit(1)).alias("k"))
     withc = db.withColumn("cnt", F.sum("k").over(Window.partitionBy("g")))
-    s = (
+    return (
         withc.groupBy("doc_id", "lang")
         .agg(
             F.sum("k").alias("n_bigrams"),
@@ -489,10 +505,44 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("lm_score"), F.asc("doc_id")
+
+
+def perplexity_buckets_approx(
+    spark: SparkSession, sf: str, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB production form of perplexity_buckets: per-language
+    tercile CUTPOINTS from percentile_approx (a lang-count-sized frame,
+    broadcast back), then a MAP-ONLY bucket assignment — no per-language
+    window, so one language's volume never has to fit one partition's
+    sort. Not a gate (the sketch's cutpoints are engine-specific); its
+    contract is agreement with the exact gate, pinned by
+    tests/test_lm_queries.py: identical columns, monotone buckets by
+    construction, and >= 95% per-doc bucket agreement at test scale
+    (disagreement is confined to docs within sketch error of a cutpoint).
+
+    `accuracy` is Spark's percentile_approx knob (error <= 1/accuracy of
+    the rank range); raise it to tighten the boundary band at the cost of
+    sketch memory, which grows per (lang) group, not per doc."""
+    s = _lm_score_frame(spark, sf)
+    cuts = s.groupBy("lang").agg(
+        F.percentile_approx(
+            "lm_score", F.array(F.lit(2.0 / 3.0), F.lit(1.0 / 3.0)), accuracy
+        ).alias("c")
     )
-    return s.withColumn("bucket", F.ntile(3).over(w)).withColumn(
-        "keep",
-        F.when(F.col("bucket") <= 2, F.lit(1)).otherwise(F.lit(0)),
+    return (
+        s.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("lm_score") >= F.element_at("c", 1), 1)
+            .when(F.col("lm_score") >= F.element_at("c", 2), 2)
+            .otherwise(3),
+        )
+        .withColumn(
+            "keep",
+            F.when(F.col("bucket") <= 2, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(
+            "doc_id", "lang", "n_bigrams", "freq_sum", "lm_score",
+            "bucket", "keep",
+        )
     )

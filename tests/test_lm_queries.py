@@ -125,3 +125,39 @@ def test_perplexity_buckets_are_balanced_ordered_terciles(spark, sf_smoke):
         F.col("keep") != (F.col("bucket") <= 2).cast("int")
     ).count()
     assert keep_bad == 0
+
+
+def test_perplexity_buckets_approx_agrees_with_exact(spark, sf_smoke):
+    """The map-only approx path (production form, no per-lang window) must
+    reproduce the exact gate's semantics: same columns, same keep rule,
+    monotone buckets, and per-doc bucket agreement outside the sketch's
+    cutpoint band (>= 95% overall at test scale; with default accuracy the
+    band is empty here, but the bound is what the operator promises)."""
+    from signalk_parquet_spark.queries_lm import perplexity_buckets_approx
+
+    exact = registry.queries()["perplexity_buckets"](spark, sf_smoke)
+    approx = perplexity_buckets_approx(spark, sf_smoke)
+    assert approx.columns == exact.columns
+    j = exact.select(
+        "doc_id", F.col("bucket").alias("b_exact")
+    ).join(approx.select("doc_id", F.col("bucket").alias("b_approx")), "doc_id")
+    n = j.count()
+    agree = j.filter(F.col("b_exact") == F.col("b_approx")).count()
+    assert n > 0 and agree / n >= 0.95, (agree, n)
+    # keep must follow bucket in the approx path too
+    bad = approx.filter(
+        F.col("keep") != (F.col("bucket") <= 2).cast("int")
+    ).count()
+    assert bad == 0
+    # monotone: a bucket-1 doc never scores below a bucket-2 doc of the
+    # same lang (threshold construction guarantees it; assert anyway)
+    b = (
+        approx.groupBy("lang", "bucket")
+        .agg(F.min("lm_score").alias("lo"), F.max("lm_score").alias("hi"))
+        .collect()
+    )
+    bb = {(r["lang"], r["bucket"]): (r["lo"], r["hi"]) for r in b}
+    for (lang, bucket), (lo, hi) in bb.items():
+        nxt = bb.get((lang, bucket + 1))
+        if nxt is not None:
+            assert lo >= nxt[1], (lang, bucket, lo, nxt[1])
