@@ -523,7 +523,10 @@ def perplexity_buckets_approx(
     `accuracy` is Spark's percentile_approx knob (error <= 1/accuracy of
     the rank range); raise it to tighten the boundary band at the cost of
     sketch memory, which grows per (lang) group, not per doc."""
-    s = _lm_score_frame(spark, sf)
+    s = _lm_score_frame(spark, sf).persist()
+    s.count()  # the cutpoint agg and the probe side both read s; without
+    # materializing, the whole score plan (incl. the g-keyed window)
+    # executes twice (visible as a doubled subtree in explain)
     cuts = s.groupBy("lang").agg(
         F.percentile_approx(
             "lm_score", F.array(F.lit(2.0 / 3.0), F.lit(1.0 / 3.0)), accuracy

@@ -51,7 +51,15 @@ def emission_schedule(
     them 0..N-1 and ``batch_idx = seq div batch_points`` groups them into
     the reference's 10-point ticks. Numeric series fill ``value``,
     string-typed series fill ``value_str`` (exactly one is non-null per
-    row). One window sort — no shuffle beyond it."""
+    row). One window sort — no shuffle beyond it.
+
+    The seq window is deliberately UNPARTITIONED (the emission sequence is
+    a total order by definition), which Spark executes on one partition —
+    fine here because the input is a History-API RESULT, already bucketed
+    to ~(range/resolution) rows x paths (~500 buckets default), never the
+    raw corpus; the scan/bucket/aggregate stages before it are fully
+    distributed. A replay of unbounded raw data would need batch_idx
+    derived from event-time buckets instead of a global row number."""
     from pyspark.sql import types as T
 
     series = [c for c in wide.columns if c != ts_col]

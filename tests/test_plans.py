@@ -496,3 +496,40 @@ def test_kmeans_ivf_gate_plan_clean(spark):
     plan = formatted_plan(ann_ivf_kmeans(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # probe x inverted-list cell join
+
+
+def test_bloom_screen_is_all_broadcast_joins(spark):
+    """The bloom probe must stay map-only: K word-table lookups + the
+    exact-differential's te join all as BroadcastHashJoin — no
+    SortMergeJoin, no nested-loop, no cartesian anywhere."""
+    for name in ("decontaminate_bloom", "bloom_fp_rate"):
+        plan = formatted_plan(registry.queries()[name](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 4, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dsir_broadcasts_stats_and_totals(spark):
+    """dsir_weights joins the 64-row bucket stats (hash broadcast) and the
+    one-row corpus totals (a bounded BroadcastNestedLoopJoin is the
+    expected physical form of a 1-row crossJoin — anything more is a
+    regression)."""
+    plan = formatted_plan(registry.queries()["dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # tree + detail
+
+
+def test_perplexity_approx_drops_the_ntile_window(spark):
+    """The production twin must have NO per-language ntile window (that is
+    its reason to exist); cutpoints come back as a broadcast join. The
+    exact gate keeps ntile. (Match 'ntile(' — plain 'ntile' is a substring
+    of 'percentile_approx'.)"""
+    from signalk_parquet_spark.queries_lm import perplexity_buckets_approx
+
+    exact = formatted_plan(registry.queries()["perplexity_buckets"](spark, SF))
+    approx = formatted_plan(perplexity_buckets_approx(spark, SF))
+    assert "ntile(" in exact
+    assert "ntile(" not in approx
+    assert "BroadcastHashJoin" in approx
