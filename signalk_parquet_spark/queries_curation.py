@@ -751,3 +751,84 @@ def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(fp.cast("double") / denom)
         .alias("fp_rate"),
     )
+
+
+# --- domain-mixture rebalancing via epochs (Pile-style upsampling) -----------
+@register(
+    "mixture_epochs",
+    """
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+    ), tot AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) // count(DISTINCT source) AS budget
+      FROM d
+    ), per_src AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars FROM d GROUP BY 1
+    ), c AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             tot.budget // per_src.t_chars AS epochs,
+             tot.budget % per_src.t_chars AS rem,
+             CAST(sum(d.n_chars) OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS csum
+      FROM d JOIN per_src USING (source) CROSS JOIN tot
+    )
+    SELECT doc_id, source, n_chars, epochs,
+           CASE WHEN csum - n_chars < rem THEN 1 ELSE 0 END AS extra,
+           epochs + CASE WHEN csum - n_chars < rem THEN 1 ELSE 0 END AS n_copies
+    FROM c
+    """,
+)
+def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture rebalancing by EPOCHS — the Pile-style op (Gao et
+    al. 2020 assign each subset an epoch count; DoReMi-style reweighting
+    lands on the same mechanism): give every source the SAME character
+    budget (total/n_sources), met as `epochs` full passes over the source
+    (0 for over-represented sources = downsampling) plus a deterministic
+    remainder fill — docs ordered by content hash within the source, taken
+    until the leftover budget is crossed. n_copies = how many times the
+    doc appears in the rebalanced training mix; every column is an
+    integer, every boundary a BIGINT comparison, so the gate is
+    engine-exact with zero rounding (the hash order also makes reruns and
+    incremental rebuilds reproducible — same property as
+    curation_hash_split).
+
+    Shape: one groupBy for per-source totals (broadcast back — sources
+    are few), one 1-row totals broadcast, ONE window exchange keyed by
+    source for the cumulative fill. At 100 TB a single source is
+    unbounded, so the production path replaces the exact cumsum with a
+    map-only md5-fraction threshold at rem/t_chars (expected-chars form
+    of the same rule, error one doc's worth per source) — the same
+    exact-gate/approx-twin split as perplexity_buckets."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    tot = d.agg(
+        F.expr(
+            "cast(sum(n_chars) div count(distinct source) as long)"
+        ).alias("budget")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("t_chars"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("epochs", F.expr("budget div t_chars"))
+        .withColumn("rem", F.col("budget") % F.col("t_chars"))
+        .withColumn("csum", F.sum("n_chars").over(w))
+    )
+    extra = F.when(F.col("csum") - F.col("n_chars") < F.col("rem"), 1).otherwise(0)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "epochs",
+        extra.alias("extra"),
+        (F.col("epochs") + extra).alias("n_copies"),
+    )

@@ -182,13 +182,13 @@ def oracle_sql() -> dict[str, str]:
 #: + doc_embed_hashed (r4's one red row, output shape fixed)
 #: + regex_extract_tokens/unpivot_aligned (displaced in r4e, named in
 #: VERDICT r4) + audio/video_dedup_decisions (new, registered in the
-#: stalest block's tail) + 31 of the 43 gates last verified in r02. The
-#: FOURTEEN r02-era gates deferred to r6 are topk_values, distinct_users,
+#: stalest block's tail) + 30 of the 43 gates last verified in r02. The
+#: FIFTEEN r02-era gates deferred to r6 are topk_values, distinct_users,
 #: count_by_type, curation_diverse, multimodal_meta, text_lang_id,
 #: text_fingerprint, text_token_stats, text_quality, curation_hash_split,
 #: decontaminate_ngram, repetition_score, text_bpe_tokens,
-#: length_quantiles (lowest-risk shapes, all multi-round green; the last
-#: four ceded slots to late-r5 gates). The rotated-out r4
+#: length_quantiles, curation_quota (lowest-risk shapes, all multi-round
+#: green; the last five ceded slots to late-r5 gates). The rotated-out r4
 #: window is entirely green in CORRECTNESS_r04, so the union of round
 #: windows still covers every registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
@@ -210,6 +210,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "perplexity_buckets",
     "decontaminate_bloom",
     "bloom_fp_rate",
+    "mixture_epochs",
     "regex_extract_tokens",
     "unpivot_aligned",
     # --- stalest greens: last verified r02 (registration-relative order) ---
@@ -241,11 +242,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q18",
     "text_top_tokens",
     "json_extract_props",
-    "curation_quota",
     # decontaminate_ngram / repetition_score / text_bpe_tokens /
-    # length_quantiles (r02 greens) ceded their fill slots to the late-r5
-    # dsir_weights / perplexity_buckets / decontaminate_bloom /
-    # bloom_fp_rate gates → r6
+    # length_quantiles / curation_quota (r02 greens) ceded their fill
+    # slots to the late-r5 dsir_weights / perplexity_buckets /
+    # decontaminate_bloom / bloom_fp_rate / mixture_epochs gates → r6
     # audio/video decision gates are NEW this round, so they outrank the
     # two remaining r02-era fills (curation_diverse, multimodal_meta → r6)
     "audio_dedup_decisions",
