@@ -18,16 +18,18 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
-#: `--smoke`: the 20 heaviest gates of the r5 full run (~44% of total wall
-#: in ~1/6 of the queries) — the dev-loop perf tier so iteration doesn't
-#: pay a 100 s full session. Record official numbers from FULL runs only;
-#: refresh this list from BENCH_local.json when the heavy set shifts.
+#: `--smoke`: the 20 heaviest gates of the end-of-r5 full run (~46% of
+#: total wall in ~1/7 of the queries) — the dev-loop perf tier so
+#: iteration doesn't pay a 100 s full session. Record official numbers
+#: from FULL runs only; refresh this list from BENCH_local.json when the
+#: heavy set shifts.
 SMOKE_TIER = (
-    "ann_ivf_kmeans,audio_dedup_decisions,image_dedup_decisions,"
-    "video_dedup_decisions,cobucketed_revenue,scrub_duplicate_spans,"
-    "ivfpq_recall,dedup_jaccard_prefix,dedup_keep_longest,tpch_q21,"
-    "semdedup_recall,dedup_winnowing,proximity_pairs,ann_ivfpq,tpch_q7,"
-    "dedup_ngram_jaccard,pii_scrub,tpch_q5,source_divergence,tpch_q3"
+    "ann_ivf_kmeans,image_dedup_decisions,bpe_train_merges,"
+    "video_dedup_decisions,scrub_duplicate_spans,audio_dedup_decisions,"
+    "decontaminate_bloom,image_dedup_decisions_phash,cobucketed_revenue,"
+    "ivfpq_recall,dedup_jaccard_prefix,dedup_keep_longest,dsir_weights,"
+    "bloom_fp_rate,ann_ivfpq,dedup_ngram_jaccard,semdedup_recall,"
+    "pii_scrub,tpch_q21,dedup_winnowing"
 ).split(",")
 
 
