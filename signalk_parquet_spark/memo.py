@@ -44,3 +44,12 @@ class SessionMemo:
                 df.count()  # fully materialize BEFORE any self-join reuse
             self._store[key] = df
         return self._store[key]
+
+    def evict(self, spark: SparkSession, tag: str) -> None:
+        """Unpersist and drop one live entry (ramp/tool loops that cycle
+        many one-shot corpora through a family memo call this between
+        iterations so cached frames don't accumulate)."""
+        key = (spark.sparkContext.applicationId, tag)
+        df = self._store.pop(key, None)
+        if df is not None:
+            df.unpersist()

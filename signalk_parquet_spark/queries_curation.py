@@ -26,6 +26,7 @@ from .functions.text import (
     tokens,
     type_token_ratio,
 )
+from .memo import SessionMemo
 from .registry import load, register
 
 _TRAIN_HI = "cd"  # md5 first byte < 0xcd -> train  (205/256 ~ 80.1%)
@@ -494,44 +495,52 @@ def _bloom_words(df: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
     )
 
 
-_BLOOM_MEMO: dict[str, DataFrame] = {}
+_BLOOM_MEMO = SessionMemo()
 
 
 def _bloom_split(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted (doc_id, split, sh) frame shared by the two bloom gates —
     the shingle pass is the expensive stage; everything downstream is
-    probe-sized. Same split/shingle semantics as decontaminate_ngram."""
+    probe-sized. Same split/shingle semantics as decontaminate_ngram.
+    SessionMemo keys by applicationId, so a new session after a stopped
+    one never receives a frame bound to a dead context (memo.py)."""
     from .functions.text import shingles
 
-    if sf in _BLOOM_MEMO:
-        return _BLOOM_MEMO[sf]
-    d = load(spark, sf, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
-    )
-    s = (
-        d.select("doc_id", split.alias("split"), "text")
-        .filter(F.col("split") != "val")
-        .select(
-            "doc_id",
-            "split",
-            F.array_distinct(shingles(tokens("text"), _NG)).alias("sh"),
+    def build() -> DataFrame:
+        d = load(spark, sf, "documents")
+        hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        split = (
+            F.when(hx < _TRAIN_HI, "train")
+            .when(hx < _VAL_HI, "val")
+            .otherwise("test")
         )
-        .persist()
-    )
-    s.count()  # materialize before the te/tr branches fork (see
+        return (
+            d.select("doc_id", split.alias("split"), "text")
+            .filter(F.col("split") != "val")
+            .select(
+                "doc_id",
+                "split",
+                F.array_distinct(shingles(tokens("text"), _NG)).alias("sh"),
+            )
+        )
+
+    # materialize=True counts before the te/tr branches fork (see
     # decontaminate_ngram for the measured race cost)
-    _BLOOM_MEMO[sf] = s
-    return s
+    return _BLOOM_MEMO.get_or_build(spark, f"bloom_split:{sf}", build)
 
 
-def _bloom_filter_words(s: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
-    te = (
+def _bloom_test_shingles(s: DataFrame) -> DataFrame:
+    """Distinct test-split shingles — the filter's input AND the exact
+    differential's ground-truth set (computed once per gate, reused for
+    both roles)."""
+    return (
         s.filter(F.col("split") == "test")
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
+
+
+def _bloom_filter_words(te: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
     return (
         _bloom_words(te, bits).groupBy("word").agg(F.bit_or("mask").alias("w"))
     )
@@ -642,16 +651,12 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     by construction). DuckDB replays the same bits relationally from the
     2048-row word table."""
     s = _bloom_split(spark, sf)
-    filt = _bloom_filter_words(s)
+    te = _bloom_test_shingles(s)
+    filt = _bloom_filter_words(te)
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
     )
-    ex = (
-        s.filter(F.col("split") == "test")
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-        .withColumn("exact_hit", F.lit(1))
-    )
+    ex = te.withColumn("exact_hit", F.lit(1))
     return (
         _with_bloom_hit(tr, filt)
         .join(F.broadcast(ex), "g", "left")
@@ -719,18 +724,14 @@ def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
     CLAUDE.md rule 3); expected value is (1 - e^(-K*n/m))^K for n distinct
     test shingles, checked as a loose envelope in tests."""
     s = _bloom_split(spark, sf)
-    filt = _bloom_filter_words(s)
+    te = _bloom_test_shingles(s)
+    filt = _bloom_filter_words(te)
     trg = (
         s.filter(F.col("split") == "train")
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
-    ex = (
-        s.filter(F.col("split") == "test")
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-        .withColumn("eh", F.lit(1))
-    )
+    ex = te.withColumn("eh", F.lit(1))
     agg = (
         _with_bloom_hit(trg, filt)
         .join(F.broadcast(ex), "g", "left")

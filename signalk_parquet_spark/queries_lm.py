@@ -356,8 +356,18 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     broadcast row, and the final per-doc rollup is the only other
     corpus-sized exchange. Nothing scales with vocabulary: the hashed
     feature space is fixed, which is exactly DSIR's own scaling argument.
-    100 TB: two exchanges keyed by (doc_id, b) / doc_id, one 64-row
-    broadcast — no skew (bucket keys are md5-uniform), no driver collect.
+    100 TB: the PLAN holds (two exchanges keyed by (doc_id, b) / doc_id,
+    one 64-row broadcast, no skew, no driver collect), but the
+    integer-exact SCORE does not — t*n_raw is a product of two
+    corpus-sized counts and exceeds int64 once the corpus passes ~10^9
+    bigrams (~10 GB of text), where Spark's long multiply wraps silently.
+    The production scoring at that scale is DSIR's real form — float
+    log(p_tgt/p_raw) weights per bucket (64 doubles, derivable from the
+    same 64-row stats table at arbitrary precision) — which agrees with
+    the linearization per-bucket in SIGN (both are positive exactly when
+    p_tgt(b) > p_raw(b)) though summed doc scores can differ near the
+    boundary; the integer form exists to make the gate's decision
+    boundary oracle-exact at test scale.
     """
     d = load(spark, sf, "documents")
     bg = d.select(

@@ -120,7 +120,7 @@ def test_perplexity_buckets_are_balanced_ordered_terciles(spark, sf_smoke):
     for (lang, bucket), (lo, hi) in b.items():
         if bucket < 3:
             nxt = b[(lang, bucket + 1)]
-            assert lo >= nxt[1] or abs(lo - nxt[1]) == 0, (lang, bucket)
+            assert lo >= nxt[1], (lang, bucket)
     keep_bad = df.filter(
         F.col("keep") != (F.col("bucket") <= 2).cast("int")
     ).count()

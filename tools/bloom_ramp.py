@@ -55,7 +55,9 @@ def build(spark, n_rep: int, out_dir: str) -> int:
     big.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
-    return big.count()
+    # count the WRITTEN files (parquet footers) — big.count() would
+    # re-execute the whole n_rep-way union a second time
+    return spark.read.parquet(f"{out_dir}/documents.parquet").count()
 
 
 def sized_screen(spark, tmp: str):
@@ -65,15 +67,11 @@ def sized_screen(spark, tmp: str):
     import math
 
     s = qc._bloom_split(spark, tmp)
-    n_test = (
-        s.filter(F.col("split") == "test")
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-        .count()
-    )
+    te = qc._bloom_test_shingles(s)
+    n_test = te.count()
     bits = 1 << max(16, math.ceil(math.log2(16 * max(n_test, 1))))
     t0 = time.time()
-    filt = qc._bloom_filter_words(s, bits)
+    filt = qc._bloom_filter_words(te, bits)
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
     )
@@ -86,12 +84,7 @@ def sized_screen(spark, tmp: str):
     )
     wall = time.time() - t0
     # probe-level fp over distinct train shingles
-    ex = (
-        s.filter(F.col("split") == "test")
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-        .withColumn("eh", F.lit(1))
-    )
+    ex = te.withColumn("eh", F.lit(1))
     trg = tr.select("g").distinct()
     row = (
         qc._with_bloom_hit(trg, filt, bits)
@@ -134,9 +127,7 @@ def main() -> None:
                 f"{t_exact:>8.2f} {pairs:>9}"
             )
         finally:
-            s = qc._BLOOM_MEMO.pop(tmp, None)
-            if s is not None:
-                s.unpersist()
+            qc._BLOOM_MEMO.evict(spark, f"bloom_split:{tmp}")
             shutil.rmtree(tmp, ignore_errors=True)
 
 
