@@ -799,10 +799,12 @@ def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
     Shape: one groupBy for per-source totals (broadcast back — sources
     are few), one 1-row totals broadcast, ONE window exchange keyed by
     source for the cumulative fill. At 100 TB a single source is
-    unbounded, so the production path replaces the exact cumsum with a
-    map-only md5-fraction threshold at rem/t_chars (expected-chars form
-    of the same rule, error one doc's worth per source) — the same
-    exact-gate/approx-twin split as perplexity_buckets."""
+    unbounded, so the production path (mixture_epochs_approx below)
+    replaces the exact cumsum with a map-only md5-fraction threshold at
+    rem/t_chars — expected extra chars equal the remainder, realized
+    total off by sampling variance instead of this rule's <1-doc bound —
+    the same exact-gate/approx-twin split as perplexity_buckets, pinned
+    by an independent-Python differential test."""
     d = load(spark, sf, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
@@ -825,6 +827,51 @@ def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("csum", F.sum("n_chars").over(w))
     )
     extra = F.when(F.col("csum") - F.col("n_chars") < F.col("rem"), 1).otherwise(0)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "epochs",
+        extra.alias("extra"),
+        (F.col("epochs") + extra).alias("n_copies"),
+    )
+
+
+def mixture_epochs_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB production form of mixture_epochs: the remainder fill
+    becomes a MAP-ONLY md5-fraction threshold — a doc joins the extra
+    epoch iff frac(md5(doc_id)) < rem/t_chars — instead of the exact
+    per-source cumulative-sum window, so one source's volume never has to
+    fit one partition's sort. Expected extra characters per source equal
+    the remainder exactly; the realized total misses by sampling variance
+    (O(sqrt(n_docs)) characters) rather than the exact rule's
+    less-than-one-doc bound. Same columns as the gate; `epochs` (and
+    therefore every doc's guaranteed base copies) is IDENTICAL — only the
+    remainder membership differs, and tests pin it to an independent
+    Python md5 recomputation. Not a gate: the threshold compares a hash
+    FRACTION against a count ratio, which is reproducible but adds no
+    oracle value beyond mixture_epochs' exact window form."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    tot = d.agg(
+        F.expr(
+            "cast(sum(n_chars) div count(distinct source) as long)"
+        ).alias("budget")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("t_chars"))
+    frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+    c = (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("epochs", F.expr("budget div t_chars"))
+        .withColumn("rem", F.col("budget") % F.col("t_chars"))
+    )
+    extra = F.when(
+        frac < F.col("rem").cast("double") / F.col("t_chars"), 1
+    ).otherwise(0)
     return c.select(
         "doc_id",
         "source",

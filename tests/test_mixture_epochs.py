@@ -42,3 +42,50 @@ def test_budget_met_within_one_doc(spark, sf_smoke):
     ).count()
     assert bad == 0
     df.unpersist()
+
+
+def test_approx_twin_matches_independent_python_rule(spark, sf_smoke):
+    """mixture_epochs_approx: epochs identical to the exact gate per
+    source, and the map-only remainder membership reproduces an
+    INDEPENDENT Python md5 recomputation of frac(md5(doc_id)) < rem/t
+    (the same differential style as the scrub fuzz tests)."""
+    import hashlib
+
+    from signalk_parquet_spark.queries_curation import mixture_epochs_approx
+
+    exact = registry.queries()["mixture_epochs"](spark, sf_smoke)
+    approx = mixture_epochs_approx(spark, sf_smoke)
+    assert approx.columns == exact.columns
+    je = {
+        r["source"]: r["epochs"]
+        for r in exact.select("source", "epochs").distinct().collect()
+    }
+    rows = approx.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+        assert r["epochs"] == je[r["source"]], r
+        assert r["n_copies"] == r["epochs"] + r["extra"], r
+    # independent recomputation of the threshold rule
+    docs = registry.load(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    t_chars = {}
+    total = 0
+    for d in docs:
+        t_chars[d["source"]] = t_chars.get(d["source"], 0) + d["n_chars"]
+        total += d["n_chars"]
+    budget = total // len(t_chars)
+    got = {(r["doc_id"], r["source"]): r["extra"] for r in rows}
+    n_extra = 0
+    for d in docs:
+        t = t_chars[d["source"]]
+        rem = budget % t
+        frac = (
+            int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+        )
+        want = 1 if frac < rem / t else 0
+        assert got[(d["doc_id"], d["source"])] == want, (d, want)
+        n_extra += want
+    assert 0 < n_extra < len(docs)  # the threshold separates, not degenerate
