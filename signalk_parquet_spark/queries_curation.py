@@ -805,6 +805,21 @@ def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
     total off by sampling variance instead of this rule's <1-doc bound —
     the same exact-gate/approx-twin split as perplexity_buckets, pinned
     by an independent-Python differential test."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = _mixture_frame(spark, sf).withColumn("csum", F.sum("n_chars").over(w))
+    extra = F.when(F.col("csum") - F.col("n_chars") < F.col("rem"), 1).otherwise(0)
+    return _mixture_select(c, extra)
+
+
+def _mixture_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, source, n_chars, epochs, rem, t_chars, budget): the
+    budget/epochs construction SHARED by mixture_epochs and its approx
+    twin — one definition so the twins' documented 'epochs is IDENTICAL'
+    contract cannot drift (same role as queries_lm._lm_score_frame)."""
     d = load(spark, sf, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
@@ -814,19 +829,15 @@ def mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("budget")
     )
     per_src = d.groupBy("source").agg(F.sum("n_chars").alias("t_chars"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = (
+    return (
         d.join(F.broadcast(per_src), "source")
         .crossJoin(F.broadcast(tot))
         .withColumn("epochs", F.expr("budget div t_chars"))
         .withColumn("rem", F.col("budget") % F.col("t_chars"))
-        .withColumn("csum", F.sum("n_chars").over(w))
     )
-    extra = F.when(F.col("csum") - F.col("n_chars") < F.col("rem"), 1).otherwise(0)
+
+
+def _mixture_select(c: DataFrame, extra) -> DataFrame:
     return c.select(
         "doc_id",
         "source",
@@ -851,32 +862,10 @@ def mixture_epochs_approx(spark: SparkSession, sf: str) -> DataFrame:
     Python md5 recomputation. Not a gate: the threshold compares a hash
     FRACTION against a count ratio, which is reproducible but adds no
     oracle value beyond mixture_epochs' exact window form."""
-    d = load(spark, sf, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    tot = d.agg(
-        F.expr(
-            "cast(sum(n_chars) div count(distinct source) as long)"
-        ).alias("budget")
-    )
-    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("t_chars"))
     frac = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("double") / F.lit(float(1 << 32))
-    c = (
-        d.join(F.broadcast(per_src), "source")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("epochs", F.expr("budget div t_chars"))
-        .withColumn("rem", F.col("budget") % F.col("t_chars"))
-    )
     extra = F.when(
         frac < F.col("rem").cast("double") / F.col("t_chars"), 1
     ).otherwise(0)
-    return c.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        "epochs",
-        extra.alias("extra"),
-        (F.col("epochs") + extra).alias("n_copies"),
-    )
+    return _mixture_select(_mixture_frame(spark, sf), extra)

@@ -140,6 +140,19 @@ def load(
     return df
 
 
+def evict_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist and drop this session's cached tables under one sf dir.
+    Ramp/tool loops that write a throwaway corpus, query it, and rmtree it
+    must call this first: load() persisted those frames, and a block
+    evicted under memory pressure would otherwise recompute against
+    deleted files (FileNotFoundException) while the stale cache skews
+    later iterations' memory headroom."""
+    app = spark.sparkContext.applicationId
+    prefix = f"{sf_dir}/"
+    for key in [k for k in _TABLE_CACHE if k[0] == app and k[1].startswith(prefix)]:
+        _TABLE_CACHE.pop(key).unpersist()
+
+
 def dd_bucket(resolution_ms: int, ts: str = "ts") -> str:
     """DuckDB expression equal to functions.time.bucket_iso — the reference's
     bucket rendering (src/HistoryAPI.ts:1776-1777)."""

@@ -128,6 +128,11 @@ def main() -> None:
             )
         finally:
             qc._BLOOM_MEMO.evict(spark, f"bloom_split:{tmp}")
+            # load() persisted this corpus's documents frame too — drop it
+            # before deleting the files under it (decontaminate_ngram's
+            # internal shingle persist is not tracked; it is never touched
+            # again after its gate returns, and its lineage roots here)
+            registry.evict_tables(spark, tmp)
             shutil.rmtree(tmp, ignore_errors=True)
 
 
