@@ -89,3 +89,23 @@ def test_approx_twin_matches_independent_python_rule(spark, sf_smoke):
         assert got[(d["doc_id"], d["source"])] == want, (d, want)
         n_extra += want
     assert 0 < n_extra < len(docs)  # the threshold separates, not degenerate
+
+
+def test_registry_evict_tables_unpersists_scoped_entries(spark, tmp_path):
+    """registry.evict_tables drops exactly the cached tables under one sf
+    dir (the ramp-loop cleanup contract): the frame is unpersisted and a
+    re-load rebuilds rather than returning the stale object."""
+    import pyspark.sql.functions as F
+
+    src = registry.load(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus")
+    src.limit(10).write.parquet(f"{out}/documents.parquet")
+    df = registry.load(spark, out, "documents")
+    assert df.storageLevel.useMemory  # load() persisted it
+    other = registry.load(spark, "/root/testdata/sf0.001", "documents")
+    registry.evict_tables(spark, out)
+    assert not df.storageLevel.useMemory  # unpersisted
+    assert other.storageLevel.useMemory  # other dirs untouched
+    df2 = registry.load(spark, out, "documents")
+    assert df2 is not df  # cache entry really dropped
+    registry.evict_tables(spark, out)
