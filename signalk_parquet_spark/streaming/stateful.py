@@ -835,3 +835,46 @@ def streaming_video_neardup(
         if ttl_s is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming eval-contamination screen (stateless stream-static) -------------
+def streaming_bloom_screen(
+    stream: DataFrame,
+    filt: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int | None = None,
+) -> DataFrame:
+    """Streaming eval-contamination screen — the decontamination rung of
+    the streaming curation ladder. Arriving docs are tested against a
+    STATIC Bloom filter built batch-side from the eval/benchmark n-grams
+    (queries_curation._bloom_filter_words); the filter is a property of
+    the eval set, not of the stream, so this rung needs NO state at all:
+    the probe is the same K BroadcastHashJoins as the batch gate, and a
+    stream-static broadcast join stays map-only per micro-batch.
+
+    Emits one event per bloom-positive (doc, shingle) in append mode —
+    like the near-dup rungs, consumers drop distinct doc_ids (per-doc
+    aggregation would force update mode for no benefit; contaminated is
+    "any hit"). The test pins distinct flagged doc_ids == the batch
+    decontaminate_bloom gate's flagged set, across micro-batch splits.
+
+    Scale: zero shuffle, zero state — throughput is scan-bound. The
+    filter broadcast re-ships per micro-batch (Spark re-plans the static
+    side); at the gate's 2048 words that is noise, and a deployment-sized
+    2^26-bit filter is an 8 MB broadcast, still far below shuffle cost.
+    """
+    from ..functions.text import shingles, tokens
+    from ..queries_curation import _NG, _BLOOM_BITS, _with_bloom_hit
+
+    probes = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(text_col), _NG))
+        ).alias("g"),
+    )
+    return (
+        _with_bloom_hit(probes, filt, bits or _BLOOM_BITS)
+        .filter(F.col("bloom_hit_b"))
+        .select("doc_id", "g")
+    )

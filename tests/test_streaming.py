@@ -719,3 +719,69 @@ def test_stateful_fns_bucket_cap_stops_growth():
     out = [r for o in fn((0, 7), iter([pd.DataFrame({"media_id": [9], "h": [far[1]]})]), st)
            for _, r in o.iterrows()]
     assert len(out) == 1 and out[0].iloc[1] == 1
+
+
+def test_streaming_bloom_screen_matches_batch_gate(spark, tmp_path):
+    """The stateless streaming contamination screen replayed over the
+    train split (two micro-batches) must flag exactly the batch
+    decontaminate_bloom gate's doc set — stateless, so batch splits can't
+    change decisions; the distinct-flagged pin proves it."""
+    import pyspark.sql.functions as F
+
+    from signalk_parquet_spark import registry
+    from signalk_parquet_spark.queries_curation import (
+        _bloom_filter_words,
+        _bloom_split,
+        _bloom_test_shingles,
+    )
+    from signalk_parquet_spark.streaming.stateful import streaming_bloom_screen
+
+    sf = "/root/testdata/sf0.001"
+    s = _bloom_split(spark, sf)
+    filt = _bloom_filter_words(_bloom_test_shingles(s))
+    # the filter is static; materialize it so every micro-batch broadcast
+    # reuses the computed words instead of re-deriving from the corpus
+    filt = filt.persist()
+    filt.count()
+
+    train = registry.load(spark, sf, "documents").join(
+        s.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    src = str(tmp_path / "bloom_src")
+    half = train.count() // 2
+    rows = train.collect()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_bloom_screen(stream, filt)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bloom_screen_out")
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql(
+            "SELECT DISTINCT doc_id FROM bloom_screen_out"
+        ).collect()
+    }
+    want = {
+        r["train_doc"]
+        for r in registry.queries()["decontaminate_bloom"](spark, sf)
+        .select("train_doc")
+        .collect()
+    }
+    filt.unpersist()
+    assert got == want and len(want) > 0
