@@ -187,6 +187,22 @@ def main() -> None:
         sample.filter("kept").select(F.col("id").alias("doc_id")), "doc_id"
     )
     n6 = kept.count()
+    # 6b. domain-mixture rebalancing by epochs (Pile-style): every source
+    # gets the same character budget via integer epochs + an exact
+    # remainder fill; show the raw spread collapsing to ~1:1
+    mix = q["mixture_epochs"](spark, sf)
+    served = (
+        mix.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("raw"),
+            F.sum(F.col("n_copies") * F.col("n_chars")).alias("served"),
+        )
+        .agg(
+            (F.max("raw") / F.min("raw")).alias("raw_spread"),
+            (F.max("served") / F.min("served")).alias("mix_spread"),
+        )
+        .collect()[0]
+    )
     packed = pack_token_stream(
         kept.filter(F.col("split") == "train").select(
             "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
@@ -286,6 +302,8 @@ def main() -> None:
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
     print(f"after mix re-balancing: {n6}")
+    print(f"epoch mixture: raw source spread {served['raw_spread']:.2f}:1 "
+          f"-> {served['mix_spread']:.2f}:1")
     print(f"packed train docs: {n7} into {n_chunks} x 512-token chunks")
     print(f"tokenizer: {len(merges)} learned merges; train split = "
           f"{n_ws} whitespace tokens -> {n_bpe} BPE subword tokens")
@@ -294,6 +312,9 @@ def main() -> None:
     assert n0 >= n1 >= n2 >= n2b >= n2c >= n3 > 0
     assert n_screen >= n_screen_true > 0  # bloom screen over-approximates
     assert n6 <= n3 and n7 > 0 and n_chunks > 0
+    # the epoch mix must tighten the spread to ~1:1 (within one doc/source)
+    assert served["mix_spread"] < served["raw_spread"]
+    assert served["mix_spread"] < 1.2
     assert na0 > na1 > na2 > 0  # both audio stages dropped something
     assert len(merges) == 12 and n_bpe >= n_ws > 0
 

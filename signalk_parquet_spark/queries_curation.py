@@ -133,7 +133,9 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-set decontamination: (test_doc, train_doc) pairs sharing >= 1
     distinct 8-gram, with the shared count. Candidates meet on an equi-key —
     at 100 TB the train side is the big one and this is exactly the shape
-    you'd feed a bloom prefilter; the exact join here IS the verify step.
+    you'd feed a bloom prefilter (decontaminate_bloom below — and
+    streaming.stateful.streaming_bloom_screen for continuous ingest); the
+    exact join here IS the verify step, run on the screened slice.
 
     Spark joins on the native 64-bit ``xxhash64`` of each shingle (codegen'd
     long key — no hex-string materialization); the oracle joins on the raw
