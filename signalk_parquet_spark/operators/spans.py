@@ -184,6 +184,16 @@ def remove_duplicate_spans(
         .groupBy("id")
         .agg(F.collect_set("cidx").alias("cov"))
     )
+    return _apply_coverage(base, cov, k)
+
+
+def _apply_coverage(base: DataFrame, cov: DataFrame, k: int) -> DataFrame:
+    """Rewrite (id, w) docs dropping every word position in the per-doc
+    coverage set — the shared tail of remove_duplicate_spans and
+    redact_eval_spans. The word filter runs as JVM higher-order functions
+    over a PROJECTED coverage column (single-parameter lambdas touching
+    only their own argument plus bound column attributes — the winnowing
+    re-evaluation trap does not apply to column references)."""
     joined = (
         base.join(cov, "id", "left")
         .withColumn("cov", F.coalesce("cov", F.array().cast("array<int>")))
@@ -202,3 +212,48 @@ def remove_duplicate_spans(
         (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("cleaned"),
     )
+
+
+def redact_eval_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Eval-targeted SPAN redaction — the third decontamination response
+    after drop-the-doc (decontaminate_ngram) and screen-then-verify
+    (decontaminate_bloom): keep the training document but remove exactly
+    the K-word spans that also occur in the eval/benchmark set, the way
+    production pipelines salvage long documents contaminated by one
+    quoted benchmark item. A train word position is covered iff it lies
+    inside at least one K-window whose 48-bit hash is in the eval set's
+    distinct window hashes.
+
+    Returns (id, n_words, n_removed, cleaned) for every train doc.
+
+    Scale: the eval side is benchmark-sized, so its distinct hash set
+    BROADCASTS; the probe is explode -> broadcast semi-join -> per-doc
+    collect_set — the only corpus-sized exchange is the per-doc coverage
+    rollup, same as remove_duplicate_spans. Both engines hash with the
+    same md5 slice, so a hash collision (one in 2^48 per pair) redacts
+    identically on both sides — membership is defined ON the hash."""
+    base = train.select(F.col(id_col).alias("id"), tokens(text_col).alias("w"))
+    whs = hashed_grams(shingles(F.col("w"), k))
+    ex = base.select("id", F.posexplode(whs).alias("pos", "wh"))
+    ev = (
+        eval_df.select(
+            F.explode(hashed_grams(shingles(tokens(text_col), k))).alias("wh")
+        )
+        .distinct()
+    )
+    cov = (
+        ex.join(F.broadcast(ev), "wh")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cidx"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("cidx").alias("cov"))
+    )
+    return _apply_coverage(base, cov, k)

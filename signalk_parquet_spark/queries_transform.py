@@ -78,3 +78,77 @@ def scrub_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     return remove_duplicate_spans(
         load(spark, sf, "documents"), "doc_id", "text", _K
     ).orderBy("id")
+
+
+@register(
+    "decontaminate_redact",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), tr AS (
+      SELECT doc_id, string_split(text, ' ') AS w, {_POS_SPANS_DD} AS whs
+      FROM s WHERE split = 'train'
+    ), ev AS (
+      SELECT DISTINCT unnest({_POS_SPANS_DD}) AS wh FROM s WHERE split = 'test'
+    ), ex AS (
+      SELECT doc_id, u.pos, u.wh
+      FROM tr, unnest(list_transform(range(1, len(whs) + 1),
+                                     i -> {{'pos': i - 1, 'wh': whs[i]}})) AS t(u)
+    ), cov AS (
+      SELECT DISTINCT doc_id, ex.pos + o.off AS cidx
+      FROM ex JOIN ev USING (wh) CROSS JOIN range({_K}) AS o(off)
+    ), covsets AS (
+      SELECT doc_id, list(cidx) AS cv FROM cov GROUP BY 1
+    )
+    SELECT q.doc_id AS id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(w) - len(kw) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(kw, ' '), '') AS cleaned
+    FROM (
+      SELECT tr.doc_id, tr.w,
+             list_transform(
+               list_filter(range(1, len(tr.w) + 1),
+                           i -> NOT list_contains(coalesce(cs.cv, []), i - 1)),
+               i -> tr.w[i]) AS kw
+      FROM tr LEFT JOIN covsets cs USING (doc_id)
+    ) q
+    ORDER BY id
+    """,
+)
+def decontaminate_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-targeted span REDACTION — the third decontamination response
+    (decontaminate_ngram drops whole contaminated docs, decontaminate_bloom
+    screens them cheaply; this one salvages them): every train document is
+    rewritten with exactly the {_K}-word spans that also occur in the test
+    split removed, the way production pipelines keep a long document
+    contaminated by one quoted benchmark item. Same hash-split as the
+    sibling gates; coverage is defined ON the shared 48-bit window hash so
+    both engines redact identically by construction
+    (operators.spans.redact_eval_spans).
+
+    Scale: the eval set is benchmark-sized -> its distinct window hashes
+    broadcast; the probe is explode -> broadcast semi-join -> one per-doc
+    coverage rollup — the same exchanges as scrub_duplicate_spans minus
+    the corpus-wide frequency window."""
+    from pyspark.sql import functions as F
+
+    from .operators.spans import redact_eval_spans
+    from .queries_curation import _TRAIN_HI, _VAL_HI
+
+    d = load(spark, sf, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
+    )
+    dd = d.select("doc_id", "text", split.alias("split"))
+    return redact_eval_spans(
+        dd.filter(F.col("split") == "train"),
+        dd.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        _K,
+    ).orderBy("id")

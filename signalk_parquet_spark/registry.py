@@ -187,24 +187,25 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r5 window (17 + 3 + 2 + 28 = 50): 17 never-checked (4 registered
+#: r5 window (18 + 3 + 2 + 27 = 50): 18 never-checked (4 registered
 #: post-window in r4 by design + ann_ivf_kmeans/ivf_kmeans_recall/
 #: image_dedup_decisions new this round + image_dedup_decisions_phash/
 #: replay_schedule/quality_gopher/bpe_pair_counts/bpe_train_merges/
 #: dsir_weights/perplexity_buckets/decontaminate_bloom/bloom_fp_rate/
-#: mixture_epochs created late in r5 and pulled in over ten multi-green
-#: r02-era gates) + doc_embed_hashed (r4's one red row, output shape
-#: fixed) + regex_extract_tokens/unpivot_aligned (displaced in r4e, named
-#: in VERDICT r4) + audio/video_dedup_decisions (new, registered in the
-#: stalest block's tail) + 28 of the 43 gates last verified in r02. The
-#: FIFTEEN r02-era gates deferred to r6 are topk_values, distinct_users,
-#: count_by_type, curation_diverse, multimodal_meta, text_lang_id,
-#: text_fingerprint, text_token_stats, text_quality, curation_hash_split,
-#: decontaminate_ngram, repetition_score, text_bpe_tokens,
-#: length_quantiles, curation_quota (lowest-risk shapes, all multi-round
-#: green; the last ten ceded slots to late-r5 gates). The rotated-out r4
-#: window is entirely green in CORRECTNESS_r04, so the union of round
-#: windows still covers every registered query.
+#: mixture_epochs/decontaminate_redact created late in r5 and pulled in
+#: over eleven multi-green r02-era gates) + doc_embed_hashed (r4's one
+#: red row, output shape fixed) + regex_extract_tokens/unpivot_aligned
+#: (displaced in r4e, named in VERDICT r4) + audio/video_dedup_decisions
+#: (new, registered in the stalest block's tail) + 27 of the 43 gates
+#: last verified in r02. The SIXTEEN r02-era gates deferred to r6 are
+#: topk_values, distinct_users, count_by_type, curation_diverse,
+#: multimodal_meta, text_lang_id, text_fingerprint, text_token_stats,
+#: text_quality, curation_hash_split, decontaminate_ngram,
+#: repetition_score, text_bpe_tokens, length_quantiles, curation_quota,
+#: json_extract_props (lowest-risk shapes, all multi-round green; the
+#: last eleven ceded slots to late-r5 gates). The rotated-out r4 window
+#: is entirely green in CORRECTNESS_r04, so the union of round windows
+#: still covers every registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
     # --- must-verify: never driver-checked / edited this round ---
     "pii_scrub",
@@ -225,6 +226,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "decontaminate_bloom",
     "bloom_fp_rate",
     "mixture_epochs",
+    "decontaminate_redact",
     "regex_extract_tokens",
     "unpivot_aligned",
     # --- stalest greens: last verified r02 (registration-relative order) ---
@@ -255,11 +257,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q14",
     "tpch_q18",
     "text_top_tokens",
-    "json_extract_props",
     # decontaminate_ngram / repetition_score / text_bpe_tokens /
-    # length_quantiles / curation_quota (r02 greens) ceded their fill
-    # slots to the late-r5 dsir_weights / perplexity_buckets /
-    # decontaminate_bloom / bloom_fp_rate / mixture_epochs gates → r6
+    # length_quantiles / curation_quota / json_extract_props (r02 greens)
+    # ceded their fill slots to the late-r5 dsir_weights /
+    # perplexity_buckets / decontaminate_bloom / bloom_fp_rate /
+    # mixture_epochs / decontaminate_redact gates → r6
     # audio/video decision gates are NEW this round, so they outrank the
     # two remaining r02-era fills (curation_diverse, multimodal_meta → r6)
     "audio_dedup_decisions",
