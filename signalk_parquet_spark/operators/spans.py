@@ -232,12 +232,21 @@ def redact_eval_spans(
 
     Returns (id, n_words, n_removed, cleaned) for every train doc.
 
-    Scale: the eval side is benchmark-sized, so its distinct hash set
-    BROADCASTS; the probe is explode -> broadcast semi-join -> per-doc
-    collect_set — the only corpus-sized exchange is the per-doc coverage
-    rollup, same as remove_duplicate_spans. Both engines hash with the
-    same md5 slice, so a hash collision (one in 2^48 per pair) redacts
-    identically on both sides — membership is defined ON the hash."""
+    Removal is SINGLE-PASS (Lee et al.'s own construction): re-joining
+    the words around a removed span can form a NEW junction K-gram, and
+    on adversarial data that junction gram could itself be in the eval
+    set — the operator does not iterate to fixpoint. Every gram that was
+    in the ORIGINAL text is removed unconditionally; the test pins that
+    any residue is junction-only (absent from the original's hash set).
+
+    Scale: a true benchmark eval set's distinct hash list fits the
+    broadcast threshold and Catalyst broadcasts the semi-join on its own;
+    a corpus-sized eval side (like the gate's 10% test split at 100 TB)
+    falls back to a hash-shuffle equi-join — which is why the hint is NOT
+    forced here. The per-doc coverage rollup is the other exchange, same
+    as remove_duplicate_spans. Both engines hash with the same md5 slice,
+    so a hash collision (one in 2^48 per pair) redacts identically on
+    both sides — membership is defined ON the hash."""
     base = train.select(F.col(id_col).alias("id"), tokens(text_col).alias("w"))
     whs = hashed_grams(shingles(F.col("w"), k))
     ex = base.select("id", F.posexplode(whs).alias("pos", "wh"))
@@ -248,7 +257,7 @@ def redact_eval_spans(
         .distinct()
     )
     cov = (
-        ex.join(F.broadcast(ev), "wh")
+        ex.join(ev, "wh")
         .select(
             "id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cidx"),

@@ -33,6 +33,15 @@ _TRAIN_HI = "cd"  # md5 first byte < 0xcd -> train  (205/256 ~ 80.1%)
 _VAL_HI = "e6"  # < 0xe6 -> val (another 25/256 ~ 9.8%), rest test
 
 
+def hash_split(id_col: str = "doc_id") -> F.Column:
+    """The train/val/test split Column every split-dependent gate shares
+    (single source — the DuckDB twins interpolate _TRAIN_HI/_VAL_HI)."""
+    hx = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return (
+        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
+    )
+
+
 @register(
     "curation_hash_split",
     f"""
@@ -51,12 +60,8 @@ def curation_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test sharding by content hash, rolled up per
     (lang, split). Reproducible across engines and reruns by construction."""
     d = load(spark, sf, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
-    )
     return (
-        d.select("lang", "n_chars", split.alias("split"))
+        d.select("lang", "n_chars", hash_split().alias("split"))
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -147,10 +152,7 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.text import shingles
 
     d = load(spark, sf, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
-    )
+    split = hash_split()
     hashed = F.array_distinct(
         F.transform(shingles(tokens("text"), _NG), lambda s: F.xxhash64(s))
     )
@@ -510,14 +512,8 @@ def _bloom_split(spark: SparkSession, sf: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = load(spark, sf, "documents")
-        hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-        split = (
-            F.when(hx < _TRAIN_HI, "train")
-            .when(hx < _VAL_HI, "val")
-            .otherwise("test")
-        )
         return (
-            d.select("doc_id", split.alias("split"), "text")
+            d.select("doc_id", hash_split().alias("split"), "text")
             .filter(F.col("split") != "val")
             .select(
                 "doc_id",

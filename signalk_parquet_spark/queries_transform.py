@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .queries_curation import _TRAIN_HI, _VAL_HI, hash_split
 from .registry import load, register
 
 _K = 8  # words per span window (the dedup_substring_spans contract)
@@ -85,8 +86,8 @@ def scrub_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT doc_id, text,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     ), tr AS (
@@ -137,14 +138,9 @@ def decontaminate_redact(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .operators.spans import redact_eval_spans
-    from .queries_curation import _TRAIN_HI, _VAL_HI
 
     d = load(spark, sf, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
-    )
-    dd = d.select("doc_id", "text", split.alias("split"))
+    dd = d.select("doc_id", "text", hash_split().alias("split"))
     return redact_eval_spans(
         dd.filter(F.col("split") == "train"),
         dd.filter(F.col("split") == "test"),

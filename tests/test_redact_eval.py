@@ -1,7 +1,12 @@
-"""decontaminate_redact invariants: the rewrite actually decontaminates —
-re-shingling the cleaned text finds zero eval-set window hashes (modulo
-junction grams, asserted zero on this data) — and it only touches docs the
-exact pair join implicates."""
+"""decontaminate_redact invariants. The operator is SINGLE-PASS (Lee et
+al.'s construction): every eval K-gram present in the ORIGINAL text is
+removed unconditionally, but re-joining words around a removed span can
+form a new junction K-gram, which on adversarial data could itself be in
+the eval set. So the precise invariant is: any eval gram surviving in
+`cleaned` must be junction-only — ABSENT from the original text's window
+hashes. (On this corpus the residue is zero, but the test must not depend
+on that.) Also: redaction only touches docs the exact pair join
+implicates."""
 
 from __future__ import annotations
 
@@ -9,34 +14,43 @@ import pyspark.sql.functions as F
 
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.functions.text import hashed_grams, shingles, tokens
+from signalk_parquet_spark.queries_curation import hash_split
+from signalk_parquet_spark.queries_transform import _K
 
 
-def test_redacted_text_has_no_eval_spans(spark, sf_smoke):
+def test_redaction_removes_every_original_eval_span(spark, sf_smoke):
     qs = registry.queries()
     out = qs["decontaminate_redact"](spark, sf_smoke).persist()
     out.count()
-    # eval window hashes, exactly as the operator defines membership
-    from signalk_parquet_spark.queries_curation import _TRAIN_HI, _VAL_HI
-
-    d = registry.load(spark, sf_smoke, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(hx < _TRAIN_HI, "train").when(hx < _VAL_HI, "val").otherwise("test")
+    d = registry.load(spark, sf_smoke, "documents").select(
+        "doc_id", "text", hash_split().alias("split")
     )
     ev = (
-        d.select("text", split.alias("split"))
-        .filter(F.col("split") == "test")
-        .select(F.explode(hashed_grams(shingles(tokens("text"), 8))).alias("wh"))
+        d.filter(F.col("split") == "test")
+        .select(
+            F.explode(hashed_grams(shingles(tokens("text"), _K))).alias("wh")
+        )
         .distinct()
     )
+    # eval grams still present in the cleaned text, per doc
     leftover = (
         out.select(
-            F.explode(hashed_grams(shingles(tokens("cleaned"), 8))).alias("wh")
+            "id",
+            F.explode(
+                hashed_grams(shingles(tokens("cleaned"), _K))
+            ).alias("wh"),
         )
         .join(ev, "wh", "left_semi")
-        .count()
+        .distinct()
     )
-    assert leftover == 0
+    # the single-pass guarantee: none of those grams existed in the
+    # ORIGINAL text (they can only be junction artifacts of removal)
+    orig = d.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("id"),
+        F.explode(hashed_grams(shingles(tokens("text"), _K))).alias("wh"),
+    )
+    non_junction = leftover.join(orig, ["id", "wh"], "left_semi").count()
+    assert non_junction == 0
     # redaction only touches docs the exact pair join implicates
     touched = out.filter(F.col("n_removed") > 0).select(
         F.col("id").alias("td")
