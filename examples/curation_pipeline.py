@@ -166,6 +166,16 @@ def main() -> None:
     )
     kept = kept.join(leaked, "doc_id", "left_anti")
     n3 = kept.count()
+    # the third response — redact the contaminated spans instead of
+    # dropping the doc (what a pipeline does for long documents)
+    redacted = q["decontaminate_redact"](spark, sf).filter(
+        F.col("n_removed") > 0
+    )
+    n_redacted, w_removed = (
+        redacted.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("n_removed"), F.lit(0))
+        ).collect()[0]
+    )
     split_counts = {
         r["split"]: r["n"]
         for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
@@ -299,6 +309,8 @@ def main() -> None:
     print(f"bloom screen: {n_screen} train docs flagged "
           f"({n_screen_true} with true eval overlap)")
     print(f"after decontamination: {n3}  splits: {split_counts}")
+    print(f"redaction alternative: {n_redacted} docs salvaged "
+          f"({w_removed} contaminated words removed)")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
     print(f"after mix re-balancing: {n6}")
