@@ -101,17 +101,24 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
+                # Key order is part of the contract: the driver records only
+                # the LAST 2000 chars of this line, and with 137 queries the
+                # per-query map alone overflows that. The headline keys
+                # (metric/value/sf/host) therefore come AFTER "queries" so
+                # the surviving tail always carries the total — six rounds
+                # of BENCH_r0*.json were parsed:null because "value" led.
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-                "host": host,
                 # r4e: run order switched from sorted() to registration
                 # order — per-query numbers are NOT comparable to pre-r4e
                 # benches where session-memo build costs were charged to
                 # whichever family member sorted first (see CLAUDE.md)
                 "order": "registration",
+                "metric": "total_query_wall_time",
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+                "host": host,
+                "value": total,
             }
         )
     )

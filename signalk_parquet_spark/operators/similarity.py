@@ -265,6 +265,40 @@ def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
     return F.array_min(F.array(*choices))["cid"]
 
 
+#: default per-cell member cap for semantic_keep. The within-cell stage is
+#: m² in BOTH work and (fused path) memory — keep_group materializes an
+#: m×m float64 cosine matrix, so 8192 members is ~0.5 GB per matrix and a
+#: comfortable single-task bound; a duplicate-flood cell 10× that would be
+#: 50 GB on one task. K ~ sqrt(N) keeps NORMAL cells far below this; only
+#: pathological concentration (exact-duplicate floods) trips it.
+SEMANTIC_MAX_CELL = 8192
+
+
+def _semantic_shard(n_over: Column, id_c: Column, max_cell: int) -> Column:
+    """Deterministic shard index for a member of an oversized cell: hash of
+    the id modulo the number of shards that brings every shard under
+    max_cell. Members of normal cells all land in shard 0."""
+    return F.when(
+        n_over > max_cell,
+        F.pmod(F.xxhash64(id_c), F.ceil(n_over / max_cell).cast("long")),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _raise_oversized(sizes: DataFrame, max_cell: int) -> None:
+    over = sizes.filter(F.col("m") > max_cell).orderBy(F.desc("m")).limit(5).collect()
+    if over:
+        worst = ", ".join(f"cid={r['cid']}: {r['m']}" for r in over)
+        raise ValueError(
+            f"semantic_keep: cell(s) exceed max_cell={max_cell} ({worst})."
+            " A flooded cell does m^2 work (and m^2 memory on the fused"
+            " path) on ONE task. Run exact_dedup first to remove"
+            " byte-identical copies, raise the centroid count K so cells"
+            " shrink, or pass on_oversize='shard' to accept a bounded"
+            " recall loss (near-dup pairs split across shards of an"
+            " oversized cell are not compared)."
+        )
+
+
 def semantic_keep(
     collection: DataFrame,
     centroids: DataFrame,
@@ -273,6 +307,8 @@ def semantic_keep(
     tau: float,
     dim: int | None = None,
     mode: str = "expr",
+    max_cell: int | None = SEMANTIC_MAX_CELL,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     cluster-then-threshold — assign every embedding to its nearest centroid
@@ -313,9 +349,27 @@ def semantic_keep(
                 decision locally — zero joins in the whole operator.
                 Per-cell pairwise cosines accumulate dim-ordered, so
                 every value matches the expr/oracle form bit-for-bit
-                (the _fused_multitable_scan float discipline)."""
+                (the _fused_multitable_scan float discipline).
+
+    max_cell / on_oversize guard the m² trap: a duplicate-flood cell of m
+    members does m² comparisons on ONE join partition (and allocates an
+    m×m matrix on the fused path), so the docstring prescription "run
+    exact_dedup first" is now ENFORCED rather than trusted to call-site
+    discipline. on_oversize="raise" (default) fails with that
+    prescription; "shard" deterministically splits any oversized cell
+    into ceil(m/max_cell) hash shards and compares within shards only —
+    bounded work per task, at the documented cost that near-dup pairs
+    straddling shards of an OVERSIZED cell are kept rather than compared
+    (under-dropping, never wrong drops). Results with no oversized cell
+    are identical under every setting. max_cell=None disables the guard
+    (the oracle gates run well under the cap either way)."""
+    if on_oversize not in ("raise", "shard"):
+        raise ValueError(f"on_oversize must be 'raise' or 'shard', got {on_oversize!r}")
     if mode == "numpy":
-        return _semantic_keep_fused(collection, centroids, id_col, vec_col, tau)
+        return _semantic_keep_fused(
+            collection, centroids, id_col, vec_col, tau,
+            max_cell=max_cell, on_oversize=on_oversize,
+        )
     cent_rows = centroids.orderBy("cid").collect()
     e = _with_norms(collection, id_col, vec_col, dim)
     # materialize the assignment once: it feeds BOTH sides of the self-join
@@ -323,17 +377,30 @@ def semantic_keep(
     # before self-join reuse (CLAUDE.md: AQE + partial cache dropped pairs)
     assign = e.withColumn("cid", cell_argmin_col(cent_rows, F.col("emb"), dim)).persist()
     assign.count()
+    shard_a = shard_b = F.lit(0).cast("long")
+    if max_cell is not None:
+        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("m"))
+        if on_oversize == "raise":
+            _raise_oversized(sizes, max_cell)
+        else:
+            # annotate every member with its cell size (broadcast: one row
+            # per cell) and shard oversized cells deterministically
+            assign = assign.join(F.broadcast(sizes), "cid")
+            shard_a = _semantic_shard(F.col("m"), F.col("id_a"), max_cell)
+            shard_b = _semantic_shard(F.col("m"), F.col("id_b"), max_cell)
     a = assign.select(
         F.col("id").alias("id_a"), F.col("emb").alias("emb_a"),
         F.col("n2").alias("n2_a"), "cid",
-    )
+        *([F.col("m")] if max_cell is not None and on_oversize == "shard" else []),
+    ).withColumn("shard", shard_a)
     b = assign.select(
         F.col("id").alias("id_b"), F.col("emb").alias("emb_b"),
         F.col("n2").alias("n2_b"), "cid",
-    )
+        *([F.col("m")] if max_cell is not None and on_oversize == "shard" else []),
+    ).withColumn("shard", shard_b)
     cos = dot(F.col("emb_a"), F.col("emb_b"), dim) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     dropped = (
-        a.join(b, ["cid"])
+        a.join(b, ["cid", "shard"])
         .filter((F.col("id_a") < F.col("id_b")) & (cos >= tau))
         .select(F.col("id_b").alias("dropped_id"))
         .distinct()
@@ -351,15 +418,21 @@ def _semantic_keep_fused(
     id_col: str,
     vec_col: str,
     tau: float,
+    max_cell: int | None = SEMANTIC_MAX_CELL,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """semantic_keep's numpy deployment path: map-only cell assignment +
     one groupBy(cid) shuffle + per-cell local keep decisions. See
     semantic_keep's docstring for the parity contract.
 
-    Skew note: a cell of m members costs m² local work, so a pathological
-    concentration (exact-duplicate floods) lands on one task — at corpus
-    scale run exact_dedup FIRST (it removes byte-identical copies with a
-    hash-groupBy), which bounds concentration to genuine near-dup mass."""
+    Skew note: a cell of m members costs m² local work AND an m×m float64
+    matrix, so a pathological concentration (exact-duplicate floods) lands
+    on one task — at corpus scale run exact_dedup FIRST (it removes
+    byte-identical copies with a hash-groupBy), which bounds concentration
+    to genuine near-dup mass. That prescription is now enforced by
+    max_cell: "raise" checks INSIDE the group task (zero extra passes —
+    the task already holds the whole cell); "shard" pays one extra
+    count+broadcast pass to split oversized cells before the shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -392,9 +465,31 @@ def _semantic_keep_fused(
 
     assigned = e.mapInPandas(assign_batches, schema="id long, cid long, emb array<double>")
 
+    group_keys = ["cid"]
+    if max_cell is not None and on_oversize == "shard":
+        # one extra pass: cell sizes (tiny — one row per cell, broadcast
+        # back) pick a deterministic hash-shard count per oversized cell.
+        # Persist so the counts pass and the keep pass share one
+        # assignment computation (materialized before the fork, CLAUDE.md).
+        assigned = assigned.persist()
+        assigned.count()
+        sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("m"))
+        assigned = assigned.join(F.broadcast(sizes), "cid").withColumn(
+            "shard", _semantic_shard(F.col("m"), F.col("id"), max_cell)
+        )
+        group_keys = ["cid", "shard"]
+
     def keep_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
         m = len(pdf)
+        if max_cell is not None and on_oversize == "raise" and m > max_cell:
+            cid = int(pdf["cid"].iloc[0])
+            raise ValueError(
+                f"semantic_keep: cell cid={cid} has {m} members"
+                f" (max_cell={max_cell}) — m^2 work/memory on one task."
+                " Run exact_dedup first, raise the centroid count K, or"
+                " pass on_oversize='shard' (bounded recall loss)."
+            )
         if m <= 1:
             keep = np.ones(m, dtype=bool)
         else:
@@ -415,7 +510,9 @@ def _semantic_keep_fused(
             {"id": pdf["id"].to_numpy(), "cid": pdf["cid"].to_numpy(), "keep": keep}
         )
 
-    return assigned.groupBy("cid").applyInPandas(keep_group, "id long, cid long, keep boolean")
+    return assigned.groupBy(*group_keys).applyInPandas(
+        keep_group, "id long, cid long, keep boolean"
+    )
 
 
 def pq_topk(

@@ -514,6 +514,79 @@ def test_semantic_keep_with_learned_quantizer(spark):
     assert any(not k for _, _, k in expr)  # the threshold actually bites
 
 
+def test_semantic_keep_cell_cap_guards_duplicate_flood(spark):
+    """The m² trap (VERDICT r6 Next #4): a duplicate-flood cell must not
+    silently do m² work on one task. Crafted flood: 60 near-identical
+    vectors all landing in one cell with max_cell=16. Contract:
+    (a) both modes RAISE by default, naming the prescription;
+    (b) on_oversize='shard' completes with bounded shards, keeps the
+        cid/keep schema, decides every vector exactly once, and only ever
+        UNDER-drops (every drop it makes is one the uncapped run makes);
+    (c) a corpus with no oversized cell is decision-identical under every
+        max_cell setting (the gate-parity guarantee)."""
+    import pytest
+
+    from signalk_parquet_spark.operators.similarity import semantic_keep
+
+    # 60 vectors in a tight cone around e1 (cosine ~1 pairwise) + 3 around
+    # e2: cell 0 floods, cell 1 stays tiny
+    rows = [(i, [1.0, i * 1e-6, 0.0, 0.0]) for i in range(60)]
+    rows += [(100 + i, [i * 1e-6, 1.0, 0.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid long, cemb array<double>",
+    )
+
+    for mode in ("expr", "numpy"):
+        with pytest.raises(Exception, match="exact_dedup"):
+            semantic_keep(
+                df, cdf, "vec_id", "embedding", 0.9, mode=mode, max_cell=16
+            ).collect()
+
+    # uncapped ground truth (the flood is only 60 rows here, so max_cell=None
+    # is safe in-test): every non-min flood member drops
+    full = {
+        r["id"]: (r["cid"], r["keep"])
+        for r in semantic_keep(
+            df, cdf, "vec_id", "embedding", 0.9, max_cell=None
+        ).collect()
+    }
+    assert [k for k, (_, kp) in full.items() if kp and full[k][0] == 0] == [0]
+
+    for mode in ("expr", "numpy"):
+        sharded = {
+            r["id"]: (r["cid"], r["keep"])
+            for r in semantic_keep(
+                df, cdf, "vec_id", "embedding", 0.9,
+                mode=mode, max_cell=16, on_oversize="shard",
+            ).collect()
+        }
+        assert set(sharded) == set(full)  # one decision per vector
+        assert all(sharded[i][0] == full[i][0] for i in full)  # cells agree
+        # under-dropping only: sharding may KEEP a vector the full run
+        # drops (its near-dup landed in another shard), never the reverse
+        for i in full:
+            if not sharded[i][1]:
+                assert not full[i][1]
+        # each shard (≤16 members) still collapses internally: far fewer
+        # keepers than the flood, and the tiny cell is untouched
+        assert sum(1 for i, (c, kp) in sharded.items() if c == 0 and kp) <= 4
+        # the under-capacity cell is bit-identical to the uncapped run
+        assert all(sharded[i] == full[i] for i in (100, 101, 102))
+
+    # no-oversized-cell corpora are identical under every setting
+    small = df.filter(F.col("vec_id") >= 100)
+    base = sorted(
+        map(tuple, semantic_keep(small, cdf, "vec_id", "embedding", 0.9).collect())
+    )
+    for kw in ({"max_cell": None}, {"max_cell": 16, "on_oversize": "shard"}):
+        got = sorted(
+            map(tuple, semantic_keep(small, cdf, "vec_id", "embedding", 0.9, **kw).collect())
+        )
+        assert got == base
+
+
 def test_pq_topk_compression_and_recall(spark):
     """PQ sanity on clustered toy data: same-cluster neighbors must fill the
     top-k (subspace codewords separate the clusters), and the encoded width
