@@ -65,11 +65,17 @@ def threshold_transitions(
     ts_col: str,
     condition: Column,
     partition_cols: Sequence[str] = ("context", "path"),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Hysteresis: emit only rows where the condition state CHANGES
     (false→true = 'activated', true→false = 'deactivated'); repeated
-    triggers while the state holds are suppressed (commands.ts:951-957)."""
-    w = Window.partitionBy(*partition_cols).orderBy(ts_col)
+    triggers while the state holds are suppressed (commands.ts:951-957).
+
+    ``tiebreak_cols`` extend the per-partition ordering past ``ts_col``:
+    with same-timestamp rows the lag state (and therefore which row
+    fires) would otherwise be partition-layout-dependent — pass a unique
+    id column whenever the stream can carry duplicate timestamps."""
+    w = Window.partitionBy(*partition_cols).orderBy(ts_col, *tiebreak_cols)
     flagged = df.withColumn("__cond", condition.cast("boolean")).withColumn(
         "__prev", F.lag("__cond").over(w)
     )

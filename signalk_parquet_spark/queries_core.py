@@ -188,6 +188,103 @@ def tier_rollup_stats_5m(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("value_avg", F.round("value_avg", 6))
 
 
+# --- A11: angular tier rollup (sin/cos partials, NULLed min/max) ---------------
+@register(
+    "tier_rollup_angular_1h",
+    f"""
+    SELECT event_type AS context, 'navigation.headingTrue' AS path,
+           {dd_bucket(H)} AS bucket_ts,
+           round(atan2(avg(sin(radians(value))), avg(cos(radians(value)))), 6) AS value_avg,
+           CAST(NULL AS DOUBLE) AS value_min,
+           CAST(NULL AS DOUBLE) AS value_max,
+           count(value) AS sample_count,
+           round(avg(sin(radians(value))), 6) AS sin_avg,
+           round(avg(cos(radians(value))), 6) AS cos_avg,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
+           strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def tier_rollup_angular_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A11 — the angular rollup tier itself (operators/rollup.
+    rollup_angular; aggregation-service.ts:468-528): vector average via
+    sin/cos PARTIALS persisted alongside it (the lossless re-agg state A8
+    consumes), min/max NULLed because extrema are meaningless on a circle.
+    Events stand in for a heading series (`value` as degrees). The trig
+    outputs round to 6 — the same granularity angular_avg has held green
+    across rounds (a flip needs the rounded operand within ~1e-15 of a
+    .5e-6 boundary)."""
+    from .operators.rollup import rollup_angular
+
+    e = load(spark, sf, "events").select(
+        F.col("event_type").alias("context"),
+        F.lit("navigation.headingTrue").alias("path"),
+        F.col("ts").alias("signalk_timestamp"),
+        F.radians("value").alias("value"),
+    )
+    out = rollup_angular(e, "1h")
+    return out.select(
+        "context",
+        "path",
+        F.date_format("bucket_time", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts"),
+        F.round("value_avg", 6).alias("value_avg"),
+        "value_min",
+        "value_max",
+        "sample_count",
+        F.round("value_sin_avg", 6).alias("sin_avg"),
+        F.round("value_cos_avg", 6).alias("cos_avg"),
+        iso_utc("first_timestamp").alias("first_ts"),
+        iso_utc("last_timestamp").alias("last_ts"),
+    )
+
+
+# --- §2.8: threshold automation (hysteresis transitions, batch twin) -----------
+@register(
+    "threshold_transitions_gt50",
+    """
+    WITH f AS (
+      SELECT user_id, event_type, event_id, ts, value, (value > 50.0) AS c,
+             lag(value > 50.0) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS p
+      FROM events
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso, value,
+           CASE WHEN c THEN 'activated' ELSE 'deactivated' END AS event
+    FROM f
+    WHERE (c AND NOT coalesce(p, FALSE)) OR (NOT c AND coalesce(p, FALSE))
+    """,
+)
+def threshold_transitions_gt50(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.8 threshold automation — batch predicate eval with
+    hysteresis (operators/thresholds; reference src/commands.ts:1312-1448,
+    suppression at :951-957): a gt condition over the event stream, only
+    state CHANGES fire (false→true 'activated', true→false 'deactivated'),
+    repeats suppressed. gt-vs-50.0 is a threshold on a continuum
+    (CLAUDE.md rule 4 — safe unrounded); event_id tiebreaks the per-key
+    ordering so the lag state is layout-independent (no µs-level ts ties
+    exist in the testdata, verified across SFs, but the contract shouldn't
+    rest on that)."""
+    from .operators.thresholds import threshold_predicate, threshold_transitions
+
+    e = load(spark, sf, "events")
+    cond = threshold_predicate("gt", F.col("value"), {"value": 50.0})
+    out = threshold_transitions(
+        e,
+        "ts",
+        cond,
+        partition_cols=("user_id", "event_type"),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        iso_utc("ts").alias("ts_iso"),
+        "value",
+        "event",
+    )
+
+
 # --- J1/W1: hot/cold federation with priority dedup ---------------------------
 @register(
     "priority_dedup_1h",

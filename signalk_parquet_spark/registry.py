@@ -187,85 +187,74 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r5 window (18 + 3 + 2 + 27 = 50): 18 never-checked (4 registered
-#: post-window in r4 by design + ann_ivf_kmeans/ivf_kmeans_recall/
-#: image_dedup_decisions new this round + image_dedup_decisions_phash/
-#: replay_schedule/quality_gopher/bpe_pair_counts/bpe_train_merges/
-#: dsir_weights/perplexity_buckets/decontaminate_bloom/bloom_fp_rate/
-#: mixture_epochs/decontaminate_redact created late in r5 and pulled in
-#: over eleven multi-green r02-era gates) + doc_embed_hashed (r4's one
-#: red row, output shape fixed) + regex_extract_tokens/unpivot_aligned
-#: (displaced in r4e, named in VERDICT r4) + audio/video_dedup_decisions
-#: (new, registered in the stalest block's tail) + 27 of the 43 gates
-#: last verified in r02. The SIXTEEN r02-era gates deferred to r6 are
-#: topk_values, distinct_users, count_by_type, curation_diverse,
-#: multimodal_meta, text_lang_id, text_fingerprint, text_token_stats,
-#: text_quality, curation_hash_split, decontaminate_ngram,
-#: repetition_score, text_bpe_tokens, length_quantiles, curation_quota,
-#: json_extract_props (lowest-risk shapes, all multi-round green; the
-#: last eleven ceded slots to late-r5 gates). The rotated-out r4 window
-#: is entirely green in CORRECTNESS_r04, so the union of round windows
-#: still covers every registered query.
+#: r7 window (2 + 16 + 22 + 10 = 50), computed from the CORRECTNESS_r01-r06
+#: union (every registered gate has a green row; staleness = last round
+#: with a row): 2 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
+#: oracle gate — and threshold_transitions_gt50 — §2.8 threshold
+#: automation's first), then the SIXTEEN r02-era gates the r6 plan
+#: deferred (r6 landed zero commits, so this rotation is VERDICT r6
+#: Next #1 verbatim), then all 22 r03-era gates (tpch2 tail, spatial set,
+#: cobucketed_revenue, glitch_speed_legs, bucket_avg_1h, approx_stats),
+#: then the 10 earliest-registered r04-era gates (the dedup family head —
+#: contiguous so the shared shingle/signature memo builds amortize in
+#: driver order like they do in bench order). Everything rotated out is
+#: green in CORRECTNESS_r06, so the union of round windows still covers
+#: every registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- must-verify: never driver-checked / edited this round ---
-    "pii_scrub",
-    "scrub_duplicate_spans",
-    "ann_ivfpq",
-    "ivfpq_recall",
-    "ann_ivf_kmeans",
-    "ivf_kmeans_recall",
-    "image_dedup_decisions",
-    "image_dedup_decisions_phash",
-    "replay_schedule",
-    "quality_gopher",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "doc_embed_hashed",
-    "dsir_weights",
-    "perplexity_buckets",
-    "decontaminate_bloom",
-    "bloom_fp_rate",
-    "mixture_epochs",
-    "decontaminate_redact",
-    "regex_extract_tokens",
-    "unpivot_aligned",
-    # --- stalest greens: last verified r02 (registration-relative order) ---
-    "bucket_minmax_1h",
-    "bucket_first_last_1h",
-    "bucket_median_1h",
-    "bucket_middle_index_1h",
-    "angular_avg",
-    "weighted_reagg_1h",
-    "tier_rollup_stats_5m",
-    "priority_dedup_1h",
-    "align_pivot_1h",
-    "episodes_error",
-    "sma_1h_w5",
-    "ema_1h_a02",
-    "ema_pathspec_a05",
-    "union_by_name",
-    "anti_join_users",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "semi_join_orders",
-    "rank_orders_per_customer",
-    "order_gaps",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "text_top_tokens",
-    # decontaminate_ngram / repetition_score / text_bpe_tokens /
-    # length_quantiles / curation_quota / json_extract_props (r02 greens)
-    # ceded their fill slots to the late-r5 dsir_weights /
-    # perplexity_buckets / decontaminate_bloom / bloom_fp_rate /
-    # mixture_epochs / decontaminate_redact gates → r6
-    # audio/video decision gates are NEW this round, so they outrank the
-    # two remaining r02-era fills (curation_diverse, multimodal_meta → r6)
-    "audio_dedup_decisions",
-    "video_dedup_decisions",
+    # --- new this round (first possible driver rows) ---
+    "tier_rollup_angular_1h",
+    "threshold_transitions_gt50",
+    # --- stalest: last green r02 ---
+    "topk_values",
+    "distinct_users",
+    "count_by_type",
+    "curation_diverse",
+    "multimodal_meta",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_stats",
+    "text_quality",
+    "curation_hash_split",
+    "decontaminate_ngram",
+    "repetition_score",
+    "text_bpe_tokens",
+    "length_quantiles",
+    "curation_quota",
+    "json_extract_props",
+    # --- next-stalest: last green r03 ---
+    "bucket_avg_1h",
+    "spatial_bbox_meridian",
+    "spatial_radius",
+    "spatial_semi_join",
+    "dist_traveled_km",
+    "glitch_speed_legs",
+    "proximity_pairs",
+    "approx_stats",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "cobucketed_revenue",
+    # --- fill to 50: earliest-registered r04-era greens (dedup family) ---
+    "knn_bruteforce",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_hamming1",
+    "dedup_levenshtein",
+    "dedup_keep_corpus",
+    "dedup_cluster_cc",
+    "ann_lsh_bucketed",
 )
 
 
