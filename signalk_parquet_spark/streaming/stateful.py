@@ -58,8 +58,15 @@ def make_threshold_transition_fn(threshold: float, op: str = "gt"):
                     continue
                 cond = v > threshold if op == "gt" else v < threshold
                 if active is None:
-                    active = cond  # first observation sets state, no event
-                elif cond != active:
+                    # no prior state = inactive, matching the reference
+                    # (commands.ts:1268 Boolean(undefined) -> the command
+                    # starts OFF, so a first-true observation FIRES) and
+                    # the batch twin (threshold_transitions coalesces the
+                    # lag to False). The old "first observation sets
+                    # state, no event" silently swallowed the activation
+                    # of a stream that starts over-threshold.
+                    active = False
+                if cond != active:
                     active = cond
                     out.append(
                         {

@@ -51,6 +51,58 @@ def test_streaming_threshold_hysteresis_across_batches(spark, tmp_path):
     assert [r["value"] for r in rows] == [9.0, 2.0]
 
 
+def test_streaming_threshold_first_observation_fires(spark, tmp_path):
+    """A stream that STARTS over-threshold must emit 'activated' on its
+    first observation: the reference's command state defaults OFF
+    (commands.ts Boolean(undefined)), so the first true evaluation fires —
+    and the batch twin coalesces the lag state to False. The old streaming
+    behavior ('first observation sets state, no event') silently swallowed
+    that activation; this pins streaming == batch on exactly that shape,
+    across a micro-batch split."""
+    from signalk_parquet_spark.operators.thresholds import (
+        threshold_predicate,
+        threshold_transitions,
+    )
+    from signalk_parquet_spark.streaming.stateful import (
+        streaming_threshold_transitions,
+    )
+
+    # first value already above threshold; then a drop, a re-activation
+    # in the second micro-batch, and a below-threshold tail
+    b1 = scalar_series(T0, [9.0, 7.5, 2.0])
+    b2 = scalar_series(T0 + timedelta(seconds=30), [8.0, 1.0])
+    out_name = "thresh_first_out"
+
+    def mk(stream):
+        t = streaming_threshold_transitions(stream, threshold=5.0)
+        return (
+            t.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .start()
+        )
+
+    _run_stream(spark, tmp_path, [b1, b2], mk)
+    got = [
+        (r["ts"], r["value"], r["event"])
+        for r in spark.sql(f"SELECT * FROM {out_name} ORDER BY ts").collect()
+    ]
+
+    batch_df = records_df(spark, b1 + b2)
+    cond = threshold_predicate("gt", F.col("value"), {"value": 5.0})
+    want = [
+        (r["signalk_timestamp"], r["value"], r["event"])
+        for r in threshold_transitions(batch_df, "signalk_timestamp", cond)
+        .orderBy("signalk_timestamp")
+        .collect()
+    ]
+    assert got == want
+    assert [e for _, _, e in got] == [
+        "activated", "deactivated", "activated", "deactivated"
+    ]
+    assert got[0][1] == 9.0  # the first observation itself fired
+
+
 def test_streaming_ema_state_continues_across_batches(spark, tmp_path):
     from signalk_parquet_spark.streaming.stateful import streaming_ema
 
