@@ -238,6 +238,56 @@ def tier_rollup_angular_1h(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- A8: angular lossless re-agg from the 1h tier's sin/cos partials -----------
+H3 = 3 * H  # 3 hours
+
+
+@register(
+    "angular_reagg_3h",
+    f"""
+    WITH t1 AS (
+      SELECT event_type, CAST(floor(epoch_ms(ts)/{H})*{H} AS BIGINT) AS b1,
+             avg(sin(radians(value))) AS sin_avg,
+             avg(cos(radians(value))) AS cos_avg,
+             count(value) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(epoch_ms(CAST(floor(b1/{H3})*{H3} AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS bucket_ts,
+           round(atan2(sum(sin_avg * n) / CAST(sum(n) AS BIGINT),
+                       sum(cos_avg * n) / CAST(sum(n) AS BIGINT)), 6) AS value_avg,
+           CAST(sum(n) AS BIGINT) AS sample_count
+    FROM t1 GROUP BY 1, 2
+    """,
+)
+def angular_reagg_3h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A8 — angular LOSSLESS re-aggregation: the 1h tier's persisted
+    sin/cos partials re-aggregate to 3h buckets via
+    ATAN2(SUM(sin*n)/SUM(n), SUM(cos*n)/SUM(n)) — the exact two-level path
+    operators/rollup.reaggregate_angular runs when the History planner
+    picks a coarser resolution than the stored tier
+    (HistoryAPI.ts:2461-2468). The oracle computes the SAME two-level plan
+    (identical float operations in identical grouping), so the gate proves
+    tier→tier reconstruction, complementing the pytest re-agg≡direct
+    equivalence (which is a property, not an engine-parity check)."""
+    from .operators.rollup import reaggregate_angular, rollup_angular
+
+    e = load(spark, sf, "events").select(
+        F.col("event_type").alias("context"),
+        F.lit("navigation.headingTrue").alias("path"),
+        F.col("ts").alias("signalk_timestamp"),
+        F.radians("value").alias("value"),
+    )
+    tier = rollup_angular(e, "1h")
+    out = reaggregate_angular(tier, H3)
+    return out.select(
+        F.col("context").alias("event_type"),
+        F.date_format("bucket", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts"),
+        F.round("value", 6).alias("value_avg"),
+        "sample_count",
+    )
+
+
 # --- §2.8: threshold automation (hysteresis transitions, batch twin) -----------
 @register(
     "threshold_transitions_gt50",

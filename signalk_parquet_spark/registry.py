@@ -187,22 +187,23 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r7 window (2 + 16 + 22 + 10 = 50), computed from the CORRECTNESS_r01-r06
+#: r7 window (3 + 16 + 22 + 9 = 50), computed from the CORRECTNESS_r01-r06
 #: union (every registered gate has a green row; staleness = last round
-#: with a row): 2 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
-#: oracle gate — and threshold_transitions_gt50 — §2.8 threshold
-#: automation's first), then the SIXTEEN r02-era gates the r6 plan
-#: deferred (r6 landed zero commits, so this rotation is VERDICT r6
-#: Next #1 verbatim), then all 22 r03-era gates (tpch2 tail, spatial set,
-#: cobucketed_revenue, glitch_speed_legs, bucket_avg_1h, approx_stats),
-#: then the 10 earliest-registered r04-era gates (the dedup family head —
-#: contiguous so the shared shingle/signature memo builds amortize in
-#: driver order like they do in bench order). Everything rotated out is
-#: green in CORRECTNESS_r06, so the union of round windows still covers
-#: every registered query.
+#: with a row): 3 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
+#: oracle gate, angular_reagg_3h — A8's tier→tier reconstruction, and
+#: threshold_transitions_gt50 — §2.8 threshold automation's first), then
+#: the SIXTEEN r02-era gates the r6 plan deferred (r6 landed zero commits,
+#: so this rotation is VERDICT r6 Next #1 verbatim), then all 22 r03-era
+#: gates (tpch2 tail, spatial set, cobucketed_revenue, glitch_speed_legs,
+#: bucket_avg_1h, approx_stats), then the 9 earliest-registered r04-era
+#: gates (the dedup family head — contiguous so the shared shingle/
+#: signature memo builds amortize in driver order like they do in bench
+#: order). Everything rotated out is green in CORRECTNESS_r06, so the
+#: union of round windows still covers every registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
     # --- new this round (first possible driver rows) ---
     "tier_rollup_angular_1h",
+    "angular_reagg_3h",
     "threshold_transitions_gt50",
     # --- stalest: last green r02 ---
     "topk_values",
@@ -254,7 +255,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_levenshtein",
     "dedup_keep_corpus",
     "dedup_cluster_cc",
-    "ann_lsh_bucketed",
+    # ann_lsh_bucketed (next in r04 registration order) ceded the 50th
+    # slot to the late-round angular_reagg_3h gate → r8
 )
 
 
