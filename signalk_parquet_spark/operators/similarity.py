@@ -226,7 +226,10 @@ def ann_topk_multitable(
 
     # qn2 comes from the SAME JVM expression the exact-knn gates use, so the
     # query-side norm is the proven oracle-equal value, not a re-derivation
-    q_rows = _with_norms(queries, id_col, vec_col, None).select("id", "emb", "n2").collect()
+    q_rows = bounded_collect(
+        _with_norms(queries, id_col, vec_col, None).select("id", "emb", "n2"),
+        "multitable LSH query set",
+    )
     qids = [r["id"] for r in q_rows]
     qmat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
     qn2 = np.array([r["n2"] for r in q_rows], dtype=np.float64)
@@ -263,6 +266,35 @@ def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
         d = F.lit(cn2) - F.lit(2.0) * dot(emb, clit, dim)
         choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
     return F.array_min(F.array(*choices))["cid"]
+
+
+#: driver-side row bound for the ANN family's BROADCAST CONTRACT tables
+#: (centroid/codeword/query sets): these are collected and inlined as
+#: literals or numpy broadcasts BY DESIGN (k ~ sqrt(N) coarse quantizers,
+#: caller-bounded query sets), and every docstring states the growth
+#: limit — this makes the limit ENFORCED instead of trusted (the SemDeDup
+#: max_cell lesson). 65536 rows x 64 dims x 8 B is ~34 MB on the driver
+#: and far past the point where literal inlining should have been swapped
+#: for kmeans_centroids + a join; a silent 10^7-row collect OOMs the
+#: driver instead of erroring.
+BROADCAST_MAX_ROWS = 65536
+
+
+def bounded_collect(df: DataFrame, what: str, max_rows: int = BROADCAST_MAX_ROWS):
+    """Collect a broadcast-contract table, erroring (instead of flooding
+    the driver) when it outgrew its contract. take() respects a preceding
+    orderBy, so the returned rows are the complete ordered set whenever
+    the bound holds."""
+    rows = df.take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what}: more than {max_rows} rows for a driver-side broadcast"
+            " table. This side is meant to be k ~ sqrt(N) (or a bounded"
+            " query set) — raise the stride / lower k, fit a learned"
+            " quantizer (kmeans_centroids) instead of stride selection, or"
+            " restructure the lookup as a join."
+        )
+    return rows
 
 
 #: default per-cell member cap for semantic_keep. The within-cell stage is
@@ -370,7 +402,7 @@ def semantic_keep(
             collection, centroids, id_col, vec_col, tau,
             max_cell=max_cell, on_oversize=on_oversize,
         )
-    cent_rows = centroids.orderBy("cid").collect()
+    cent_rows = bounded_collect(centroids.orderBy("cid"), "semantic_keep centroid table")
     e = _with_norms(collection, id_col, vec_col, dim)
     # materialize the assignment once: it feeds BOTH sides of the self-join
     # plus the final keep-join, and a persisted frame must be fully built
@@ -436,7 +468,9 @@ def _semantic_keep_fused(
     import numpy as np
     import pandas as pd
 
-    cent_rows = centroids.orderBy("cid").collect()  # ascending: argmin tie -> lowest cid
+    cent_rows = bounded_collect(  # ascending order: argmin tie -> lowest cid
+        centroids.orderBy("cid"), "semantic_keep centroid table"
+    )
     cids = np.array([int(r["cid"]) for r in cent_rows], dtype=np.int64)
     cmat = np.array([[float(x) for x in r["cemb"]] for r in cent_rows], dtype=np.float64)
     d_ = cmat.shape[1]
@@ -578,7 +612,9 @@ def pq_topk(
     e = collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
     # codebook: stride-selected vectors' subvectors, ascending id == ascending
     # codeword id, so argmin ties resolve identically in SQL (ORDER BY d, cid)
-    cw_rows = e.filter(F.col("id") % stride == 0).orderBy("id").collect()
+    cw_rows = bounded_collect(
+        e.filter(F.col("id") % stride == 0).orderBy("id"), "PQ codebook"
+    )
     cods = []  # per subspace: list of (cid, subvec, |c|^2)
     for m in range(n_sub):
         lo = m * sub_dim
@@ -606,9 +642,10 @@ def pq_topk(
     enc = enc.drop("qv")
 
     # per-(query, subspace) ADC lookup tables, position-aligned with codes
-    q_rows = (
+    q_rows = bounded_collect(
         queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
-        .orderBy("id").collect()
+        .orderBy("id"),
+        "PQ query set",
     )
     spark = collection.sparkSession
     lut_rows = []
@@ -655,7 +692,9 @@ def _fused_pq_topk(
     from ..functions.vectors import int8_quantize
 
     e = collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
-    cw_rows = e.filter(F.col("id") % stride == 0).orderBy("id").collect()
+    cw_rows = bounded_collect(
+        e.filter(F.col("id") % stride == 0).orderBy("id"), "PQ codebook"
+    )
     # (n_sub, K, sub_dim) codeword matrix + (n_sub, K) |c|^2, id-ordered so
     # np.argmin's first-occurrence tie == the expr path's lowest-cid tie
     cmat = np.array([r["qv"] for r in cw_rows], dtype=np.int64)  # (K, dim)
@@ -664,9 +703,10 @@ def _fused_pq_topk(
     )  # (n_sub, K, sub_dim)
     cc = np.einsum("mkd,mkd->mk", csub, csub)  # (n_sub, K) exact int64
 
-    q_rows = (
+    q_rows = bounded_collect(
         queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
-        .orderBy("id").collect()
+        .orderBy("id"),
+        "PQ query set",
     )
     qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
     qmat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # (Q, dim)
@@ -761,11 +801,11 @@ def ivfpq_topk(
         raise ValueError(f"ivfpq_topk mode must be 'expr' or 'numpy', got {mode!r}")
 
     # --- coarse (cell) quantizer: float-space argmin, inlined centroids
-    cent_rows = (
+    cent_rows = bounded_collect(
         _with_norms(collection.filter(F.col(id_col) % cell_stride == 0), id_col, vec_col, None)
         .select(F.col("id").alias("cid"), F.col("emb").alias("cemb"))
-        .orderBy("cid")
-        .collect()
+        .orderBy("cid"),
+        "IVF-PQ coarse centroid table",
     )
     e = collection.select(
         F.col(id_col).alias("id"),
@@ -774,11 +814,11 @@ def ivfpq_topk(
     ).withColumn("cell", cell_argmin_col(cent_rows, F.col("emb")))
 
     # --- fine (code) quantizer: integer PQ encoding per subspace
-    cw_rows = (
+    cw_rows = bounded_collect(
         collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
         .filter(F.col("id") % code_stride == 0)
-        .orderBy("id")
-        .collect()
+        .orderBy("id"),
+        "IVF-PQ fine codebook",
     )
     cods = []
     for m in range(n_sub):
@@ -806,15 +846,15 @@ def ivfpq_topk(
 
     # --- per-query probe cells (driver-side, same (d, cid) sort as the
     # oracle forms) + integer ADC LUTs
-    q_rows = (
+    q_rows = bounded_collect(
         _with_norms(queries, id_col, vec_col, None)
         .select("id", "emb")
         .join(
             queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv")),
             "id",
         )
-        .orderBy("id")
-        .collect()
+        .orderBy("id"),
+        "IVF-PQ query set",
     )
     spark = collection.sparkSession
     lut_rows = []
@@ -880,11 +920,11 @@ def _fused_ivfpq_topk(
     from ..functions.vectors import int8_quantize
 
     # --- coarse quantizer: float centroids, |c|^2 in oracle order
-    cent_rows = (
+    cent_rows = bounded_collect(
         _with_norms(collection.filter(F.col(id_col) % cell_stride == 0), id_col, vec_col, None)
         .select(F.col("id").alias("cid"), F.col("emb").alias("cemb"))
-        .orderBy("cid")
-        .collect()
+        .orderBy("cid"),
+        "IVF-PQ coarse centroid table",
     )
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([r["cemb"] for r in cent_rows], dtype=np.float64)  # (Kc, d)
@@ -894,11 +934,11 @@ def _fused_ivfpq_topk(
         cnorm += cmat[:, i] * cmat[:, i]
 
     # --- fine quantizer: int8 codewords, id-ordered (argmin tie == lowest cid)
-    cw_rows = (
+    cw_rows = bounded_collect(
         collection.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv"))
         .filter(F.col("id") % code_stride == 0)
-        .orderBy("id")
-        .collect()
+        .orderBy("id"),
+        "IVF-PQ fine codebook",
     )
     cwmat = np.array([r["qv"] for r in cw_rows], dtype=np.int64)  # (K, dim)
     csub = np.stack(
@@ -908,15 +948,15 @@ def _fused_ivfpq_topk(
 
     # --- queries: float side picks probe cells (plain-Python, same (d, cid)
     # sort as the expr window); int8 side builds the ADC LUTs
-    q_rows = (
+    q_rows = bounded_collect(
         _with_norms(queries, id_col, vec_col, None)
         .select("id", "emb")
         .join(
             queries.select(F.col(id_col).alias("id"), int8_quantize(vec_col).alias("qv")),
             "id",
         )
-        .orderBy("id")
-        .collect()
+        .orderBy("id"),
+        "IVF-PQ query set",
     )
     qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
     # dim-ordered numpy accumulation: bit-equal to the scalar loop, and
@@ -1177,7 +1217,7 @@ def _fused_ivf_topk(
     leave the workers UNROUNDED so Spark's own round applies."""
     import numpy as np
 
-    cent_rows = centroids.orderBy("cid").collect()  # K x dim, K is small
+    cent_rows = bounded_collect(centroids.orderBy("cid"), "IVF centroid table")  # K x dim
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([r["cemb"] for r in cent_rows], dtype=np.float64)  # (K, d)
     d_ = cmat.shape[1]
@@ -1185,7 +1225,10 @@ def _fused_ivf_topk(
     for i in range(d_):  # |c|^2 in the oracle's sequential order
         cnorm += cmat[:, i] * cmat[:, i]
 
-    q_rows = _with_norms(queries, id_col, vec_col, dim).select("id", "emb", "n2").collect()
+    q_rows = bounded_collect(
+        _with_norms(queries, id_col, vec_col, dim).select("id", "emb", "n2"),
+        "ANN query set",
+    )
     qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
     qmat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
     qn2 = np.array([r["n2"] for r in q_rows], dtype=np.float64)

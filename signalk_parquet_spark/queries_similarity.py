@@ -475,10 +475,9 @@ def _kmeans_cents(spark: SparkSession, sf: str) -> DataFrame:
         from .operators.similarity import kmeans_centroids
 
         e = load(spark, sf, "embeddings")
-        c = kmeans_centroids(e, "vec_id", "embedding", k=_KMEANS_K, seed=7)
-        c = c.persist()
-        c.count()
-        return c
+        # no inner persist: get_or_build(materialize=True) persists and
+        # counts the built frame itself
+        return kmeans_centroids(e, "vec_id", "embedding", k=_KMEANS_K, seed=7)
 
     return _KMEANS_MEMO.get_or_build(spark, f"kmeans_cents|{sf}", build)
 

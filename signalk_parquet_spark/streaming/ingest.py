@@ -149,6 +149,54 @@ def streaming_rollup(
     )
 
 
+def streaming_rollup_angular(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    tier_seconds: int = 5,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming ANGULAR tier rollup — the streaming twin of
+    operators/rollup.rollup_angular (SURVEY A11; the reference's rollup
+    service materializes angular tiers alongside scalar ones,
+    aggregation-service.ts:468-528): vector average via
+    ATAN2(AVG(SIN), AVG(COS)), the sin/cos PARTIALS persisted alongside
+    (so reaggregate_angular consumes streaming-produced tiers unchanged —
+    the A8 lossless re-agg state), min/max NULLed (extrema are
+    meaningless on a circle). Same watermark/append semantics as
+    streaming_rollup: each window emits once, after the watermark closes
+    it, so the written tier is restart-safe."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    v = F.col("value").cast("double")
+    return (
+        stream.withWatermark("signalk_timestamp", watermark)
+        .groupBy(
+            F.window("signalk_timestamp", f"{tier_seconds} seconds").alias("w"),
+            "context",
+            "path",
+        )
+        .agg(
+            F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))).alias("value_avg"),
+            F.lit(None).cast("double").alias("value_min"),
+            F.lit(None).cast("double").alias("value_max"),
+            F.count(v).alias("sample_count"),
+            F.avg(F.sin(v)).alias("value_sin_avg"),
+            F.avg(F.cos(v)).alias("value_cos_avg"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_time"),
+            "context",
+            "path",
+            "value_avg",
+            "value_min",
+            "value_max",
+            "sample_count",
+            "value_sin_avg",
+            "value_cos_avg",
+        )
+    )
+
+
 def start_rollup_job(
     spark: SparkSession,
     source_dir: str,
@@ -159,6 +207,7 @@ def start_rollup_job(
     tier_seconds: int = 5,
     watermark: str = "10 seconds",
     available_now: bool = True,
+    angular: bool = False,
 ) -> StreamingQuery:
     """The reference's ingest→rollup lifecycle (§2.10) as ONE continuously
     running pipeline: readStream → watermarked tumbling-window rollup →
@@ -176,7 +225,8 @@ def start_rollup_job(
     restarts and emit when later data closes them — nothing is lost.
     """
 
-    agg = streaming_rollup(spark, source_dir, schema, tier_seconds, watermark)
+    rollup = streaming_rollup_angular if angular else streaming_rollup
+    agg = rollup(spark, source_dir, schema, tier_seconds, watermark)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -587,6 +587,23 @@ def test_semantic_keep_cell_cap_guards_duplicate_flood(spark):
         assert got == base
 
 
+def test_bounded_collect_enforces_broadcast_contract(spark):
+    """The ANN family's driver-side tables (centroids, codebooks, query
+    sets) are broadcast BY CONTRACT with documented growth limits; r7 makes
+    the limit enforced (the SemDeDup max_cell lesson). Under the cap the
+    helper returns the complete ORDERED set; over it, a ValueError names
+    the remedies instead of flooding the driver."""
+    import pytest
+
+    from signalk_parquet_spark.operators.similarity import bounded_collect
+
+    df = spark.range(100).selectExpr("id AS cid").orderBy("cid")
+    rows = bounded_collect(df, "test table", max_rows=100)
+    assert [r["cid"] for r in rows] == list(range(100))  # complete + ordered
+    with pytest.raises(ValueError, match="kmeans_centroids"):
+        bounded_collect(df, "test table", max_rows=99)
+
+
 def test_pq_topk_compression_and_recall(spark):
     """PQ sanity on clustered toy data: same-cluster neighbors must fill the
     top-k (subspace codewords separate the clusters), and the encoded width

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import timedelta
 
+import pytest
 from pyspark.sql import functions as F
 
 from signalk_parquet_spark.schema import record_schema
@@ -105,6 +106,74 @@ def test_streaming_rollup_windowed(spark, tmp_path):
     got = {r["bucket_time"].second: r for r in spark.sql("SELECT * FROM rollup_out").collect()}
     assert got[0]["sample_count"] == 5 and got[0]["value_avg"] == 2.0
     assert got[5]["sample_count"] == 5 and got[5]["value_avg"] == 7.0
+
+
+def test_streaming_rollup_angular_matches_batch_tier(spark, tmp_path):
+    """The streaming angular rollup must equal the batch rollup_angular
+    tier bucket-for-bucket (value_avg, NULLed min/max, sin/cos partials,
+    counts), and its output must feed reaggregate_angular unchanged —
+    i.e. a streaming-produced angular tier IS an A8-consumable tier."""
+    import math
+
+    from signalk_parquet_spark.operators.rollup import (
+        reaggregate_angular,
+        rollup_angular,
+    )
+    from signalk_parquet_spark.streaming.ingest import streaming_rollup_angular
+
+    # headings that wrap through 360° so naive averaging would be wrong
+    degs = [350.0, 10.0, 20.0, 340.0, 0.0, 30.0, 355.0, 15.0, 5.0, 345.0]
+    rows = scalar_series(T0, [math.radians(d) for d in degs])  # 1 Hz
+    src = _write_source(spark, tmp_path, rows)
+    agg = streaming_rollup_angular(
+        spark, src, records_df(spark, rows).schema, tier_seconds=5
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_ang_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_tier = spark.sql("SELECT * FROM rollup_ang_out")
+    got = {
+        r["bucket_time"]: (
+            r["value_avg"], r["value_min"], r["value_max"],
+            r["sample_count"], r["value_sin_avg"], r["value_cos_avg"],
+        )
+        for r in stream_tier.collect()
+    }
+    batch = rollup_angular(records_df(spark, rows), "5s")
+    want = {
+        r["bucket_time"]: (
+            r["value_avg"], r["value_min"], r["value_max"],
+            r["sample_count"], r["value_sin_avg"], r["value_cos_avg"],
+        )
+        for r in batch.collect()
+    }
+    # floats pin to ~1 ulp, not bit-equality: the streaming path sums
+    # partials in micro-batch order, the batch path in scan order, and
+    # float addition is not associative (observed delta: 2 ulp)
+    assert set(got) == set(want) and len(want) == 2
+    for k, (avg, vmin, vmax, n, s, c) in want.items():
+        g_avg, g_min, g_max, g_n, g_s, g_c = got[k]
+        assert (g_min, g_max, g_n) == (vmin, vmax, n) == (None, None, 5)
+        assert g_avg == pytest.approx(avg, rel=1e-12, abs=1e-15)
+        assert g_s == pytest.approx(s, rel=1e-12, abs=1e-15)
+        assert g_c == pytest.approx(c, rel=1e-12, abs=1e-15)
+        assert -math.pi <= avg <= math.pi
+    # the wrap case: every bucket's vector average sits near 0° (=0 rad),
+    # where a naive arithmetic mean of the degree values would be ~180°
+    assert all(abs(avg) < math.radians(25) for avg, *_ in want.values())
+
+    # the streaming tier feeds the A8 re-agg unchanged
+    re_s = {r["bucket"]: r for r in reaggregate_angular(stream_tier, 10_000).collect()}
+    re_b = {r["bucket"]: r for r in reaggregate_angular(batch, 10_000).collect()}
+    assert set(re_s) == set(re_b) and len(re_s) == 1
+    for b in re_s:
+        assert re_s[b]["sample_count"] == re_b[b]["sample_count"] == 10
+        assert re_s[b]["value"] == pytest.approx(re_b[b]["value"], rel=1e-12)
 
 
 def test_streaming_session_windows(spark, tmp_path):
