@@ -199,6 +199,86 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- A12 end-to-end: glitch-scored representative point per bucket --------------
+@register(
+    "position_rollup_1h",
+    f"""
+    WITH p AS (
+      SELECT CAST(user_id AS VARCHAR) AS context, 'navigation.position' AS path,
+             ts, {_DD_LAT} AS lat, {_DD_LON} AS lon,
+             CAST(floor(epoch_ms(ts)/{H})*{H} AS BIGINT) AS bms
+      FROM events
+      WHERE {_DD_LAT} BETWEEN -90.0 AND 90.0 AND {_DD_LON} BETWEEN -180.0 AND 180.0
+    ), nb AS (
+      SELECT *,
+             lag(lat)  OVER w AS prev_lat, lag(lon)  OVER w AS prev_lon,
+             lag(ts)   OVER w AS prev_ts,
+             lead(lat) OVER w AS next_lat, lead(lon) OVER w AS next_lon,
+             lead(ts)  OVER w AS next_ts
+      FROM p WINDOW w AS (PARTITION BY context, path ORDER BY ts)
+    ), sc AS (
+      SELECT *,
+             coalesce(CAST((CASE WHEN abs(epoch_ms(prev_ts) - epoch_ms(ts)) > 0 THEN
+               {_DD_HAV.format(lat1="lat", lon1="lon", lat2="prev_lat", lon2="prev_lon")}
+                 / (CAST(abs(epoch_ms(prev_ts) - epoch_ms(ts)) AS DOUBLE) / 1000.0) END) > 25.0 AS INT), 0)
+           + coalesce(CAST((CASE WHEN abs(epoch_ms(next_ts) - epoch_ms(ts)) > 0 THEN
+               {_DD_HAV.format(lat1="lat", lon1="lon", lat2="next_lat", lon2="next_lon")}
+                 / (CAST(abs(epoch_ms(next_ts) - epoch_ms(ts)) AS DOUBLE) / 1000.0) END) > 25.0 AS INT), 0)
+             AS glitch_score,
+             abs(epoch_ms(ts) - (bms + {H // 2})) AS mid_dist_ms
+      FROM nb
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY context, path, bms
+        ORDER BY glitch_score, mid_dist_ms, ts) AS rn
+      FROM sc
+    ), stats AS (
+      SELECT context, path, bms, count(*) AS sample_count,
+             strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
+             strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+      FROM p GROUP BY 1, 2, 3
+    )
+    SELECT r.context, r.path,
+           strftime(epoch_ms(r.bms), '%Y-%m-%dT%H:%M:%SZ') AS bucket_ts,
+           r.lat AS value_latitude, r.lon AS value_longitude,
+           stats.sample_count, stats.first_ts, stats.last_ts
+    FROM r JOIN stats ON r.context = stats.context AND r.path = stats.path
+                     AND r.bms = stats.bms
+    WHERE r.rn = 1
+    """,
+)
+def position_rollup_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY A12 END-TO-END — the full position tier rollup
+    (operators/rollup.rollup_position; aggregation-service.ts:543-668):
+    lag/lead neighbor legs, implied-speed glitch score (>25 m/s,
+    constants.ts:17), representative point = ROW_NUMBER()=1 by
+    (glitch_score, |ts − bucket midpoint|, ts) — all ranking keys are
+    integers (the speed test is a continuum threshold, CLAUDE.md rule 4),
+    so the pick is engine-exact with no float ordering anywhere — joined
+    to per-bucket sample stats. Complements glitch_speed_legs, which
+    gates only the scoring rule."""
+    e = load(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("context"),
+        F.lit("navigation.position").alias("path"),
+        F.col("ts").cast("timestamp").alias("signalk_timestamp"),
+        _lat().alias("value_latitude"),
+        _lon().alias("value_longitude"),
+    )
+    from .operators.rollup import rollup_position
+
+    out = rollup_position(e, "1h")
+    return out.select(
+        "context",
+        "path",
+        F.date_format("bucket_time", ISO_BUCKET_FMT).alias("bucket_ts"),
+        "value_latitude",
+        "value_longitude",
+        "sample_count",
+        F.date_format("first_timestamp", ISO_BUCKET_FMT).alias("first_ts"),
+        F.date_format("last_timestamp", ISO_BUCKET_FMT).alias("last_ts"),
+    )
+
+
 # --- J6: spatial proximity self-join (the reference's documented example) ----------
 #: proximity threshold. 1000 km (not the reference example's ~100 m): the
 #: synthetic event coordinates are pseudo-uniform over the whole globe, so at

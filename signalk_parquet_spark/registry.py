@@ -187,7 +187,7 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r7 window (3 + 16 + 22 + 9 = 50), computed from the CORRECTNESS_r01-r06
+#: r7 window (4 + 16 + 22 + 8 = 50), computed from the CORRECTNESS_r01-r06
 #: union (every registered gate has a green row; staleness = last round
 #: with a row): 3 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
 #: oracle gate, angular_reagg_3h — A8's tier→tier reconstruction, and
@@ -195,7 +195,7 @@ def oracle_sql() -> dict[str, str]:
 #: the SIXTEEN r02-era gates the r6 plan deferred (r6 landed zero commits,
 #: so this rotation is VERDICT r6 Next #1 verbatim), then all 22 r03-era
 #: gates (tpch2 tail, spatial set, cobucketed_revenue, glitch_speed_legs,
-#: bucket_avg_1h, approx_stats), then the 9 earliest-registered r04-era
+#: bucket_avg_1h, approx_stats), then the 8 earliest-registered r04-era
 #: gates (the dedup family head — contiguous so the shared shingle/
 #: signature memo builds amortize in driver order like they do in bench
 #: order). Everything rotated out is green in CORRECTNESS_r06, so the
@@ -205,6 +205,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tier_rollup_angular_1h",
     "angular_reagg_3h",
     "threshold_transitions_gt50",
+    "position_rollup_1h",
     # --- stalest: last green r02 ---
     "topk_values",
     "distinct_users",
@@ -254,9 +255,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_simhash_hamming1",
     "dedup_levenshtein",
     "dedup_keep_corpus",
-    "dedup_cluster_cc",
-    # ann_lsh_bucketed (next in r04 registration order) ceded the 50th
-    # slot to the late-round angular_reagg_3h gate → r8
+    # dedup_cluster_cc / ann_lsh_bucketed (next in r04 registration order)
+    # ceded the last two slots to the late-round angular_reagg_3h and
+    # position_rollup_1h gates → r8
 )
 
 
