@@ -18,19 +18,19 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
-#: `--smoke`: the 20 heaviest gates of the official r7 full run (~39% of
+#: `--smoke`: the 20 heaviest gates of the official r7 full run (~42% of
 #: total wall in ~1/7 of the queries) — the dev-loop perf tier so
 #: iteration doesn't pay a 110 s full session. Record official numbers
 #: from FULL runs only; refresh this list from BENCH_local.json when the
 #: heavy set shifts (it shifts with every window rotation: family-shared
 #: memo builds are charged to the first consumer in the current order).
 SMOKE_TIER = (
-    "ann_ivf_kmeans,image_dedup_decisions,bpe_train_merges,"
-    "video_dedup_decisions,audio_dedup_decisions,dedup_keep_corpus,"
-    "decontaminate_bloom,cobucketed_revenue,dedup_jaccard_prefix,"
-    "bloom_fp_rate,image_dedup_decisions_phash,tier_rollup_angular_1h,"
-    "dedup_ngram_jaccard,dsir_weights,threshold_transitions_gt50,"
-    "tpch_q2,proximity_pairs,tpch_q21,tpch_q8,curation_diverse"
+    "dedup_keep_corpus,image_dedup_decisions,video_dedup_decisions,"
+    "audio_dedup_decisions,ann_ivf_kmeans,bpe_train_merges,"
+    "position_rollup_1h,cobucketed_revenue,dedup_jaccard_prefix,"
+    "image_dedup_decisions_phash,decontaminate_bloom,bloom_fp_rate,"
+    "dedup_ngram_jaccard,tier_rollup_angular_1h,dsir_weights,"
+    "semdedup_recall,tpch_q21,dedup_winnowing,proximity_pairs,tpch_q2"
 ).split(",")
 
 
