@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+JSON line: {"queries": {name: sec, ...}, "order": ..., "metric": ...,
+"unit": "sec", "n_queries": N, "sf": ..., "host": {...}, "value": total}.
+
+KEY ORDER IS PART OF THE CONTRACT: the driver records only the LAST 2000
+chars of this line, so the headline keys (value/sf/host) must come AFTER
+the per-query map — do not "restore" a value-first order (that was six
+rounds of parsed:null bench artifacts, r1-r6).
 """
 
 from __future__ import annotations

@@ -66,7 +66,12 @@ def rollup_angular(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") 
     )
 
 
-def rollup_position(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") -> DataFrame:
+def rollup_position(
+    df: DataFrame,
+    tier: str,
+    ts_col: str = "signalk_timestamp",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """A12 — representative-point-per-bucket with GPS-glitch rejection
     (aggregation-service.ts:543-668):
 
@@ -79,20 +84,28 @@ def rollup_position(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp")
     Spark form: two windows over the SAME partitioning key, then an
     aggregate — one shuffle total (the reference runs this as one DuckDB
     query per (context, path, day)).
+
+    ``tiebreak_cols`` extend every ordering past ts: with duplicate
+    timestamps in one (context, path) series, neighbor assignment and the
+    rn=1 pick would otherwise be partition-layout-dependent (the
+    threshold_transitions lesson) — pass a unique id column whenever the
+    input can carry same-ts rows.
     """
     ms = TIER_MS[tier]
+    tb = [F.col(c) for c in tiebreak_cols]
     base = _bucketed(df, tier, ts_col).select(
         "context",
         "path",
         "bucket_time",
         F.col(ts_col).alias("ts"),
+        *tiebreak_cols,
         F.col("value_latitude").cast("double").alias("lat"),
         F.col("value_longitude").cast("double").alias("lon"),
     ).filter(
         F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0)
     )
 
-    w = Window.partitionBy("context", "path").orderBy("ts")
+    w = Window.partitionBy("context", "path").orderBy(F.col("ts"), *tb)
     with_nbrs = (
         base.withColumn("prev_lat", F.lag("lat").over(w))
         .withColumn("prev_lon", F.lag("lon").over(w))
@@ -122,7 +135,7 @@ def rollup_position(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp")
     )
 
     pick = Window.partitionBy("context", "path", "bucket_time").orderBy(
-        F.col("glitch_score"), F.col("mid_dist_ms"), F.col("ts")
+        F.col("glitch_score"), F.col("mid_dist_ms"), F.col("ts"), *tb
     )
     rep = (
         scored.withColumn("rn", F.row_number().over(pick))

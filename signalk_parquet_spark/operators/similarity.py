@@ -308,11 +308,21 @@ SEMANTIC_MAX_CELL = 8192
 
 def _semantic_shard(n_over: Column, id_c: Column, max_cell: int) -> Column:
     """Deterministic shard index for a member of an oversized cell: hash of
-    the id modulo the number of shards that brings every shard under
-    max_cell. Members of normal cells all land in shard 0."""
+    the id modulo ceil(1.25 * m / max_cell) shards, so the EXPECTED shard
+    size is <= 0.8 * max_cell. Honest bound: hash-modulo splitting bounds
+    shard size in distribution, not absolutely — but with the 25% headroom
+    a shard exceeding max_cell needs a binomial deviation of many standard
+    deviations (for m = 10^6, max_cell = 8192: mean 6536, sd ~81, the cap
+    sits 20+ sd out), so the per-task memory bound holds in practice while
+    staying one map-side expression. Members of normal cells all land in
+    shard 0."""
+    n_shards = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(n_over * F.lit(1.25) / max_cell).cast("long"),
+    )
     return F.when(
         n_over > max_cell,
-        F.pmod(F.xxhash64(id_c), F.ceil(n_over / max_cell).cast("long")),
+        F.pmod(F.xxhash64(id_c), n_shards),
     ).otherwise(F.lit(0).cast("long"))
 
 
@@ -501,12 +511,15 @@ def _semantic_keep_fused(
 
     group_keys = ["cid"]
     if max_cell is not None and on_oversize == "shard":
-        # one extra pass: cell sizes (tiny — one row per cell, broadcast
-        # back) pick a deterministic hash-shard count per oversized cell.
-        # Persist so the counts pass and the keep pass share one
-        # assignment computation (materialized before the fork, CLAUDE.md).
-        assigned = assigned.persist()
-        assigned.count()
+        # cell sizes (tiny — one row per cell, broadcast back) pick a
+        # deterministic hash-shard count per oversized cell. The counts
+        # pass re-runs the map-only assignment stage rather than
+        # persist()ing it: an operator-internal persist feeding the
+        # returned lineage can never be released (the r5 ad-hoc-persist
+        # class), and one extra deterministic numpy map stage on the rare
+        # oversized-corpus path is cheaper than pinning the full (id,
+        # cid, emb) frame for the session. Callers looping many corpora
+        # through this path stay leak-free with zero discipline required.
         sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("m"))
         assigned = assigned.join(F.broadcast(sizes), "cid").withColumn(
             "shard", _semantic_shard(F.col("m"), F.col("id"), max_cell)

@@ -205,7 +205,7 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH p AS (
       SELECT CAST(user_id AS VARCHAR) AS context, 'navigation.position' AS path,
-             ts, {_DD_LAT} AS lat, {_DD_LON} AS lon,
+             ts, event_id, {_DD_LAT} AS lat, {_DD_LON} AS lon,
              CAST(floor(epoch_ms(ts)/{H})*{H} AS BIGINT) AS bms
       FROM events
       WHERE {_DD_LAT} BETWEEN -90.0 AND 90.0 AND {_DD_LON} BETWEEN -180.0 AND 180.0
@@ -215,7 +215,7 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
              lag(ts)   OVER w AS prev_ts,
              lead(lat) OVER w AS next_lat, lead(lon) OVER w AS next_lon,
              lead(ts)  OVER w AS next_ts
-      FROM p WINDOW w AS (PARTITION BY context, path ORDER BY ts)
+      FROM p WINDOW w AS (PARTITION BY context, path ORDER BY ts, event_id)
     ), sc AS (
       SELECT *,
              coalesce(CAST((CASE WHEN abs(epoch_ms(prev_ts) - epoch_ms(ts)) > 0 THEN
@@ -230,7 +230,7 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
     ), r AS (
       SELECT *, row_number() OVER (
         PARTITION BY context, path, bms
-        ORDER BY glitch_score, mid_dist_ms, ts) AS rn
+        ORDER BY glitch_score, mid_dist_ms, ts, event_id) AS rn
       FROM sc
     ), stats AS (
       SELECT context, path, bms, count(*) AS sample_count,
@@ -252,8 +252,10 @@ def position_rollup_1h(spark: SparkSession, sf: str) -> DataFrame:
     (operators/rollup.rollup_position; aggregation-service.ts:543-668):
     lag/lead neighbor legs, implied-speed glitch score (>25 m/s,
     constants.ts:17), representative point = ROW_NUMBER()=1 by
-    (glitch_score, |ts − bucket midpoint|, ts) — all ranking keys are
-    integers (the speed test is a continuum threshold, CLAUDE.md rule 4),
+    (glitch_score, |ts − bucket midpoint|, ts, event_id) — all ranking
+    keys are integers (the speed test is a continuum threshold, CLAUDE.md
+    rule 4) and event_id makes the order TOTAL even under duplicate
+    timestamps (no layout dependence — the threshold_transitions lesson),
     so the pick is engine-exact with no float ordering anywhere — joined
     to per-bucket sample stats. Complements glitch_speed_legs, which
     gates only the scoring rule."""
@@ -261,12 +263,13 @@ def position_rollup_1h(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id").cast("string").alias("context"),
         F.lit("navigation.position").alias("path"),
         F.col("ts").cast("timestamp").alias("signalk_timestamp"),
+        "event_id",
         _lat().alias("value_latitude"),
         _lon().alias("value_longitude"),
     )
     from .operators.rollup import rollup_position
 
-    out = rollup_position(e, "1h")
+    out = rollup_position(e, "1h", tiebreak_cols=("event_id",))
     return out.select(
         "context",
         "path",

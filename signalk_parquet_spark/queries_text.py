@@ -373,6 +373,6 @@ def _approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-from .registry import REGISTRY as _REG  # noqa: E402
-
-_REG["approx_stats"] = (_approx_stats, None)
+# through register() (not a raw REGISTRY write) so the name lands in
+# _REGISTRATION_ORDER — window_check --suggest's tie-break reads it
+register("approx_stats", None)(_approx_stats)

@@ -18,13 +18,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+#: TRUE registration order (module import order × in-module order) —
+#: REGISTRY itself is reordered by _apply_window_order, so anything that
+#: needs the un-rotated order (window_check --suggest's tie-break, family
+#: contiguity reasoning) must read this, not REGISTRY/queries() order.
+_REGISTRATION_ORDER: list[str] = []
+
 
 def register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name not in REGISTRY:
+            _REGISTRATION_ORDER.append(name)
         REGISTRY[name] = (fn, sql)
         return fn
 
     return deco
+
+
+def registration_order() -> list[str]:
+    """All registered names in true registration order (imports everything)."""
+    _import_all()
+    return list(_REGISTRATION_ORDER)
 
 
 #: tables whose queries do heavy map-side CPU work (shingling, hashing,
@@ -189,9 +203,10 @@ def oracle_sql() -> dict[str, str]:
 #:
 #: r7 window (4 + 16 + 22 + 8 = 50), computed from the CORRECTNESS_r01-r06
 #: union (every registered gate has a green row; staleness = last round
-#: with a row): 3 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
-#: oracle gate, angular_reagg_3h — A8's tier→tier reconstruction, and
-#: threshold_transitions_gt50 — §2.8 threshold automation's first), then
+#: with a row): 4 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
+#: oracle gate, angular_reagg_3h — A8's tier→tier reconstruction,
+#: threshold_transitions_gt50 — §2.8 threshold automation's first, and
+#: position_rollup_1h — A12 end-to-end), then
 #: the SIXTEEN r02-era gates the r6 plan deferred (r6 landed zero commits,
 #: so this rotation is VERDICT r6 Next #1 verbatim), then all 22 r03-era
 #: gates (tpch2 tail, spatial set, cobucketed_revenue, glitch_speed_legs,

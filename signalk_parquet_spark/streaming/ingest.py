@@ -111,6 +111,38 @@ def start_file_ingest(
     return writer.trigger(processingTime="30 seconds").start()
 
 
+def _windowed_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    tier_seconds: int,
+    watermark: str,
+    agg_cols: dict,
+) -> DataFrame:
+    """Shared scaffolding of the scalar/angular streaming rollups: one
+    watermarked tumbling-window groupBy over (window, context, path) with
+    the caller's {name: aggregate} dict — scalar and angular twins differ
+    ONLY in their aggregates, so the watermark/window/reader shape lives
+    once."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg_names = list(agg_cols)
+    return (
+        stream.withWatermark("signalk_timestamp", watermark)
+        .groupBy(
+            F.window("signalk_timestamp", f"{tier_seconds} seconds").alias("w"),
+            "context",
+            "path",
+        )
+        .agg(*[c.alias(n) for n, c in agg_cols.items()])
+        .select(
+            F.col("w.start").alias("bucket_time"),
+            "context",
+            "path",
+            *agg_names,
+        )
+    )
+
+
 def streaming_rollup(
     spark: SparkSession,
     source_dir: str,
@@ -122,30 +154,15 @@ def streaming_rollup(
     declarative form of the reference's batch raw→5s job + its 48 h lateness
     bound (SURVEY §2.8). Returns the streaming DataFrame for the caller to
     sink (tests use format('memory') + availableNow)."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
     v = F.col("value").cast("double")
-    return (
-        stream.withWatermark("signalk_timestamp", watermark)
-        .groupBy(
-            F.window("signalk_timestamp", f"{tier_seconds} seconds").alias("w"),
-            "context",
-            "path",
-        )
-        .agg(
-            F.avg(v).alias("value_avg"),
-            F.min(v).alias("value_min"),
-            F.max(v).alias("value_max"),
-            F.count(v).alias("sample_count"),
-        )
-        .select(
-            F.col("w.start").alias("bucket_time"),
-            "context",
-            "path",
-            "value_avg",
-            "value_min",
-            "value_max",
-            "sample_count",
-        )
+    return _windowed_rollup(
+        spark, source_dir, schema, tier_seconds, watermark,
+        {
+            "value_avg": F.avg(v),
+            "value_min": F.min(v),
+            "value_max": F.max(v),
+            "sample_count": F.count(v),
+        },
     )
 
 
@@ -166,34 +183,17 @@ def streaming_rollup_angular(
     meaningless on a circle). Same watermark/append semantics as
     streaming_rollup: each window emits once, after the watermark closes
     it, so the written tier is restart-safe."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
     v = F.col("value").cast("double")
-    return (
-        stream.withWatermark("signalk_timestamp", watermark)
-        .groupBy(
-            F.window("signalk_timestamp", f"{tier_seconds} seconds").alias("w"),
-            "context",
-            "path",
-        )
-        .agg(
-            F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))).alias("value_avg"),
-            F.lit(None).cast("double").alias("value_min"),
-            F.lit(None).cast("double").alias("value_max"),
-            F.count(v).alias("sample_count"),
-            F.avg(F.sin(v)).alias("value_sin_avg"),
-            F.avg(F.cos(v)).alias("value_cos_avg"),
-        )
-        .select(
-            F.col("w.start").alias("bucket_time"),
-            "context",
-            "path",
-            "value_avg",
-            "value_min",
-            "value_max",
-            "sample_count",
-            "value_sin_avg",
-            "value_cos_avg",
-        )
+    return _windowed_rollup(
+        spark, source_dir, schema, tier_seconds, watermark,
+        {
+            "value_avg": F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))),
+            "value_min": F.lit(None).cast("double"),
+            "value_max": F.lit(None).cast("double"),
+            "sample_count": F.count(v),
+            "value_sin_avg": F.avg(F.sin(v)),
+            "value_cos_avg": F.avg(F.cos(v)),
+        },
     )
 
 

@@ -569,9 +569,10 @@ def test_semantic_keep_cell_cap_guards_duplicate_flood(spark):
         for i in full:
             if not sharded[i][1]:
                 assert not full[i][1]
-        # each shard (≤16 members) still collapses internally: far fewer
-        # keepers than the flood, and the tiny cell is untouched
-        assert sum(1 for i, (c, kp) in sharded.items() if c == 0 and kp) <= 4
+        # each shard still collapses internally: at most one keeper per
+        # shard (ceil(1.25*60/16) = 5 shards with the headroom factor),
+        # far fewer than the 60-member flood; the tiny cell is untouched
+        assert sum(1 for i, (c, kp) in sharded.items() if c == 0 and kp) <= 5
         # the under-capacity cell is bit-identical to the uncapped run
         assert all(sharded[i] == full[i] for i in (100, 101, 102))
 

@@ -42,8 +42,15 @@ def last_green_rounds(repo_root: str) -> dict[str, int]:
 
 
 def suggest(names: list[str], last: dict[str, int]) -> list[str]:
-    reg_pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last.get(n, -1), reg_pos[n]))[:50]
+    # ties break in TRUE registration order, not the _WINDOW_FIRST-rotated
+    # queries() order — the rotated order would rank currently-windowed
+    # gates ahead of equally-stale siblings and split families
+    reg_pos = {n: i for i, n in enumerate(registry.registration_order())}
+    # .get fallback: a name registered by some future non-register() path
+    # sorts last instead of crashing the suggester
+    return sorted(
+        names, key=lambda n: (last.get(n, -1), reg_pos.get(n, len(reg_pos)))
+    )[:50]
 
 
 def main() -> int:
