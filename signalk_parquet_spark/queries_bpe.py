@@ -80,3 +80,48 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     merges = train_bpe(word_freq(d), N_MERGES, tiny=True)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank int, left string, right string, merged string")
+
+
+#: unigram seed substring length cap for the gate (operators/unigram.py
+#: default; small enough that the oracle's lateral range stays cheap)
+_UG_LEN = 4
+
+
+@register(
+    "unigram_seed_counts",
+    f"""
+    WITH w AS (
+      SELECT x AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+      GROUP BY 1
+    ), s AS (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM w, range(1, 1000) t(i), range(1, {_UG_LEN + 1}) u(l)
+      WHERE i + l <= len(word) + 1
+      GROUP BY 1
+    )
+    SELECT piece, cnt FROM s ORDER BY cnt DESC, piece ASC LIMIT 200
+    """,
+)
+def unigram_seed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM trainer seeding statistics (operators/unigram.seed_pieces;
+    Kudo 2018's candidate-vocabulary stage): corpus-weighted counts of every
+    substring occurrence up to length {_UG_LEN}, top 200 by (count DESC,
+    piece ASC) — a deterministic total order. The oracle builds the same
+    table with a lateral (position, length) range product. Plan: one
+    corpus-sized word rollup, one Arrow map stage over the distinct-word
+    table with map-side pre-aggregation, one piece-keyed rollup, top-k.
+    The full iterative trainer (train_unigram) is oracle-less by the same
+    argument as bpe_train_merges; its evidence is tests/test_unigram.py's
+    differential against an enumeration-based (non-DP) pure-Python
+    reference."""
+    from .operators.unigram import seed_pieces
+
+    d = load(spark, sf, "documents")
+    return (
+        seed_pieces(word_freq(d), max_piece_len=_UG_LEN)
+        .orderBy(F.desc("count"), F.asc("piece"))
+        .limit(200)
+        .select("piece", F.col("count").alias("cnt"))
+    )

@@ -201,16 +201,17 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r7 window (4 + 16 + 22 + 8 = 50), computed from the CORRECTNESS_r01-r06
+#: r7 window (5 + 16 + 22 + 7 = 50), computed from the CORRECTNESS_r01-r06
 #: union (every registered gate has a green row; staleness = last round
-#: with a row): 4 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
+#: with a row): 5 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
 #: oracle gate, angular_reagg_3h — A8's tier→tier reconstruction,
 #: threshold_transitions_gt50 — §2.8 threshold automation's first, and
-#: position_rollup_1h — A12 end-to-end), then
+#: position_rollup_1h — A12 end-to-end, and unigram_seed_counts —
+#: the unigram tokenizer trainer's seeding stage), then
 #: the SIXTEEN r02-era gates the r6 plan deferred (r6 landed zero commits,
 #: so this rotation is VERDICT r6 Next #1 verbatim), then all 22 r03-era
 #: gates (tpch2 tail, spatial set, cobucketed_revenue, glitch_speed_legs,
-#: bucket_avg_1h, approx_stats), then the 8 earliest-registered r04-era
+#: bucket_avg_1h, approx_stats), then the 7 earliest-registered r04-era
 #: gates (the dedup family head — contiguous so the shared shingle/
 #: signature memo builds amortize in driver order like they do in bench
 #: order). Everything rotated out is green in CORRECTNESS_r06, so the
@@ -221,6 +222,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "angular_reagg_3h",
     "threshold_transitions_gt50",
     "position_rollup_1h",
+    "unigram_seed_counts",
     # --- stalest: last green r02 ---
     "topk_values",
     "distinct_users",
@@ -269,10 +271,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_simhash_hamming1",
     "dedup_levenshtein",
-    "dedup_keep_corpus",
-    # dedup_cluster_cc / ann_lsh_bucketed (next in r04 registration order)
-    # ceded the last two slots to the late-round angular_reagg_3h and
-    # position_rollup_1h gates → r8
+    # dedup_keep_corpus / dedup_cluster_cc / ann_lsh_bucketed (next in
+    # r04 registration order) ceded the last three slots to the late-round
+    # angular_reagg_3h / position_rollup_1h / unigram_seed_counts gates → r8
 )
 
 
