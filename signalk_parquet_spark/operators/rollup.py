@@ -72,24 +72,37 @@ def rollup_position(
     ts_col: str = "signalk_timestamp",
     tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """A12 — representative-point-per-bucket with GPS-glitch rejection
-    (aggregation-service.ts:543-668):
+    """A12 — representative-point-per-bucket with GPS-glitch rejection,
+    reference-EXACT vs aggregation-service.ts:593-635 (the three r7-verdict
+    fidelity deltas are resolved in the reference's favor):
 
-    1. lag/lead neighbors per (context, path) ordered by ts;
-    2. glitch score = count of neighbor legs implying speed > 25 m/s;
-    3. representative point = ROW_NUMBER()=1 ordering by (score asc,
-       |ts - bucket midpoint|) — cleanest point nearest the midpoint;
+    1. lag/lead neighbors per (context, path, **bucket_time**) ordered by
+       ts — neighbor legs do NOT cross bucket boundaries, so each bucket's
+       first/last point has a NULL neighbor on that side (`:603`);
+    2. ok score = count of trustworthy neighbor legs: a NULL neighbor is
+       trusted (ok=1, `WHEN prev_ts IS NULL THEN 1`, `:609`), a leg is
+       trusted when implied speed ≤ 25 m/s with the duration clamped by
+       ``GREATEST(dt, 0.001)`` (`:611`) — so a duplicate-timestamp jump IS
+       a glitch (speed → dist/0.001), not a NULL;
+    3. representative point = ROW_NUMBER()=1 ordering by (ok desc,
+       at-or-after-midpoint first (`:632`), |ts − bucket midpoint|) —
+       cleanest point nearest the midpoint, biased to the later half;
     4. joined with per-bucket sample stats.
 
-    Spark form: two windows over the SAME partitioning key, then an
-    aggregate — one shuffle total (the reference runs this as one DuckDB
-    query per (context, path, day)).
+    Spark form: two windows over the SAME partitioning key
+    (context, path, bucket_time), then an aggregate — one shuffle total
+    (the reference runs this as one DuckDB query per (context, path, day)).
 
     ``tiebreak_cols`` extend every ordering past ts: with duplicate
     timestamps in one (context, path) series, neighbor assignment and the
     rn=1 pick would otherwise be partition-layout-dependent (the
     threshold_transitions lesson) — pass a unique id column whenever the
-    input can carry same-ts rows.
+    input can carry same-ts rows. (The reference's ORDER BY ends at the
+    midpoint distance, leaving exact ties layout-dependent; the tiebreaks
+    only ever extend its ordering, never reorder it.)
+
+    Pinned by tests/test_rollup_position.py's crafted bucket-edge /
+    duplicate-timestamp differential cases.
     """
     ms = TIER_MS[tier]
     tb = [F.col(c) for c in tiebreak_cols]
@@ -105,7 +118,7 @@ def rollup_position(
         F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0)
     )
 
-    w = Window.partitionBy("context", "path").orderBy(F.col("ts"), *tb)
+    w = Window.partitionBy("context", "path", "bucket_time").orderBy(F.col("ts"), *tb)
     with_nbrs = (
         base.withColumn("prev_lat", F.lag("lat").over(w))
         .withColumn("prev_lon", F.lag("lon").over(w))
@@ -115,27 +128,30 @@ def rollup_position(
         .withColumn("next_ts", F.lead("ts").over(w))
     )
 
-    def speed_to(lat2, lon2, ts2):
+    def leg_ok(lat2, lon2, ts2):
+        # NULL neighbor → trusted; zero/negative duration clamped to 1 ms
+        # so a duplicate-ts jump scores as a glitch (reference :609-612).
         dist = haversine_m(F.col("lat"), F.col("lon"), lat2, lon2)
         dt = F.abs(F.unix_millis(ts2) - F.unix_millis(F.col("ts"))).cast("double") / 1000.0
-        return F.when(dt > 0, dist / dt)
+        return F.when(ts2.isNull(), F.lit(1)).otherwise(
+            (dist / F.greatest(dt, F.lit(0.001)) <= POSITION_MAX_SPEED_MPS).cast("int")
+        )
 
-    glitch_prev = (
-        speed_to(F.col("prev_lat"), F.col("prev_lon"), F.col("prev_ts")) > POSITION_MAX_SPEED_MPS
-    )
-    glitch_next = (
-        speed_to(F.col("next_lat"), F.col("next_lon"), F.col("next_ts")) > POSITION_MAX_SPEED_MPS
-    )
     scored = with_nbrs.withColumn(
-        "glitch_score",
-        F.coalesce(glitch_prev.cast("int"), F.lit(0)) + F.coalesce(glitch_next.cast("int"), F.lit(0)),
+        "ok_score",
+        leg_ok(F.col("prev_lat"), F.col("prev_lon"), F.col("prev_ts"))
+        + leg_ok(F.col("next_lat"), F.col("next_lon"), F.col("next_ts")),
     ).withColumn(
-        "mid_dist_ms",
-        F.abs(F.unix_millis(F.col("ts")) - (F.unix_millis(F.col("bucket_time")) + F.lit(ms // 2))),
+        "mid_delta_ms",
+        F.unix_millis(F.col("ts")) - (F.unix_millis(F.col("bucket_time")) + F.lit(ms // 2)),
     )
 
     pick = Window.partitionBy("context", "path", "bucket_time").orderBy(
-        F.col("glitch_score"), F.col("mid_dist_ms"), F.col("ts"), *tb
+        F.col("ok_score").desc(),
+        F.when(F.col("mid_delta_ms") >= 0, F.lit(0)).otherwise(F.lit(1)),
+        F.abs(F.col("mid_delta_ms")),
+        F.col("ts"),
+        *tb,
     )
     rep = (
         scored.withColumn("rn", F.row_number().over(pick))

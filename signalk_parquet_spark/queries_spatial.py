@@ -215,22 +215,25 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
              lag(ts)   OVER w AS prev_ts,
              lead(lat) OVER w AS next_lat, lead(lon) OVER w AS next_lon,
              lead(ts)  OVER w AS next_ts
-      FROM p WINDOW w AS (PARTITION BY context, path ORDER BY ts, event_id)
+      FROM p WINDOW w AS (PARTITION BY context, path, bms ORDER BY ts, event_id)
     ), sc AS (
       SELECT *,
-             coalesce(CAST((CASE WHEN abs(epoch_ms(prev_ts) - epoch_ms(ts)) > 0 THEN
-               {_DD_HAV.format(lat1="lat", lon1="lon", lat2="prev_lat", lon2="prev_lon")}
-                 / (CAST(abs(epoch_ms(prev_ts) - epoch_ms(ts)) AS DOUBLE) / 1000.0) END) > 25.0 AS INT), 0)
-           + coalesce(CAST((CASE WHEN abs(epoch_ms(next_ts) - epoch_ms(ts)) > 0 THEN
-               {_DD_HAV.format(lat1="lat", lon1="lon", lat2="next_lat", lon2="next_lon")}
-                 / (CAST(abs(epoch_ms(next_ts) - epoch_ms(ts)) AS DOUBLE) / 1000.0) END) > 25.0 AS INT), 0)
-             AS glitch_score,
-             abs(epoch_ms(ts) - (bms + {H // 2})) AS mid_dist_ms
+             (CASE WHEN prev_ts IS NULL THEN 1
+                   WHEN {_DD_HAV.format(lat1="lat", lon1="lon", lat2="prev_lat", lon2="prev_lon")}
+                 / greatest(CAST(abs(epoch_ms(prev_ts) - epoch_ms(ts)) AS DOUBLE) / 1000.0, 0.001)
+                 <= 25.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN next_ts IS NULL THEN 1
+                   WHEN {_DD_HAV.format(lat1="lat", lon1="lon", lat2="next_lat", lon2="next_lon")}
+                 / greatest(CAST(abs(epoch_ms(next_ts) - epoch_ms(ts)) AS DOUBLE) / 1000.0, 0.001)
+                 <= 25.0 THEN 1 ELSE 0 END)
+             AS ok_score,
+             epoch_ms(ts) - (bms + {H // 2}) AS mid_delta_ms
       FROM nb
     ), r AS (
       SELECT *, row_number() OVER (
         PARTITION BY context, path, bms
-        ORDER BY glitch_score, mid_dist_ms, ts, event_id) AS rn
+        ORDER BY ok_score DESC, CASE WHEN mid_delta_ms >= 0 THEN 0 ELSE 1 END,
+                 abs(mid_delta_ms), ts, event_id) AS rn
       FROM sc
     ), stats AS (
       SELECT context, path, bms, count(*) AS sample_count,
@@ -248,17 +251,19 @@ def glitch_speed_legs(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def position_rollup_1h(spark: SparkSession, sf: str) -> DataFrame:
-    """SURVEY A12 END-TO-END — the full position tier rollup
-    (operators/rollup.rollup_position; aggregation-service.ts:543-668):
-    lag/lead neighbor legs, implied-speed glitch score (>25 m/s,
-    constants.ts:17), representative point = ROW_NUMBER()=1 by
-    (glitch_score, |ts − bucket midpoint|, ts, event_id) — all ranking
-    keys are integers (the speed test is a continuum threshold, CLAUDE.md
-    rule 4) and event_id makes the order TOTAL even under duplicate
-    timestamps (no layout dependence — the threshold_transitions lesson),
-    so the pick is engine-exact with no float ordering anywhere — joined
-    to per-bucket sample stats. Complements glitch_speed_legs, which
-    gates only the scoring rule."""
+    """SURVEY A12 END-TO-END — the full position tier rollup, reference-
+    EXACT since r8 (operators/rollup.rollup_position;
+    aggregation-service.ts:593-635): per-BUCKET lag/lead neighbor legs
+    (NULL-neighbor edges are trusted), implied-speed ok score (≤25 m/s,
+    constants.ts:17, zero-dt legs clamped to 1 ms so duplicate-ts jumps
+    ARE glitches), representative point = ROW_NUMBER()=1 by (ok_score
+    desc, at-or-after-midpoint first, |ts − bucket midpoint|, ts,
+    event_id) — all ranking keys are integers (the speed test is a
+    continuum threshold, CLAUDE.md rule 4) and event_id makes the order
+    TOTAL even under duplicate timestamps (no layout dependence — the
+    threshold_transitions lesson), so the pick is engine-exact with no
+    float ordering anywhere — joined to per-bucket sample stats.
+    Complements glitch_speed_legs, which gates only the scoring rule."""
     e = load(spark, sf, "events").select(
         F.col("user_id").cast("string").alias("context"),
         F.lit("navigation.position").alias("path"),

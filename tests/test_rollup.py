@@ -102,5 +102,5 @@ def test_position_rollup_representative_is_nearest_midpoint(spark):
     df = records_df(spark, rows)
     r = rollup_position(df, "5s").collect()[0]
     # bucket midpoint is t0+2.5s; nearest clean points are i=2 (2.5-2=0.5) and i=3 (0.5);
-    # tie broken by ts -> i=2
-    assert r["value_latitude"] == pytest.approx(47.5 + 2e-5)
+    # the reference prefers the point at/after the midpoint (aggregation-service.ts:632) -> i=3
+    assert r["value_latitude"] == pytest.approx(47.5 + 3e-5)
