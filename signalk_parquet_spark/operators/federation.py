@@ -37,3 +37,19 @@ def priority_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__priority")
     )
+
+
+def blend_union(sources: Sequence[DataFrame]) -> DataFrame:
+    """The v2 provider's federation — union RAW rows BEFORE aggregation
+    (src/history-provider.ts:390-394), the deliberate semantic opposite of
+    :func:`priority_dedup`: an overlap bucket averages over BOTH sources'
+    rows (AVG(9, 11) = 10) instead of the buffer winning outright.
+
+    At scale this is the cheaper plan when sources overlap heavily: one
+    hash-aggregate over the concatenated scan (map-side partials absorb the
+    duplication) vs per-source aggregates plus a window. The caller
+    aggregates the returned frame."""
+    out = sources[0]
+    for s in sources[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out

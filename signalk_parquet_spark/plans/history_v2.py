@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregate import bucketed_agg
 from ..operators.align import align_join
+from ..operators.federation import blend_union
 from ..schema import is_position_path, is_string_path
 from ..sources.buffer import HotBuffer
 from ..sources.lake import Lake
@@ -63,7 +64,7 @@ class HistoryProviderV2:
                 )
                 if "signalk_timestamp" in hot.columns:
                     # v2: union BEFORE aggregation (history-provider.ts:390-394)
-                    source = cold.unionByName(hot, allowMissingColumns=True)
+                    source = blend_union([cold, hot])
             frames[spec.column_name] = self._aggregate(source, spec, res_ms)
         return align_join(frames, "bucket_ts", "value").orderBy("bucket_ts")
 

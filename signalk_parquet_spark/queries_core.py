@@ -16,7 +16,7 @@ from .functions.time import bucket_iso, bucket_start_ms, iso_utc
 from .operators.aggregate import bucketed_stats
 from .operators.align import align_pivot
 from .operators.episodes import episodes
-from .operators.federation import priority_dedup
+from .operators.federation import blend_union, priority_dedup
 from .operators.smoothing import ema, sma
 from .registry import dd_bucket, load, register
 
@@ -363,6 +363,62 @@ def priority_dedup_1h(spark: SparkSession, sf: str) -> DataFrame:
     hot = e.filter(F.col("user_id") < 5).groupBy("event_type", b).agg(F.avg("value").alias("v"))
     picked = priority_dedup([(cold, 1), (hot, 2)], ["event_type", "bucket_ts"])
     return picked.select("event_type", "bucket_ts", F.round("v", 6).alias("avg_value"))
+
+
+# --- J2 (v2 provider): blend federation — union BEFORE aggregation ---------------
+@register(
+    "history_v2_blend",
+    f"""
+    WITH hot AS (
+      SELECT event_type, ts, value FROM events WHERE user_id < 5
+    ), u AS (
+      SELECT event_type, ts, value FROM events
+      UNION ALL SELECT event_type, ts, value FROM hot
+    ), blend AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS blend_avg
+      FROM u GROUP BY 1, 2
+    ), cold_a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 1 AS priority
+      FROM events GROUP BY 1, 2
+    ), hot_a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 2 AS priority
+      FROM hot GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY priority DESC) AS rn
+      FROM (SELECT * FROM cold_a UNION ALL SELECT * FROM hot_a)
+    ), pick AS (
+      SELECT event_type, bucket_ts, round(v, 6) AS pick_avg FROM r WHERE rn = 1
+    )
+    SELECT blend.event_type, blend.bucket_ts, blend.blend_avg, pick.pick_avg
+    FROM blend JOIN pick ON blend.event_type = pick.event_type
+                        AND blend.bucket_ts = pick.bucket_ts
+    """,
+)
+def history_v2_blend(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY J2, v2-provider semantics — raw rows from every source are
+    UNIONed BEFORE aggregation (operators/federation.blend_union, the code
+    path plans/history_v2.HistoryProviderV2 runs; history-provider.ts:390-394),
+    the deliberate opposite of v1's aggregate-then-priority-pick
+    (priority_dedup_1h). 'hot' simulates the buffer as the user_id<5 slice,
+    so every bucket overlaps and the two federations DIVERGE: blend_avg
+    reweights the average by the duplicated hot rows while pick_avg is the
+    hot side outright — the gate returns both so the divergence is in the
+    checked values themselves (the AVG(9,11)=10-vs-11 golden from
+    write-read-pipeline.test.ts, driver-checked at data scale)."""
+    e = load(spark, sf, "events").select("event_type", "ts", "value")
+    hot = e.filter(F.col("user_id") < 5)
+    b = bucket_iso("ts", H).alias("bucket_ts")
+    blend = (
+        blend_union([e, hot])
+        .groupBy("event_type", b)
+        .agg(F.round(F.avg("value"), 6).alias("blend_avg"))
+    )
+    cold_a = e.groupBy("event_type", b).agg(F.avg("value").alias("v"))
+    hot_a = hot.groupBy("event_type", b).agg(F.avg("value").alias("v"))
+    pick = priority_dedup([(cold_a, 1), (hot_a, 2)], ["event_type", "bucket_ts"]).select(
+        "event_type", "bucket_ts", F.round("v", 6).alias("pick_avg")
+    )
+    return blend.join(pick, ["event_type", "bucket_ts"])
 
 
 # --- J2: multi-series time alignment (pivot) -----------------------------------
