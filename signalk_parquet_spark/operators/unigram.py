@@ -50,7 +50,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["seed_pieces", "train_unigram", "apply_unigram", "viterbi_segment"]
+__all__ = [
+    "seed_pieces",
+    "seed_vocab",
+    "e_step_counts",
+    "train_unigram",
+    "apply_unigram",
+    "viterbi_segment",
+]
 
 #: driver-side cap for the candidate/count tables the trainer collects —
 #: the tokenizer-vocab version of similarity.BROADCAST_MAX_ROWS
@@ -120,12 +127,45 @@ def _logp_from_counts(counts: dict[str, int]) -> dict[str, float]:
     return {p: math.log(c) - lt for p, c in counts.items()}
 
 
-def _e_step(
-    words: DataFrame, logp: dict[str, float], max_piece_len: int
+def seed_vocab(
+    words: DataFrame, seed_size: int, max_piece_len: int
 ) -> dict[str, int]:
-    """Viterbi hard-count expected counts: segment every distinct word
-    under the current model, weight piece counts by word frequency.
-    Map-side pre-aggregation keeps the shuffle vocab-keyed and tiny."""
+    """The trainer's seeding step as a reusable unit: all single characters
+    plus the top (seed_size − n_chars) multi-char substrings by (count DESC,
+    piece ASC), counts from :func:`seed_pieces`. The collect is candidate-
+    vocabulary-bounded (MAX_SEED_ROWS), the same contract train_unigram
+    enforces."""
+    seed_rows = (
+        seed_pieces(words, max_piece_len)
+        .orderBy(F.desc("count"), F.asc("piece"))
+        .take(MAX_SEED_ROWS + 1)
+    )
+    if len(seed_rows) > MAX_SEED_ROWS:
+        raise ValueError(
+            f"unigram seed candidates exceed {MAX_SEED_ROWS} rows — lower"
+            " max_piece_len, or pre-filter the word table (the production"
+            " move: train on a corpus sample, the train_bpe note)"
+        )
+    seed_counts = {r["piece"]: int(r["count"]) for r in seed_rows}
+    chars = {p for p in seed_counts if len(p) == 1}
+    multi_sorted = [p for p, _ in sorted(
+        ((p, c) for p, c in seed_counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )]
+    keep_multi = multi_sorted[: max(0, seed_size - len(chars))]
+    counts = {p: seed_counts[p] for p in chars}
+    counts.update({p: seed_counts[p] for p in keep_multi})
+    return counts
+
+
+def e_step_counts(
+    words: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """One distributed E-step, as a DataFrame: Viterbi-segment every
+    distinct word under the current model (ties: lexicographically
+    smallest piece sequence — a total order), weight piece counts by word
+    frequency. One Arrow map stage with map-side pre-aggregation, then one
+    vocab-keyed rollup — nothing corpus-sized past the word table."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -142,11 +182,15 @@ def _e_step(
                 )
 
     part = words.select("word", "freq").mapInPandas(fn, "piece string, count long")
-    rows = (
-        part.groupBy("piece").agg(F.sum("count").alias("count"))
-        .orderBy("piece")
-        .take(MAX_SEED_ROWS + 1)
-    )
+    return part.groupBy("piece").agg(F.sum("count").alias("count"))
+
+
+def _e_step(
+    words: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> dict[str, int]:
+    """:func:`e_step_counts` collected to the driver under the vocab bound
+    (keys ⊆ current vocabulary, so the table can never exceed it)."""
+    rows = e_step_counts(words, logp, max_piece_len).orderBy("piece").take(MAX_SEED_ROWS + 1)
     if len(rows) > MAX_SEED_ROWS:  # cannot happen: keys ⊆ current vocab
         raise ValueError("unigram E-step count table exceeded its vocab bound")
     return {r["piece"]: int(r["count"]) for r in rows}
@@ -182,26 +226,8 @@ def train_unigram(
     """
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
-    seed_rows = (
-        seed_pieces(words, max_piece_len)
-        .orderBy(F.desc("count"), F.asc("piece"))
-        .take(MAX_SEED_ROWS + 1)
-    )
-    if len(seed_rows) > MAX_SEED_ROWS:
-        raise ValueError(
-            f"unigram seed candidates exceed {MAX_SEED_ROWS} rows — lower"
-            " max_piece_len, or pre-filter the word table (the production"
-            " move: train on a corpus sample, the train_bpe note)"
-        )
-    seed_counts = {r["piece"]: int(r["count"]) for r in seed_rows}
-    chars = {p for p in seed_counts if len(p) == 1}
-    multi_sorted = [p for p, _ in sorted(
-        ((p, c) for p, c in seed_counts.items() if len(p) > 1),
-        key=lambda pc: (-pc[1], pc[0]),
-    )]
-    keep_multi = multi_sorted[: max(0, seed_size - len(chars))]
-    counts = {p: seed_counts[p] for p in chars}
-    counts.update({p: seed_counts[p] for p in keep_multi})
+    counts = seed_vocab(words, seed_size, max_piece_len)
+    chars = {p for p in counts if len(p) == 1}
 
     target_multi = max(0, vocab_size - len(chars))
     logp = _logp_from_counts(counts)

@@ -97,7 +97,7 @@ _UG_LEN = 4
     ), s AS (
       SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
              CAST(sum(freq) AS BIGINT) AS cnt
-      FROM w, range(1, 1000) t(i), range(1, {_UG_LEN + 1}) u(l)
+      FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM w), range(1, {_UG_LEN + 1}) u(l)
       WHERE i + l <= len(word) + 1
       GROUP BY 1
     )
@@ -123,5 +123,87 @@ def unigram_seed_counts(spark: SparkSession, sf: str) -> DataFrame:
         seed_pieces(word_freq(d), max_piece_len=_UG_LEN)
         .orderBy(F.desc("count"), F.asc("piece"))
         .limit(200)
+        .select("piece", F.col("count").alias("cnt"))
+    )
+
+
+#: gate seed-vocabulary size: all single chars + top multi substrings up to
+#: this total — small enough that the oracle's full-enumeration Viterbi
+#: (pieces <= 4 chars, words <= 8 chars on the synthetic lexicon: <= 108
+#: segmentations/word) stays trivial, big enough that vocab selection and
+#: tie-breaking are exercised
+_UG_SEED = 120
+
+
+@register(
+    "unigram_estep_counts",
+    f"""
+    WITH RECURSIVE w AS (
+      SELECT x AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+      GROUP BY 1
+    ), seed AS (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, sum(freq) AS cnt
+      FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM w), range(1, {_UG_LEN + 1}) u(l)
+      WHERE i + l <= len(word) + 1
+      GROUP BY 1
+    ), chars AS (
+      SELECT piece, cnt FROM seed WHERE len(piece) = 1
+    ), multi AS (
+      SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+      FROM seed WHERE len(piece) > 1
+    ), vocab0 AS (
+      SELECT piece, cnt FROM chars
+      UNION ALL
+      SELECT m.piece, m.cnt FROM multi m, (SELECT count(*) AS n FROM chars) c
+      WHERE m.rn <= {_UG_SEED} - c.n
+    ), vocab AS (
+      SELECT piece,
+             ln(CAST(cnt AS DOUBLE))
+               - ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab0)) AS logp
+      FROM vocab0
+    ), paths AS (
+      SELECT word, freq, CAST(0 AS BIGINT) AS pos,
+             CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS seq
+      FROM w
+      UNION ALL
+      SELECT p.word, p.freq, p.pos + len(v.piece), p.score + v.logp,
+             list_append(p.seq, v.piece)
+      FROM paths p, vocab v
+      WHERE p.pos < len(p.word)
+        AND p.pos + len(v.piece) <= len(p.word)
+        AND substr(p.word, CAST(p.pos + 1 AS INT), len(v.piece)) = v.piece
+    ), best AS (
+      SELECT word, freq, seq,
+             row_number() OVER (PARTITION BY word ORDER BY score DESC, seq ASC) AS rn
+      FROM paths WHERE pos = len(word)
+    )
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT unnest(seq) AS piece, freq FROM best WHERE rn = 1)
+    GROUP BY 1
+    ORDER BY cnt DESC, piece ASC
+    """,
+)
+def unigram_estep_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """One full distributed Viterbi-EM E-step under the trainer's own seed
+    model (operators/unigram.seed_vocab + e_step_counts — the trainer's
+    core, driver-checked): segment every distinct word by max-likelihood
+    Viterbi over the seeded {{piece: logp}} model, weight piece counts by
+    word frequency. The oracle enumerates EVERY segmentation with a
+    recursive CTE and takes the global (score DESC, seq ASC) argmax — an
+    independent non-DP formulation of the same total order (the
+    tests/test_unigram.py differential, now engine-vs-engine for the
+    driver). Counts are integers; path scores are left-to-right sums of
+    ln(int)-ln(int) doubles, the same IEEE values in both engines, and the
+    tie-break is exact-equality lexicographic, so the pick is
+    engine-exact."""
+    from .operators.unigram import e_step_counts, _logp_from_counts, seed_vocab
+
+    d = load(spark, sf, "documents")
+    w = word_freq(d)
+    logp = _logp_from_counts(seed_vocab(w, _UG_SEED, _UG_LEN))
+    return (
+        e_step_counts(w, logp, _UG_LEN)
+        .orderBy(F.desc("count"), F.asc("piece"))
         .select("piece", F.col("count").alias("cnt"))
     )
