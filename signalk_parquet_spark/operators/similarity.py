@@ -399,7 +399,10 @@ def semantic_keep(
     exact_dedup first" is now ENFORCED rather than trusted to call-site
     discipline. on_oversize="raise" (default) fails with that
     prescription; "shard" deterministically splits any oversized cell
-    into ceil(m/max_cell) hash shards and compares within shards only —
+    into ceil(1.25·m/max_cell) hash shards (the 25% headroom keeps the
+    EXPECTED shard size ≤ 0.8·max_cell — see _semantic_shard for the
+    tail-bound argument; size recall-loss estimates from the shard count,
+    not from m/max_cell) and compares within shards only —
     bounded work per task, at the documented cost that near-dup pairs
     straddling shards of an OVERSIZED cell are kept rather than compared
     (under-dropping, never wrong drops). Results with no oversized cell

@@ -817,26 +817,28 @@ def semdedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     tunes (more cells = cheaper pairs stage, more cross-cell misses; real
     embedding corpora cluster far more tightly than this near-uniform
     synthetic). Counts and the integer-derived ratio are engine-exact."""
-    from .operators.similarity import cell_argmin_col
+    from .operators.similarity import bounded_collect, cell_argmin_col
 
     e = load(spark, sf, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("emb")
     ).withColumn("n2", vec_norm_sq(F.col("emb")))
-    cent_rows = (
-        e.filter(F.col("vec_id") % _SEM_STRIDE == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-        .orderBy("cid")
-        .collect()
-    )
+
+    def build():
+        # centroid collect lives INSIDE the build so memo hits skip its job
+        # (r7 ADVICE); bounded like the rest of the ANN broadcast contracts
+        cent_rows = bounded_collect(
+            e.filter(F.col("vec_id") % _SEM_STRIDE == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+            .orderBy("cid"),
+            "semdedup_recall centroid table",
+        )
+        return e.filter(F.col("vec_id") < _SEM_SLICE).withColumn(
+            "cid", cell_argmin_col(cent_rows, F.col("emb"))
+        )
+
     # memo, not ad-hoc persist (r5 judge finding class): materialized
     # before the a/b self-join branches fork, evictable by ramp loops
-    sl = _CC_LABELS.get_or_build(
-        spark,
-        f"semdedup_eval_slice|{sf}",
-        lambda: e.filter(F.col("vec_id") < _SEM_SLICE).withColumn(
-            "cid", cell_argmin_col(cent_rows, F.col("emb"))
-        ),
-    )
+    sl = _CC_LABELS.get_or_build(spark, f"semdedup_eval_slice|{sf}", build)
     a = sl.select(F.col("vec_id").alias("ida"), F.col("emb").alias("ea"),
                   F.col("n2").alias("n2a"), F.col("cid").alias("cida"))
     b = sl.select(F.col("vec_id").alias("idb"), F.col("emb").alias("eb"),

@@ -201,79 +201,77 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r7 window (5 + 16 + 22 + 7 = 50), computed from the CORRECTNESS_r01-r06
-#: union (every registered gate has a green row; staleness = last round
-#: with a row): 5 NEW gates (tier_rollup_angular_1h — SURVEY A11's first
-#: oracle gate, angular_reagg_3h — A8's tier→tier reconstruction,
-#: threshold_transitions_gt50 — §2.8 threshold automation's first, and
-#: position_rollup_1h — A12 end-to-end, and unigram_seed_counts —
-#: the unigram tokenizer trainer's seeding stage), then
-#: the SIXTEEN r02-era gates the r6 plan deferred (r6 landed zero commits,
-#: so this rotation is VERDICT r6 Next #1 verbatim), then all 22 r03-era
-#: gates (tpch2 tail, spatial set, cobucketed_revenue, glitch_speed_legs,
-#: bucket_avg_1h, approx_stats), then the 7 earliest-registered r04-era
-#: gates (the dedup family head — contiguous so the shared shingle/
-#: signature memo builds amortize in driver order like they do in bench
-#: order). Everything rotated out is green in CORRECTNESS_r06, so the
-#: union of round windows still covers every registered query.
+#: r8 window (3 + 42 + 5 = 50), adopted from `tools/window_check.py
+#: --suggest` over the CORRECTNESS_r01-r07 union (the mechanical policy —
+#: the r6 lesson): 2 NEW gates (history_v2_blend — the v2 provider's
+#: union-before-aggregate federation vs the v1 priority pick, and
+#: unigram_estep_counts — one full Viterbi-EM E-step vs a full-enumeration
+#: recursive-CTE oracle) + 1 semantics-EDITED gate (position_rollup_1h —
+#: A12 went reference-exact this round, so its r7 row no longer describes
+#: the shipped code), then ALL 42 r04-stale gates (the dedup
+#: keep/winnowing/semantic family, the ANN tail, asof/interval/sessionize,
+#: object_component_agg, the windowing extras, tpch_q11 — kept in
+#: suggestion order, which preserves registration order inside the
+#: dedup/ann families so their shared memo builds amortize in driver order
+#: like they do in bench order), then fill to 50 with the 5 stalest
+#: r06-era greens. After this round's rows land, every gate's freshest
+#: driver evidence is r06 or newer. Everything rotated out is green in
+#: CORRECTNESS_r07, so the union of round windows still covers every
+#: registered query.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- new this round (first possible driver rows) ---
-    "tier_rollup_angular_1h",
-    "angular_reagg_3h",
-    "threshold_transitions_gt50",
+    # --- new/edited this round ---
+    "history_v2_blend",
+    "unigram_estep_counts",
     "position_rollup_1h",
-    "unigram_seed_counts",
-    # --- stalest: last green r02 ---
-    "topk_values",
-    "distinct_users",
-    "count_by_type",
-    "curation_diverse",
-    "multimodal_meta",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_quality",
-    "curation_hash_split",
-    "decontaminate_ngram",
-    "repetition_score",
-    "text_bpe_tokens",
-    "length_quantiles",
-    "curation_quota",
-    "json_extract_props",
-    # --- next-stalest: last green r03 ---
-    "bucket_avg_1h",
-    "spatial_bbox_meridian",
-    "spatial_radius",
-    "spatial_semi_join",
-    "dist_traveled_km",
-    "glitch_speed_legs",
-    "proximity_pairs",
-    "approx_stats",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "cobucketed_revenue",
-    # --- fill to 50: earliest-registered r04-era greens (dedup family) ---
-    "knn_bruteforce",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_hamming1",
-    "dedup_levenshtein",
-    # dedup_keep_corpus / dedup_cluster_cc / ann_lsh_bucketed (next in
-    # r04 registration order) ceded the last three slots to the late-round
-    # angular_reagg_3h / position_rollup_1h / unigram_seed_counts gates → r8
+    # --- stalest: last green r04 (all 42) ---
+    "dedup_jaccard_prefix",
+    "minhash_estimate_error",
+    "dedup_keep_longest",
+    "dedup_keep_corpus",
+    "dedup_substring_spans",
+    "dedup_winnowing",
+    "dedup_semantic",
+    "semdedup_recall",
+    "dedup_cluster_cc",
+    "ann_lsh_bucketed",
+    "embedding_neardup",
+    "ann_lsh_multitable",
+    "ann_recall",
+    "ann_ivf",
+    "ivf_recall",
+    "ann_scalar_quant",
+    "asof_last_purchase",
+    "interval_join_pairs",
+    "sessionize_30m",
+    "cube_returnflag_status",
+    "distinct_and_stddev",
+    "object_component_agg",
+    "scalar_subquery_acctbal",
+    "value_histogram",
+    "rate_of_change",
+    "daily_activity",
+    "ranking_functions",
+    "cohort_retention",
+    "funnel_conversion",
+    "vector_centroid",
+    "tfidf_top_terms",
+    "window_funcs_extended",
+    "sample_stratified",
+    "pack_sequences",
+    "skew_salted_stats",
+    "intersect_buyers_clickers",
+    "ann_pq",
+    "pq_recall",
+    "lm_bigram_score",
+    "source_divergence",
+    "quality_classifier",
+    "tpch_q11",
+    # --- fill to 50: stalest r06-era greens ---
+    "ann_ivf_kmeans",
+    "ivf_kmeans_recall",
+    "doc_embed_hashed",
+    "dsir_weights",
+    "perplexity_buckets",
 )
 
 
