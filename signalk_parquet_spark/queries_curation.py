@@ -28,6 +28,9 @@ from .functions.text import (
     tokens,
     type_token_ratio,
 )
+from .functions.vectors import as_double as as_double_vec
+from .functions.vectors import dot as vec_dot
+from .functions.vectors import norm_sq as vec_norm_sq
 from .memo import SessionMemo
 from .registry import load, register
 
@@ -893,3 +896,65 @@ def mixture_epochs_approx(spark: SparkSession, sf: str) -> DataFrame:
         frac < F.col("rem").cast("double") / F.col("t_chars"), 1
     ).otherwise(0)
     return _mixture_select(_mixture_frame(spark, sf), extra)
+
+
+#: cosine threshold for embedding-space decontamination — same value as
+#: dedup_semantic's _SEM_TAU: real cross-split pairs at every SF
+#: (12 / 9 / 170 at sf0.001 / 0.01 / 0.1; the proximity_pairs lesson —
+#: a gate must prove pair-FINDING, not pair-absence)
+_SEMDECON_TAU = 0.4
+
+
+@register(
+    "decontaminate_semantic",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS emb,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                  WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM embeddings
+    )
+    SELECT te.vec_id AS test_vec, tr.vec_id AS train_vec
+    FROM e te JOIN e tr ON te.split = 'test' AND tr.split = 'train'
+    WHERE list_dot_product(te.emb, tr.emb)
+          / sqrt(list_dot_product(te.emb, te.emb) * list_dot_product(tr.emb, tr.emb))
+          >= {_SEMDECON_TAU}
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination — the paraphrase-robust companion to
+    decontaminate_ngram (surface n-grams miss reworded eval leakage; cosine
+    similarity in embedding space catches it): every (test, train) pair
+    whose embeddings have cosine >= {_SEMDECON_TAU}, using the shared
+    deterministic hash split.
+
+    Scale shape: the eval/benchmark side is SMALL by construction, so it
+    BROADCASTS and the screen is one map-side pass over the train
+    embeddings — a BroadcastNestedLoopJoin whose inner loop is a JVM
+    codegen'd dot product, no shuffle of the 100 TB side at all (the same
+    small-side-broadcast shape as decontaminate_bloom). For eval sets too
+    big to broadcast, pre-bucket both sides with the IVF quantizer
+    (operators/similarity.semantic_keep's cell assignment) and equi-join on
+    the cell id — the dedup_semantic plan — at a measured recall cost
+    (semdedup_recall). Output is the bare id pairs: the threshold is a
+    continuum comparison (CLAUDE.md rule 4), and no floats ship, so the
+    gate is engine-exact."""
+    e = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("emb"))
+        .withColumn("split", hash_split("vec_id"))
+        .withColumn("n2", vec_norm_sq(F.col("emb")))
+    )
+    test = e.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_vec"), F.col("emb").alias("temb"),
+        F.col("n2").alias("tn2"),
+    )
+    train = e.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_vec"), "emb", "n2"
+    )
+    cos = vec_dot(F.col("temb"), F.col("emb")) / F.sqrt(F.col("tn2") * F.col("n2"))
+    return (
+        train.join(F.broadcast(test), cos >= _SEMDECON_TAU)
+        .select("test_vec", "train_vec")
+    )

@@ -201,12 +201,14 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r8 window (3 + 42 + 5 = 50), adopted from `tools/window_check.py
+#: r8 window (4 + 42 + 4 = 50), adopted from `tools/window_check.py
 #: --suggest` over the CORRECTNESS_r01-r07 union (the mechanical policy —
-#: the r6 lesson): 2 NEW gates (history_v2_blend — the v2 provider's
-#: union-before-aggregate federation vs the v1 priority pick, and
+#: the r6 lesson): 3 NEW gates (history_v2_blend — the v2 provider's
+#: union-before-aggregate federation vs the v1 priority pick,
 #: unigram_estep_counts — one full Viterbi-EM E-step vs a full-enumeration
-#: recursive-CTE oracle) + 1 semantics-EDITED gate (position_rollup_1h —
+#: recursive-CTE oracle, and decontaminate_semantic — embedding-cosine
+#: eval-leak screening over the hash split) + 1 semantics-EDITED gate
+#: (position_rollup_1h —
 #: A12 went reference-exact this round, so its r7 row no longer describes
 #: the shipped code), then ALL 42 r04-stale gates (the dedup
 #: keep/winnowing/semantic family, the ANN tail, asof/interval/sessionize,
@@ -222,6 +224,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # --- new/edited this round ---
     "history_v2_blend",
     "unigram_estep_counts",
+    "decontaminate_semantic",
     "position_rollup_1h",
     # --- stalest: last green r04 (all 42) ---
     "dedup_jaccard_prefix",
@@ -271,7 +274,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ivf_kmeans_recall",
     "doc_embed_hashed",
     "dsir_weights",
-    "perplexity_buckets",
+    # perplexity_buckets (next-stalest r06 green) ceded the last slot to
+    # the late-round decontaminate_semantic gate -> r9
 )
 
 
