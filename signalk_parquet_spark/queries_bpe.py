@@ -207,3 +207,82 @@ def unigram_estep_counts(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("piece"))
         .select("piece", F.col("count").alias("cnt"))
     )
+
+
+@register(
+    "unigram_tokenize_stats",
+    f"""
+    WITH RECURSIVE dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w AS (
+      SELECT word, count(*) AS freq FROM dw GROUP BY 1
+    ), seed AS (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, sum(freq) AS cnt
+      FROM (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM w), range(1, {_UG_LEN + 1}) u(l)
+      WHERE i + l <= len(word) + 1
+      GROUP BY 1
+    ), chars AS (
+      SELECT piece, cnt FROM seed WHERE len(piece) = 1
+    ), multi AS (
+      SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+      FROM seed WHERE len(piece) > 1
+    ), vocab0 AS (
+      SELECT piece, cnt FROM chars
+      UNION ALL
+      SELECT m.piece, m.cnt FROM multi m, (SELECT count(*) AS n FROM chars) c
+      WHERE m.rn <= {_UG_SEED} - c.n
+    ), vocab AS (
+      SELECT piece,
+             ln(CAST(cnt AS DOUBLE))
+               - ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab0)) AS logp
+      FROM vocab0
+    ), paths AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos,
+             CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS seq
+      FROM w
+      UNION ALL
+      SELECT p.word, p.pos + len(v.piece), p.score + v.logp,
+             list_append(p.seq, v.piece)
+      FROM paths p, vocab v
+      WHERE p.pos < len(p.word)
+        AND p.pos + len(v.piece) <= len(p.word)
+        AND substr(p.word, CAST(p.pos + 1 AS INT), len(v.piece)) = v.piece
+    ), best AS (
+      SELECT word, seq,
+             row_number() OVER (PARTITION BY word ORDER BY score DESC, seq ASC) AS rn
+      FROM paths WHERE pos = len(word)
+    ), wp AS (
+      SELECT word, seq FROM best WHERE rn = 1
+    ), dp AS (
+      SELECT dw.doc_id, unnest(wp.seq) AS piece
+      FROM dw JOIN wp ON dw.word = wp.word
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+           CAST(count(DISTINCT piece) AS BIGINT) AS n_distinct
+    FROM dp GROUP BY 1
+    """,
+)
+def unigram_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end unigram TOKENIZATION (operators/unigram.apply_unigram —
+    the trainer's serving twin, previously pytest-only): tokenize every
+    document with the seeded vocabulary and report per-doc piece count and
+    distinct-piece count. The oracle re-derives the same vocab in SQL,
+    Viterbi-segments every distinct word by full enumeration (the
+    unigram_estep_counts recursive CTE), and re-joins segmentations to the
+    per-doc word list — integers only, engine-exact. Plan: one word-rollup
+    shuffle for the vocab, one Arrow map stage over documents (per-batch
+    distinct-word segmentation cache, the apply_bpe pattern), one per-doc
+    aggregate; nothing corpus-sized crosses the driver except the
+    vocab-bounded model map."""
+    from .operators.unigram import apply_unigram, _logp_from_counts, seed_vocab
+
+    d = load(spark, sf, "documents")
+    logp = _logp_from_counts(seed_vocab(word_freq(d), _UG_SEED, _UG_LEN))
+    toks = apply_unigram(
+        d.select("doc_id", "text"), logp, text_col="text", max_piece_len=_UG_LEN
+    )
+    return toks.select(
+        "doc_id",
+        F.size("unigram_tokens").cast("long").alias("n_pieces"),
+        F.size(F.array_distinct("unigram_tokens")).cast("long").alias("n_distinct"),
+    )

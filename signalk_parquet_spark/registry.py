@@ -201,14 +201,15 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r8 window (4 + 42 + 4 = 50), adopted from `tools/window_check.py
+#: r8 window (5 + 42 + 3 = 50), adopted from `tools/window_check.py
 #: --suggest` over the CORRECTNESS_r01-r07 union (the mechanical policy —
-#: the r6 lesson): 3 NEW gates (history_v2_blend — the v2 provider's
+#: the r6 lesson): 4 NEW gates (history_v2_blend — the v2 provider's
 #: union-before-aggregate federation vs the v1 priority pick,
 #: unigram_estep_counts — one full Viterbi-EM E-step vs a full-enumeration
-#: recursive-CTE oracle, and decontaminate_semantic — embedding-cosine
-#: eval-leak screening over the hash split) + 1 semantics-EDITED gate
-#: (position_rollup_1h —
+#: recursive-CTE oracle, unigram_tokenize_stats — apply_unigram end to
+#: end vs the same enumeration re-joined per doc, and
+#: decontaminate_semantic — embedding-cosine eval-leak screening over the
+#: hash split) + 1 semantics-EDITED gate (position_rollup_1h —
 #: A12 went reference-exact this round, so its r7 row no longer describes
 #: the shipped code), then ALL 42 r04-stale gates (the dedup
 #: keep/winnowing/semantic family, the ANN tail, asof/interval/sessionize,
@@ -224,6 +225,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # --- new/edited this round ---
     "history_v2_blend",
     "unigram_estep_counts",
+    "unigram_tokenize_stats",
     "decontaminate_semantic",
     "position_rollup_1h",
     # --- stalest: last green r04 (all 42) ---
@@ -273,9 +275,9 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_ivf_kmeans",
     "ivf_kmeans_recall",
     "doc_embed_hashed",
-    "dsir_weights",
-    # perplexity_buckets (next-stalest r06 green) ceded the last slot to
-    # the late-round decontaminate_semantic gate -> r9
+    # dsir_weights / perplexity_buckets (next-stalest r06 greens) ceded
+    # the last slots to the late-round decontaminate_semantic /
+    # unigram_tokenize_stats gates -> r9
 )
 
 
