@@ -268,6 +268,25 @@ def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
     return F.array_min(F.array(*choices))["cid"]
 
 
+def cell_probes_col(cent_rows, emb: Column, n_probe: int, dim: int | None = None) -> Column:
+    """The multi-probe sibling of :func:`cell_argmin_col`: the ``n_probe``
+    nearest centroid cell ids as an ARRAY Column, nearest first (same
+    d = |c|² − 2·e·c distance, same (d, cid) tie order — probe 1 always
+    equals cell_argmin_col). Same literal-inlining broadcast contract and
+    the same per-row O(K) cost; K·log K extra for the sort."""
+    choices = []
+    for r in cent_rows:
+        cvec = [float(x) for x in r["cemb"]]
+        cn2 = 0.0
+        for x in cvec:
+            cn2 += x * x
+        clit = F.array(*[F.lit(x) for x in cvec])
+        d = F.lit(cn2) - F.lit(2.0) * dot(emb, clit, dim)
+        choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
+    ranked = F.array_sort(F.array(*choices))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+
+
 #: driver-side row bound for the ANN family's BROADCAST CONTRACT tables
 #: (centroid/codeword/query sets): these are collected and inlined as
 #: literals or numpy broadcasts BY DESIGN (k ~ sqrt(N) coarse quantizers,

@@ -787,3 +787,31 @@ def test_remove_duplicate_spans_differential_random(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_decontaminate_semantic_ivf_subset_and_recall(spark, sf_smoke):
+    """The IVF-screened production twin must return a SUBSET of the exact
+    gate's pairs (the final cosine filter is identical — losses are only
+    cross-cell misses) with recall >= 0.7 at the test SFs for the default
+    2 probes (measured 0.75 / 0.78 at sf0.001 / sf0.01; 1.0 at n_probe=4 —
+    also asserted). The near-uniform synthetic embeddings make the
+    cross-cell loss PESSIMISTIC (the semdedup_recall caveat)."""
+    from signalk_parquet_spark import registry
+    from signalk_parquet_spark.queries_curation import decontaminate_semantic_ivf
+
+    exact = {
+        (r["test_vec"], r["train_vec"])
+        for r in registry.queries()["decontaminate_semantic"](spark, sf_smoke).collect()
+    }
+    assert exact, "exact gate must find pairs (pair-FINDING, not absence)"
+    screened = {
+        (r["test_vec"], r["train_vec"])
+        for r in decontaminate_semantic_ivf(spark, sf_smoke).collect()
+    }
+    assert screened <= exact
+    assert len(screened) / len(exact) >= 0.7, (len(screened), len(exact))
+    full = {
+        (r["test_vec"], r["train_vec"])
+        for r in decontaminate_semantic_ivf(spark, sf_smoke, n_probe=4).collect()
+    }
+    assert full == exact  # measured: every pair recovered at P=4
