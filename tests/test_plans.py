@@ -533,3 +533,40 @@ def test_perplexity_approx_drops_the_ntile_window(spark):
     assert "ntile(" in exact
     assert "ntile(" not in approx
     assert "BroadcastHashJoin" in approx
+
+
+def test_decontaminate_semantic_broadcasts_eval_side(spark):
+    """The exact embedding-decontamination plan must be a BNLJ with the
+    SMALL eval side broadcast (SCALE.md r8): one map-side pass over the
+    train embeddings, no shuffle of the big side past the shared load."""
+    plan = formatted_plan(registry.queries()["decontaminate_semantic"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildRight" in plan  # test side is the join's right/broadcast input
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_semantic_ivf_is_cell_equi_join(spark):
+    """The IVF-screened twin must meet on the cell-id EQUI-join (hash or
+    broadcast), never a nested-loop pass over train x eval."""
+    from signalk_parquet_spark.queries_curation import decontaminate_semantic_ivf
+
+    plan = formatted_plan(decontaminate_semantic_ivf(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # hash/broadcast equi-join on cell
+
+
+def test_position_rollup_windows_share_one_exchange(spark):
+    """Reference-exact A12 (r8): the neighbor window, the pick window, and
+    its WindowGroupLimit all run on ONE (context, path, bucket_time)
+    exchange — window partitions bound by bucket width, not series
+    lifetime (SCALE.md r8)."""
+    plan = formatted_plan(registry.queries()["position_rollup_1h"](spark, SF))
+    assert plan.count("Window") >= 2
+    assert "WindowGroupLimit" in plan  # rn=1 pushed into the sort
+    # exactly one shuffle exchange feeds the window pair; the only other
+    # exchanges are the stats aggregate's partial/final pair
+    n_shuffles = sum(
+        1 for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_shuffles <= 3, plan
