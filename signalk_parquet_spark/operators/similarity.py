@@ -248,14 +248,13 @@ def ann_topk_multitable(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
-    """Nearest-centroid cell id as a pure Column over driver-collected
-    centroid rows (cid, cemb) — the map-only assignment the SemDeDup family
-    shares. d = |c|² − 2·e·c with |c|² accumulated on the driver in
-    sequential IEEE order (same value as an oracle's list_dot_product(c, c));
-    argmin ties resolve to the lowest cid via struct ordering, matching a
-    (d, cid) row_number sort. Per-row cost grows with K — the numpy fused
-    assignment is the large-K path."""
+def _cell_dist_structs(cent_rows, emb: Column, dim: int | None = None) -> Column:
+    """Array of (d, cid) structs over driver-collected centroid rows —
+    the ONE construction cell_argmin_col and cell_probes_col both rank, so
+    their probe-1 == argmin contract can't drift. d = |c|² − 2·e·c with
+    |c|² accumulated on the driver in sequential IEEE order (same value as
+    an oracle's list_dot_product(c, c)); ties resolve to the lowest cid
+    via struct ordering, matching a (d, cid) row_number sort."""
     choices = []
     for r in cent_rows:
         cvec = [float(x) for x in r["cemb"]]
@@ -265,25 +264,24 @@ def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
         clit = F.array(*[F.lit(x) for x in cvec])
         d = F.lit(cn2) - F.lit(2.0) * dot(emb, clit, dim)
         choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
-    return F.array_min(F.array(*choices))["cid"]
+    return F.array(*choices)
+
+
+def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
+    """Nearest-centroid cell id as a pure Column — the map-only assignment
+    the SemDeDup family shares (see _cell_dist_structs for the distance and
+    tie order). Per-row cost grows with K — the numpy fused assignment is
+    the large-K path."""
+    return F.array_min(_cell_dist_structs(cent_rows, emb, dim))["cid"]
 
 
 def cell_probes_col(cent_rows, emb: Column, n_probe: int, dim: int | None = None) -> Column:
     """The multi-probe sibling of :func:`cell_argmin_col`: the ``n_probe``
-    nearest centroid cell ids as an ARRAY Column, nearest first (same
-    d = |c|² − 2·e·c distance, same (d, cid) tie order — probe 1 always
-    equals cell_argmin_col). Same literal-inlining broadcast contract and
-    the same per-row O(K) cost; K·log K extra for the sort."""
-    choices = []
-    for r in cent_rows:
-        cvec = [float(x) for x in r["cemb"]]
-        cn2 = 0.0
-        for x in cvec:
-            cn2 += x * x
-        clit = F.array(*[F.lit(x) for x in cvec])
-        d = F.lit(cn2) - F.lit(2.0) * dot(emb, clit, dim)
-        choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
-    ranked = F.array_sort(F.array(*choices))
+    nearest centroid cell ids as an ARRAY Column, nearest first. Both
+    functions rank the SAME _cell_dist_structs array, so probe 1 always
+    equals cell_argmin_col by construction. Same literal-inlining broadcast
+    contract and per-row O(K) cost; K·log K extra for the sort."""
+    ranked = F.array_sort(_cell_dist_structs(cent_rows, emb, dim))
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
 
 

@@ -134,6 +134,27 @@ def unigram_seed_counts(spark: SparkSession, sf: str) -> DataFrame:
 #: tie-breaking are exercised
 _UG_SEED = 120
 
+#: collected seed-model memo: the unigram gates share ONE
+#: word_freq -> seed_pieces -> bounded-collect job per (session, sf) —
+#: the plain-object twin of SessionMemo (the value is a driver-side dict,
+#: not a frame), with the same stale-session eviction on store
+_UG_SEED_MEMO: dict[tuple[str, str], dict[str, float]] = {}
+
+
+def _seed_logp(spark: SparkSession, sf: str) -> dict[str, float]:
+    from .operators.unigram import _logp_from_counts, seed_vocab
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
+    if key not in _UG_SEED_MEMO:
+        for stale in [k for k in _UG_SEED_MEMO if k[0] != app]:
+            del _UG_SEED_MEMO[stale]
+        d = load(spark, sf, "documents")
+        _UG_SEED_MEMO[key] = _logp_from_counts(
+            seed_vocab(word_freq(d), _UG_SEED, _UG_LEN)
+        )
+    return _UG_SEED_MEMO[key]
+
 
 @register(
     "unigram_estep_counts",
@@ -197,11 +218,11 @@ def unigram_estep_counts(spark: SparkSession, sf: str) -> DataFrame:
     ln(int)-ln(int) doubles, the same IEEE values in both engines, and the
     tie-break is exact-equality lexicographic, so the pick is
     engine-exact."""
-    from .operators.unigram import e_step_counts, _logp_from_counts, seed_vocab
+    from .operators.unigram import e_step_counts
 
     d = load(spark, sf, "documents")
     w = word_freq(d)
-    logp = _logp_from_counts(seed_vocab(w, _UG_SEED, _UG_LEN))
+    logp = _seed_logp(spark, sf)
     return (
         e_step_counts(w, logp, _UG_LEN)
         .orderBy(F.desc("count"), F.asc("piece"))
@@ -257,9 +278,10 @@ def unigram_estep_counts(spark: SparkSession, sf: str) -> DataFrame:
       SELECT dw.doc_id, unnest(wp.seq) AS piece
       FROM dw JOIN wp ON dw.word = wp.word
     )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
-           CAST(count(DISTINCT piece) AS BIGINT) AS n_distinct
-    FROM dp GROUP BY 1
+    SELECT d.doc_id, CAST(count(dp.piece) AS BIGINT) AS n_pieces,
+           CAST(count(DISTINCT dp.piece) AS BIGINT) AS n_distinct
+    FROM documents d LEFT JOIN dp ON d.doc_id = dp.doc_id
+    GROUP BY 1
     """,
 )
 def unigram_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -269,15 +291,17 @@ def unigram_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
     distinct-piece count. The oracle re-derives the same vocab in SQL,
     Viterbi-segments every distinct word by full enumeration (the
     unigram_estep_counts recursive CTE), and re-joins segmentations to the
-    per-doc word list — integers only, engine-exact. Plan: one word-rollup
+    per-doc word list — integers only, engine-exact (the oracle LEFT JOINs
+    from documents so a zero-token doc reports 0/0 on both sides, matching
+    apply_unigram's row-per-doc contract). Plan: one word-rollup
     shuffle for the vocab, one Arrow map stage over documents (per-batch
     distinct-word segmentation cache, the apply_bpe pattern), one per-doc
     aggregate; nothing corpus-sized crosses the driver except the
     vocab-bounded model map."""
-    from .operators.unigram import apply_unigram, _logp_from_counts, seed_vocab
+    from .operators.unigram import apply_unigram
 
     d = load(spark, sf, "documents")
-    logp = _logp_from_counts(seed_vocab(word_freq(d), _UG_SEED, _UG_LEN))
+    logp = _seed_logp(spark, sf)
     toks = apply_unigram(
         d.select("doc_id", "text"), logp, text_col="text", max_piece_len=_UG_LEN
     )

@@ -53,9 +53,12 @@ MEMO_FAMILIES: dict[str, tuple[str, ...]] = {
 
 
 def load_queries(path: str) -> tuple[dict[str, float], dict]:
-    """Returns ({query: sec}, meta). Handles full bench JSON and driver
-    artifacts whose truncated 'tail' only covers part of the map."""
-    d = json.load(open(path))
+    """Returns ({query: sec}, meta). Handles full bench JSON (including
+    accumulated multi-line logs — the LAST line wins, like the old
+    bench-log readers) and driver artifacts whose truncated 'tail' only
+    covers part of the map."""
+    with open(path) as f:
+        d = json.loads(f.read().strip().splitlines()[-1])
     if "queries" in d and isinstance(d["queries"], dict):
         meta = {k: d.get(k) for k in ("value", "n_queries", "sf", "host", "order")}
         return dict(d["queries"]), meta
@@ -111,14 +114,21 @@ def main() -> int:
           f"{' (partial tail)' if old_m.get('partial') else ''}  {fmt_host(old_m)}")
     print(f"new: {args[1]}  total={new_m.get('value')}  n={len(new_q)}"
           f"{' (partial tail)' if new_m.get('partial') else ''}  {fmt_host(new_m)}")
-    print(f"common {len(common)} queries: {old_common:.1f} s -> {new_common:.1f} s "
-          f"({(new_common - old_common) / old_common * 100:+.1f}%)")
+    if not common:
+        print("no common queries between the two records — nothing to diff")
+        return 0
+    pct = (f" ({(new_common - old_common) / old_common * 100:+.1f}%)"
+           if old_common else "")
+    print(f"common {len(common)} queries: {old_common:.1f} s -> {new_common:.1f} s{pct}")
     oh, nh = (old_m.get("host") or {}), (new_m.get("host") or {})
-    if oh.get("spin_sec") and nh.get("spin_sec"):
-        r = nh["spin_sec"] / oh["spin_sec"]
-        print(f"host-speed ratio new/old (spin): {r:.2f}"
-              + ("  <-- host moved >15%: judge deltas against this first"
-                 if abs(r - 1) > 0.15 else ""))
+    # compare BOTH probe numbers — parallel throughput degrades
+    # independently of single-thread speed (the r4 lesson, CLAUDE.md)
+    for key, label in (("spin_sec", "spin"), ("par16_sec", "par16")):
+        if oh.get(key) and nh.get(key):
+            r = nh[key] / oh[key]
+            print(f"host-speed ratio new/old ({label}): {r:.2f}"
+                  + ("  <-- host moved >15%: judge deltas against this first"
+                     if abs(r - 1) > 0.15 else ""))
 
     added = sorted(set(new_q) - set(old_q))
     removed = sorted(set(old_q) - set(new_q))
@@ -127,16 +137,22 @@ def main() -> int:
     if removed:
         print(f"removed/not-in-tail ({len(removed)}): " + ", ".join(removed))
 
-    old_fc = first_consumers(list(old_q))
-    new_fc = first_consumers(list(new_q))
     notes: dict[str, str] = {}
-    for fam in set(old_fc) | set(new_fc):
-        o, n = old_fc.get(fam), new_fc.get(fam)
-        if o != n:
-            for q in (o, n):
-                if q:
-                    notes[q] = (f"first-consumer change ({fam}: "
-                                f"{o or '-'} -> {n or '-'}) — shared build re-attributed")
+    if not (old_m.get("partial") or new_m.get("partial")):
+        # a truncated tail cuts the map's HEAD, which would masquerade as a
+        # first-consumer change — only attribute on two complete records
+        old_fc = first_consumers(list(old_q))
+        new_fc = first_consumers(list(new_q))
+        for fam in set(old_fc) | set(new_fc):
+            o, n = old_fc.get(fam), new_fc.get(fam)
+            if o != n:
+                for q in (o, n):
+                    if q:
+                        notes[q] = (f"first-consumer change ({fam}: "
+                                    f"{o or '-'} -> {n or '-'}) — shared build re-attributed")
+    else:
+        print("(first-consumer attribution skipped: a truncated driver tail"
+              " cuts the map's head, which would fake a re-attribution)")
 
     deltas = sorted(common, key=lambda q: -abs(new_q[q] - old_q[q]))[:top]
     print(f"\ntop {top} |delta| (common queries):")
