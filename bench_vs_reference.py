@@ -108,7 +108,12 @@ def warm_spark(spark, sf_dir: str) -> None:
 #: time" would be comparing a checksum to a pipeline — excluded from the
 #: head-to-head entirely (both sides), like the no-oracle gates.
 _PLANTED_ORACLES = frozenset(
-    {"image_dedup_decisions", "audio_dedup_decisions", "video_dedup_decisions"}
+    {
+        "image_dedup_decisions",
+        "image_dedup_decisions_phash",  # missed until r8 — same _PLANT_ORACLE
+        "audio_dedup_decisions",
+        "video_dedup_decisions",
+    }
 )
 
 
