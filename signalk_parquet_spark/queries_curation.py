@@ -922,7 +922,9 @@ _SEMDECON_TAU = 0.4
           >= {_SEMDECON_TAU}
     """,
 )
-def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+def decontaminate_semantic(
+    spark: SparkSession, sf: str, tau: float = _SEMDECON_TAU
+) -> DataFrame:
     """Embedding-space decontamination — the paraphrase-robust companion to
     decontaminate_ngram (surface n-grams miss reworded eval leakage; cosine
     similarity in embedding space catches it): every (test, train) pair
@@ -955,7 +957,7 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
     cos = vec_dot(F.col("temb"), F.col("emb")) / F.sqrt(F.col("tn2") * F.col("n2"))
     return (
-        train.join(F.broadcast(test), cos >= _SEMDECON_TAU)
+        train.join(F.broadcast(test), cos >= tau)
         .select("test_vec", "train_vec")
     )
 
@@ -971,8 +973,38 @@ _SEMDECON_STRIDE = 125
 _SEMDECON_PROBES = 2
 
 
+def _fused_cell_probes(df: DataFrame, cent_rows, n_probe: int) -> DataFrame:
+    """Arrow-batched top-``n_probe`` cell assignment: one numpy matmul per
+    batch against the broadcast centroid matrix — the large-K path (the
+    ivf_topk assign="numpy" pattern). Same d = |c|² − 2·e·c distance and
+    lowest-cid tie order as _cell_dist_structs (stable argsort over
+    cid-ordered centroids); probe 1 is the argmin cell. Adds ``cells``
+    (array<long>, nearest first)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    C = np.array([[float(x) for x in r["cemb"]] for r in cent_rows])
+    cids = np.array([int(r["cid"]) for r in cent_rows], dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    p = min(n_probe, len(cent_rows))
+    schema = StructType(list(df.schema.fields) + [StructField("cells", ArrayType(LongType()))])
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(it):
+        for pdf in it:
+            V = np.array(pdf["emb"].tolist())
+            d = cn2[None, :] - 2.0 * (V @ C.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :p]
+            pdf = pdf.copy()
+            pdf["cells"] = [cids[row].tolist() for row in idx]
+            yield pdf[cols + ["cells"]]
+
+    return df.mapInPandas(fn, schema)
+
+
 def decontaminate_semantic_ivf(
-    spark: SparkSession, sf: str, n_probe: int = _SEMDECON_PROBES
+    spark: SparkSession, sf: str, n_probe: int = _SEMDECON_PROBES,
+    tau: float = _SEMDECON_TAU, assign: str = "expr",
 ) -> DataFrame:
     """The 100 TB production form of decontaminate_semantic: when the eval
     set is too big to broadcast through a BroadcastNestedLoopJoin, screen
@@ -1005,18 +1037,41 @@ def decontaminate_semantic_ivf(
         stride_centroids(e, "vec_id", "emb", _SEMDECON_STRIDE).orderBy("cid"),
         "decontaminate_semantic_ivf centroid table",
     )
-    train = e.filter(F.col("split") == "train").select(
-        F.col("vec_id").alias("train_vec"), "emb", "n2",
-        cell_argmin_col(cent_rows, F.col("emb")).alias("cell"),
-    )
-    test = e.filter(F.col("split") == "test").select(
-        F.col("vec_id").alias("test_vec"), F.col("emb").alias("temb"),
-        F.col("n2").alias("tn2"),
-        F.explode(cell_probes_col(cent_rows, F.col("emb"), n_probe)).alias("cell"),
-    )
+    if assign == "numpy":
+        # the large-K path: one Arrow matmul stage assigns top-P cells for
+        # every row, then the same equi-join + exact verify. At K=277 /
+        # 34k vectors: 1.7-4.4 s vs the expr path's 42-44 s and the exact
+        # BNLJ's 25 s — the first point where the IVF screen actually
+        # beats brute force (tools/semdecon_ramp.py).
+        probed = _fused_cell_probes(e, cent_rows, n_probe)
+        train = probed.filter(F.col("split") == "train").select(
+            F.col("vec_id").alias("train_vec"), "emb", "n2",
+            F.col("cells")[0].alias("cell"),
+        )
+        test = probed.filter(F.col("split") == "test").select(
+            F.col("vec_id").alias("test_vec"), F.col("emb").alias("temb"),
+            F.col("n2").alias("tn2"),
+            F.explode("cells").alias("cell"),
+        )
+    else:
+        # expr assignment stays on the HOF dot (dim=None) DELIBERATELY:
+        # with K centroid arrays inlined as literals, the dim-unrolled dot
+        # builds a K x dim expression tree whose plan/codegen time explodes
+        # (measured 31 s vs 4 s at K=17, x1 — the opposite of the ivf_topk
+        # assign= lesson, which unrolls against a broadcast-JOINED centroid
+        # column, not literals).
+        train = e.filter(F.col("split") == "train").select(
+            F.col("vec_id").alias("train_vec"), "emb", "n2",
+            cell_argmin_col(cent_rows, F.col("emb")).alias("cell"),
+        )
+        test = e.filter(F.col("split") == "test").select(
+            F.col("vec_id").alias("test_vec"), F.col("emb").alias("temb"),
+            F.col("n2").alias("tn2"),
+            F.explode(cell_probes_col(cent_rows, F.col("emb"), n_probe)).alias("cell"),
+        )
     cos = vec_dot(F.col("temb"), F.col("emb")) / F.sqrt(F.col("tn2") * F.col("n2"))
     return (
         train.join(test, "cell")
-        .filter(cos >= _SEMDECON_TAU)
+        .filter(cos >= tau)
         .select("test_vec", "train_vec")
     )

@@ -815,3 +815,28 @@ def test_decontaminate_semantic_ivf_subset_and_recall(spark, sf_smoke):
         for r in decontaminate_semantic_ivf(spark, sf_smoke, n_probe=4).collect()
     }
     assert full == exact  # measured: every pair recovered at P=4
+
+
+def test_decontaminate_semantic_ivf_numpy_assignment(spark, sf_smoke):
+    """The fused numpy assignment (the large-K path — 14-21x faster than
+    the exact BNLJ at 34k vectors, tools/semdecon_ramp.py) must keep the
+    same contract as the expr path: subset of the exact pairs, >= 0.7
+    recall at 2 probes, every pair recovered at 4."""
+    from signalk_parquet_spark import registry
+    from signalk_parquet_spark.queries_curation import decontaminate_semantic_ivf
+
+    exact = {
+        (r["test_vec"], r["train_vec"])
+        for r in registry.queries()["decontaminate_semantic"](spark, sf_smoke).collect()
+    }
+    screened = {
+        (r["test_vec"], r["train_vec"])
+        for r in decontaminate_semantic_ivf(spark, sf_smoke, assign="numpy").collect()
+    }
+    assert screened <= exact
+    assert len(screened) / len(exact) >= 0.7, (len(screened), len(exact))
+    full = {
+        (r["test_vec"], r["train_vec"])
+        for r in decontaminate_semantic_ivf(spark, sf_smoke, n_probe=4, assign="numpy").collect()
+    }
+    assert full == exact
