@@ -160,3 +160,36 @@ def test_train_unigram_validates_vocab_size(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         train_unigram(None, vocab_size=0)
+
+
+def test_viterbi_matches_enumeration_randomized():
+    """Hypothesis-randomized extension of the exhaustive differential:
+    random words over a tiny alphabet + random sub-vocabularies with
+    coarse-quantized logp (0.5 steps, so exact-score ties are COMMON —
+    different piece multisets hit identical sums and the seq-ASC rule
+    decides), DP vs full enumeration must agree on every draw."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from signalk_parquet_spark.operators.unigram import viterbi_segment
+
+    pieces = ["a", "b", "ab", "ba", "aa", "bb", "aba", "bab"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="ab", min_size=1, max_size=9),
+        mask=st.integers(min_value=1, max_value=2 ** len(pieces) - 1),
+        data=st.data(),
+    )
+    def check(word, mask, data):
+        vocab = [p for i, p in enumerate(pieces) if mask >> i & 1]
+        # quantized scores force frequent exact ties; draw per-piece levels
+        logp = {
+            p: -0.5 * data.draw(st.integers(min_value=1, max_value=4), label=p)
+            for p in vocab
+        }
+        assert viterbi_segment(word, logp, 3) == ref_segment(word, logp, 3)
+
+    check()
