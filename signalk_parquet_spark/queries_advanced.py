@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from .functions.time import bucket_iso, iso_utc
 from .operators.asof import asof_join_window, interval_join
-from .registry import dd_bucket, load, register
+from .registry import dd_bucket, dd_micro_avg, load, micro_avg, register
 
 H = 3600_000
 
@@ -235,7 +235,7 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     "rate_of_change",
     f"""
     WITH a AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round({dd_micro_avg("value")}, 6) AS avg_value
       FROM events GROUP BY 1, 2
     ), d AS (
       SELECT event_type, bucket_ts, avg_value,
@@ -252,7 +252,7 @@ def rate_of_change(spark: SparkSession, sf: str) -> DataFrame:
     then round: both engines do identical IEEE ops."""
     e = load(spark, sf, "events")
     a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
-        F.round(F.avg("value"), 6).alias("avg_value")
+        F.round(micro_avg("value"), 6).alias("avg_value")
     )
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
     return (

@@ -11,14 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.angular import weighted_mean
 from .functions.time import bucket_iso, bucket_start_ms, iso_utc
 from .operators.aggregate import bucketed_stats
 from .operators.align import align_pivot
 from .operators.episodes import episodes
 from .operators.federation import blend_union, priority_dedup
 from .operators.smoothing import ema, sma
-from .registry import dd_bucket, load, register
+from .registry import dd_bucket, dd_micro_avg, load, micro_avg, register
 
 H = 3600_000  # 1 hour in ms
 M5 = 300_000  # 5 minutes
@@ -32,7 +31,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "bucket_avg_1h",
     f"""
     SELECT event_type, {dd_bucket(H)} AS bucket_ts,
-           round(avg(value), 6) AS avg_value, count(*) AS n
+           round({dd_micro_avg("value")}, 6) AS avg_value, count(*) AS n
     FROM events GROUP BY 1, 2
     """,
 )
@@ -40,7 +39,7 @@ def bucket_avg_1h(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY A1+A2 (reference src/HistoryAPI.ts:1776-1777, 2392-2411)."""
     e = load(spark, sf, "events")
     return e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(micro_avg("value"), 6).alias("avg_value"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -146,25 +145,33 @@ def angular_avg_q(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH t5 AS (
       SELECT CAST(floor(epoch_ms(ts)/{M5})*{M5} AS BIGINT) AS b5,
-             avg(value) AS value_avg, count(*) AS sample_count
+             sum(CAST(round(value * 1000000) AS BIGINT)) AS avg_x_n_micro,
+             count(*) AS sample_count
       FROM events GROUP BY 1
     )
     SELECT strftime(epoch_ms(CAST(floor(b5/{H})*{H} AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS bucket_ts,
-           round(sum(value_avg * sample_count) / sum(sample_count), 6) AS wavg,
+           round(CAST(sum(avg_x_n_micro) AS DOUBLE) / sum(sample_count) / 1000000.0, 6) AS wavg,
            CAST(sum(sample_count) AS BIGINT) AS n
     FROM t5 GROUP BY 1
     """,
 )
 def weighted_reagg_1h(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY A8/A9 — tier->tier weighted mean, SUM(avg*n)/SUM(n)
-    (src/HistoryAPI.ts:2479, src/services/aggregation-service.ts:448)."""
+    (src/HistoryAPI.ts:2479, src/services/aggregation-service.ts:448). The
+    per-tier partial carries avg*n in exact micro integers (avg*n IS the
+    tier's value sum, so the shape is unchanged) — a float SUM(avg*n) is
+    summation-order-dependent across engines, the micro_avg class (r8
+    sf0.1 finding)."""
     e = load(spark, sf, "events")
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
     t5 = e.groupBy(bucket_start_ms("ts", M5).alias("b5")).agg(
-        F.avg("value").alias("value_avg"), F.count(F.lit(1)).alias("sample_count")
+        F.sum(micro).alias("avg_x_n_micro"), F.count(F.lit(1)).alias("sample_count")
     )
     b1h = F.timestamp_millis((F.floor(F.col("b5") / H) * H).cast("long"))
     return t5.groupBy(F.date_format(b1h, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts")).agg(
-        F.round(weighted_mean("value_avg", "sample_count"), 6).alias("wavg"),
+        F.round(
+            F.sum("avg_x_n_micro").cast("double") / F.sum("sample_count") / 1_000_000.0, 6
+        ).alias("wavg"),
         F.sum("sample_count").alias("n"),
     )
 
@@ -340,10 +347,10 @@ def threshold_transitions_gt50(spark: SparkSession, sf: str) -> DataFrame:
     "priority_dedup_1h",
     f"""
     WITH cold AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 1 AS priority
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, {dd_micro_avg("value")} AS v, 1 AS priority
       FROM events GROUP BY 1, 2
     ), hot AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 2 AS priority
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, {dd_micro_avg("value")} AS v, 2 AS priority
       FROM events WHERE user_id < 5 GROUP BY 1, 2
     ), u AS (
       SELECT * FROM cold UNION ALL SELECT * FROM hot
@@ -359,8 +366,8 @@ def priority_dedup_1h(spark: SparkSession, sf: str) -> DataFrame:
     (src/HistoryAPI.ts:1683-1693,1829-1836). 'hot' simulates the buffer."""
     e = load(spark, sf, "events")
     b = bucket_iso("ts", H).alias("bucket_ts")
-    cold = e.groupBy("event_type", b).agg(F.avg("value").alias("v"))
-    hot = e.filter(F.col("user_id") < 5).groupBy("event_type", b).agg(F.avg("value").alias("v"))
+    cold = e.groupBy("event_type", b).agg(micro_avg("value").alias("v"))
+    hot = e.filter(F.col("user_id") < 5).groupBy("event_type", b).agg(micro_avg("value").alias("v"))
     picked = priority_dedup([(cold, 1), (hot, 2)], ["event_type", "bucket_ts"])
     return picked.select("event_type", "bucket_ts", F.round("v", 6).alias("avg_value"))
 
@@ -375,13 +382,13 @@ def priority_dedup_1h(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, ts, value FROM events
       UNION ALL SELECT event_type, ts, value FROM hot
     ), blend AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS blend_avg
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round({dd_micro_avg("value")}, 6) AS blend_avg
       FROM u GROUP BY 1, 2
     ), cold_a AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 1 AS priority
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, {dd_micro_avg("value")} AS v, 1 AS priority
       FROM events GROUP BY 1, 2
     ), hot_a AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, avg(value) AS v, 2 AS priority
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, {dd_micro_avg("value")} AS v, 2 AS priority
       FROM hot GROUP BY 1, 2
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY priority DESC) AS rn
@@ -411,10 +418,10 @@ def history_v2_blend(spark: SparkSession, sf: str) -> DataFrame:
     blend = (
         blend_union([e, hot])
         .groupBy("event_type", b)
-        .agg(F.round(F.avg("value"), 6).alias("blend_avg"))
+        .agg(F.round(micro_avg("value"), 6).alias("blend_avg"))
     )
-    cold_a = e.groupBy("event_type", b).agg(F.avg("value").alias("v"))
-    hot_a = hot.groupBy("event_type", b).agg(F.avg("value").alias("v"))
+    cold_a = e.groupBy("event_type", b).agg(micro_avg("value").alias("v"))
+    hot_a = hot.groupBy("event_type", b).agg(micro_avg("value").alias("v"))
     pick = priority_dedup([(cold_a, 1), (hot_a, 2)], ["event_type", "bucket_ts"]).select(
         "event_type", "bucket_ts", F.round("v", 6).alias("pick_avg")
     )
@@ -425,13 +432,18 @@ def history_v2_blend(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "align_pivot_1h",
     f"""
-    SELECT {dd_bucket(H)} AS bucket_ts,
-           round(avg(value) FILTER (event_type = 'click'), 6) AS click,
-           round(avg(value) FILTER (event_type = 'error'), 6) AS error,
-           round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
-           round(avg(value) FILTER (event_type = 'signup'), 6) AS signup,
-           round(avg(value) FILTER (event_type = 'view'), 6) AS view
-    FROM events GROUP BY 1
+    WITH a AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+             round({dd_micro_avg("value")}, 6) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_ts,
+           max(v) FILTER (event_type = 'click') AS click,
+           max(v) FILTER (event_type = 'error') AS error,
+           max(v) FILTER (event_type = 'purchase') AS purchase,
+           max(v) FILTER (event_type = 'signup') AS signup,
+           max(v) FILTER (event_type = 'view') AS view
+    FROM a GROUP BY 1
     """,
 )
 def align_pivot_1h(spark: SparkSession, sf: str) -> DataFrame:
@@ -440,7 +452,7 @@ def align_pivot_1h(spark: SparkSession, sf: str) -> DataFrame:
     extra distinct job runs."""
     e = load(spark, sf, "events")
     agged = e.groupBy(bucket_iso("ts", H).alias("bucket_ts"), "event_type").agg(
-        F.round(F.avg("value"), 6).alias("v")
+        F.round(micro_avg("value"), 6).alias("v")
     )
     return align_pivot(agged, "bucket_ts", "event_type", "v", EVENT_TYPES)
 
@@ -477,8 +489,8 @@ def episodes_error(spark: SparkSession, sf: str) -> DataFrame:
     "sma_1h_w5",
     f"""
     WITH a AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value,
-             CAST(round(round(avg(value), 6) * 1000000, 0) AS BIGINT) AS iv
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round({dd_micro_avg("value")}, 6) AS avg_value,
+             CAST(round(round({dd_micro_avg("value")}, 6) * 1000000, 0) AS BIGINT) AS iv
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, bucket_ts, avg_value,
@@ -495,7 +507,7 @@ def sma_1h_w5(spark: SparkSession, sf: str) -> DataFrame:
     sums are order-dependent and DuckDB's segment tree sums differently."""
     e = load(spark, sf, "events")
     a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
-        F.round(F.avg("value"), 6).alias("avg_value")
+        F.round(micro_avg("value"), 6).alias("avg_value")
     ).withColumn("iv", F.round(F.col("avg_value") * 1000000, 0).cast("long"))
     out = sma(a, "bucket_ts", "iv", 5, partition_cols=["event_type"], out_col="sma5")
     return out.withColumn(
@@ -509,7 +521,7 @@ _EMA_ALPHA = 0.2
     "ema_1h_a02",
     f"""
     WITH RECURSIVE a AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round({dd_micro_avg("value")}, 6) AS avg_value
       FROM events GROUP BY 1, 2
     ), s AS (
       SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM a
@@ -529,7 +541,7 @@ def ema_1h_a02(spark: SparkSession, sf: str) -> DataFrame:
     as a per-series grouped pandas UDF; oracle is a recursive CTE."""
     e = load(spark, sf, "events")
     a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
-        F.round(F.avg("value"), 6).alias("avg_value")
+        F.round(micro_avg("value"), 6).alias("avg_value")
     )
     out = ema(a, "bucket_ts", "avg_value", alpha=_EMA_ALPHA, partition_cols=["event_type"], out_col="ema")
     return out.withColumn("ema", F.round("ema", 6))
@@ -540,7 +552,7 @@ def ema_1h_a02(spark: SparkSession, sf: str) -> DataFrame:
     "ema_pathspec_a05",
     f"""
     WITH RECURSIVE a AS (
-      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round(avg(value), 6) AS avg_value
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts, round({dd_micro_avg("value")}, 6) AS avg_value
       FROM events GROUP BY 1, 2
     ), s AS (
       SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn FROM a
@@ -565,7 +577,7 @@ def ema_pathspec_a05(spark: SparkSession, sf: str) -> DataFrame:
     spec = parse_path_spec("value:ema:0.5")
     e = load(spark, sf, "events")
     a = e.groupBy("event_type", bucket_iso("ts", H).alias("bucket_ts")).agg(
-        F.round(F.avg("value"), 6).alias("avg_value")
+        F.round(micro_avg("value"), 6).alias("avg_value")
     )
     # NO final rounding (CLAUDE.md rule 2): α=0.5 keeps values dyadic, so a
     # round(·, 6) lands on exact .5 boundaries where the engines' rounding

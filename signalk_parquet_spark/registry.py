@@ -176,6 +176,34 @@ def dd_bucket(resolution_ms: int, ts: str = "ts") -> str:
     )
 
 
+def micro_avg(col):
+    """ORDER-INDEPENDENT average for gate queries: per-row round to exact
+    integer micro-units (safe — k.5 micro values are exactly representable
+    doubles below 2^52, where Spark's HALF_UP and DuckDB's half-away agree,
+    incl. negatives), exact BIGINT sum, then two deterministic IEEE
+    divisions. Plain float avg() is summation-ORDER-dependent: at sf0.1 a
+    170-row bucket's partial-aggregate sum differs from DuckDB's by an ULP
+    and a round(·, 6) boundary straddle flips the 6th decimal — found by
+    the first full value-compare at sf0.1 (r8; 8 gates, all this class;
+    invisible at the driver's sf0.01). Twin: :func:`dd_micro_avg`, which
+    must keep the identical division ORDER."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(F.round(c * 1_000_000).cast("long")).cast("double")
+    return s / F.count(c) / 1_000_000.0
+
+
+def dd_micro_avg(expr: str) -> str:
+    """DuckDB twin of :func:`micro_avg` — same micro round, exact sum, and
+    the same (sum / n) / 1e6 division order (reassociating the divisions
+    would change the double)."""
+    return (
+        f"CAST(sum(CAST(round({expr} * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / count({expr}) / 1000000.0"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _import_all()
     return {k: v[0] for k, v in REGISTRY.items()}
@@ -201,7 +229,7 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r8 window (5 + 42 + 3 = 50), adopted from `tools/window_check.py
+#: r8 window (12 + 38 = 50), adopted from `tools/window_check.py
 #: --suggest` over the CORRECTNESS_r01-r07 union (the mechanical policy —
 #: the r6 lesson): 4 NEW gates (history_v2_blend — the v2 provider's
 #: union-before-aggregate federation vs the v1 priority pick,
@@ -228,6 +256,16 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "unigram_tokenize_stats",
     "decontaminate_semantic",
     "position_rollup_1h",
+    # edited late-r8: the micro_avg exactness class (CLAUDE.md rule 10 —
+    # found by the first full sf0.1 value-compare); rate_of_change and
+    # history_v2_blend, same class, are already above
+    "bucket_avg_1h",
+    "priority_dedup_1h",
+    "align_pivot_1h",
+    "weighted_reagg_1h",
+    "sma_1h_w5",
+    "ema_1h_a02",
+    "ema_pathspec_a05",
     # --- stalest: last green r04 (all 42) ---
     "dedup_jaccard_prefix",
     "minhash_estimate_error",
@@ -267,17 +305,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "intersect_buyers_clickers",
     "ann_pq",
     "pq_recall",
-    "lm_bigram_score",
-    "source_divergence",
-    "quality_classifier",
-    "tpch_q11",
-    # --- fill to 50: stalest r06-era greens ---
-    "ann_ivf_kmeans",
-    "ivf_kmeans_recall",
-    "doc_embed_hashed",
-    # dsir_weights / perplexity_buckets (next-stalest r06 greens) ceded
-    # the last slots to the late-round decontaminate_semantic /
-    # unigram_tokenize_stats gates -> r9
+    # lm_bigram_score / source_divergence / quality_classifier / tpch_q11
+    # (r04 tail) + the three r06 fills (ann_ivf_kmeans, ivf_kmeans_recall,
+    # doc_embed_hashed) + dsir_weights / perplexity_buckets ceded their
+    # slots to the late-r8 micro_avg-edited gates -> they lead r9's
+    # stalest set
 )
 
 
