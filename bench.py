@@ -23,19 +23,20 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
-#: `--smoke`: the 20 heaviest gates of the official r7 full run (~42% of
+#: `--smoke`: the 20 heaviest gates of the official r8 full run (42% of
 #: total wall in ~1/7 of the queries) — the dev-loop perf tier so
-#: iteration doesn't pay a 110 s full session. Record official numbers
+#: iteration doesn't pay a 115 s full session. Record official numbers
 #: from FULL runs only; refresh this list from BENCH_local.json when the
 #: heavy set shifts (it shifts with every window rotation: family-shared
 #: memo builds are charged to the first consumer in the current order).
 SMOKE_TIER = (
-    "dedup_keep_corpus,image_dedup_decisions,video_dedup_decisions,"
-    "audio_dedup_decisions,ann_ivf_kmeans,bpe_train_merges,"
-    "position_rollup_1h,cobucketed_revenue,dedup_jaccard_prefix,"
-    "image_dedup_decisions_phash,decontaminate_bloom,bloom_fp_rate,"
-    "dedup_ngram_jaccard,tier_rollup_angular_1h,dsir_weights,"
-    "semdedup_recall,tpch_q21,dedup_winnowing,proximity_pairs,tpch_q2"
+    "dedup_jaccard_prefix,bpe_train_merges,dedup_keep_longest,"
+    "ann_ivf_kmeans,audio_dedup_decisions,image_dedup_decisions,"
+    "video_dedup_decisions,position_rollup_1h,bloom_fp_rate,"
+    "history_v2_blend,cobucketed_revenue,image_dedup_decisions_phash,"
+    "dsir_weights,decontaminate_bloom,unigram_estep_counts,"
+    "semdedup_recall,dedup_winnowing,minhash_estimate_error,"
+    "proximity_pairs,dedup_ngram_jaccard"
 ).split(",")
 
 

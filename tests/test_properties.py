@@ -336,3 +336,34 @@ def test_riff_walker_never_raises_on_arbitrary_bytes(data):
 
     parse_avi_header(b"RIFF\x80\x00\x00\x00AVI " + data)
     list(iter_video_chunks(b"RIFF\x80\x00\x00\x00AVI " + data, 0))
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=-60_000_000, max_value=60_000_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_micro_avg_matches_fraction_exact_average(cents):
+    """registry.micro_avg's arithmetic contract, checked against exact
+    rationals: for values exactly representable in micro units (the gate
+    corpus is 2-decimal), the micro path reproduces float(sum_micro / n)
+    / 1e6 computed with Fractions — order-independent by construction —
+    and every per-row round lands on the exact integer (incl. negatives
+    and the .5-representable cases)."""
+    from fractions import Fraction
+
+    # simulate the engine-side pipeline in pure python: value = cents/100
+    values = [c / 100.0 for c in cents]
+    micro = [round(v * 1_000_000) for v in values]
+    # per-row micro round must be EXACT for decimal-2 inputs
+    for c, m in zip(cents, micro):
+        assert m == c * 10_000
+    n = len(values)
+    got = (float(sum(micro)) / n) / 1_000_000.0
+    want = float(Fraction(sum(micro), n)) / 1_000_000.0
+    # sum(micro) < 2^53 -> float() is exact; the two divisions are the
+    # same IEEE ops both engines run
+    assert got == pytest.approx(want, rel=1e-15)
