@@ -166,6 +166,10 @@ def main() -> None:
     )
     kept = kept.join(leaked, "doc_id", "left_anti")
     n3 = kept.count()
+    # the paraphrase-robust rung (r8): embedding-cosine leak pairs across
+    # the same split — at pipeline scale the fused IVF screen
+    # (decontaminate_semantic_ivf(assign="numpy")) replaces the exact BNLJ
+    n_sem_pairs = q["decontaminate_semantic"](spark, sf).count()
     # the third response — redact the contaminated spans instead of
     # dropping the doc (what a pipeline does for long documents)
     redacted = q["decontaminate_redact"](spark, sf).filter(
@@ -309,6 +313,7 @@ def main() -> None:
     print(f"bloom screen: {n_screen} train docs flagged "
           f"({n_screen_true} with true eval overlap)")
     print(f"after decontamination: {n3}  splits: {split_counts}")
+    print(f"semantic leak pairs (embedding rung): {n_sem_pairs}")
     print(f"redaction alternative: {n_redacted} docs salvaged "
           f"({w_removed} contaminated words removed)")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
