@@ -93,15 +93,24 @@ def bucketed_stats(
     value_col: str,
     resolution_ms: int,
     group_cols: Sequence[str] = (),
+    exact_avg: bool = False,
 ) -> DataFrame:
     """Full rollup-tier stat set per bucket: avg/min/max/count + first/last
-    timestamps (the tier schema, reference README.md:548-562)."""
+    timestamps (the tier schema, reference README.md:548-562).
+
+    ``exact_avg=True`` computes the average in exact integer micro-units
+    (registry.micro_avg — summation-ORDER-independent, so the value is
+    identical on every engine/partitioning; the r8 sf0.1 finding). The
+    float default is fine for production rollups; gates that value-hash
+    against another engine should pass True."""
+    from ..registry import micro_avg
+
     ts = as_utc_timestamp(ts_col)
     v = F.col(value_col).cast("double")
     return (
         df.groupBy(*group_cols, bucket_iso(ts_col, resolution_ms).alias("bucket_ts"))
         .agg(
-            F.avg(v).alias("value_avg"),
+            (micro_avg(v) if exact_avg else F.avg(v)).alias("value_avg"),
             F.min(v).alias("value_min"),
             F.max(v).alias("value_max"),
             F.count(v).alias("sample_count"),

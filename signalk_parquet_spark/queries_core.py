@@ -181,7 +181,7 @@ def weighted_reagg_1h(spark: SparkSession, sf: str) -> DataFrame:
     "tier_rollup_stats_5m",
     f"""
     SELECT event_type, {dd_bucket(M5)} AS bucket_ts,
-           round(avg(value), 6) AS value_avg, min(value) AS value_min,
+           round({dd_micro_avg("value")}, 6) AS value_avg, min(value) AS value_min,
            max(value) AS value_max, count(value) AS sample_count,
            strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_timestamp,
            strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_timestamp
@@ -189,9 +189,11 @@ def weighted_reagg_1h(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def tier_rollup_stats_5m(spark: SparkSession, sf: str) -> DataFrame:
-    """SURVEY A10 — the tier rollup stat set (aggregation-service.ts:423-439)."""
+    """SURVEY A10 — the tier rollup stat set (aggregation-service.ts:423-439);
+    exact_avg closes the last non-trig member of the micro_avg class
+    (CLAUDE.md rule 10)."""
     e = load(spark, sf, "events")
-    out = bucketed_stats(e, "ts", "value", M5, group_cols=["event_type"])
+    out = bucketed_stats(e, "ts", "value", M5, group_cols=["event_type"], exact_avg=True)
     return out.withColumn("value_avg", F.round("value_avg", 6))
 
 

@@ -229,7 +229,7 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r8 window (12 + 38 = 50), adopted from `tools/window_check.py
+#: r8 window (13 + 37 = 50), adopted from `tools/window_check.py
 #: --suggest` over the CORRECTNESS_r01-r07 union (the mechanical policy —
 #: the r6 lesson): 4 NEW gates (history_v2_blend — the v2 provider's
 #: union-before-aggregate federation vs the v1 priority pick,
@@ -263,6 +263,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "priority_dedup_1h",
     "align_pivot_1h",
     "weighted_reagg_1h",
+    "tier_rollup_stats_5m",
     "sma_1h_w5",
     "ema_1h_a02",
     "ema_pathspec_a05",
@@ -304,12 +305,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "skew_salted_stats",
     "intersect_buyers_clickers",
     "ann_pq",
-    "pq_recall",
-    # lm_bigram_score / source_divergence / quality_classifier / tpch_q11
-    # (r04 tail) + the three r06 fills (ann_ivf_kmeans, ivf_kmeans_recall,
-    # doc_embed_hashed) + dsir_weights / perplexity_buckets ceded their
-    # slots to the late-r8 micro_avg-edited gates -> they lead r9's
-    # stalest set
+    # pq_recall + lm_bigram_score / source_divergence / quality_classifier
+    # / tpch_q11 (r04 tail) + the three r06 fills (ann_ivf_kmeans,
+    # ivf_kmeans_recall, doc_embed_hashed) + dsir_weights /
+    # perplexity_buckets ceded their slots to the late-r8
+    # micro_avg-edited gates -> they lead r9's stalest set
 )
 
 
