@@ -150,7 +150,7 @@ def angular_avg_q(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT strftime(epoch_ms(CAST(floor(b5/{H})*{H} AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS bucket_ts,
-           round(CAST(sum(avg_x_n_micro) AS DOUBLE) / sum(sample_count) / 1000000.0, 6) AS wavg,
+           CAST(round(CAST(sum(avg_x_n_micro) AS DOUBLE) / sum(sample_count), 0) AS BIGINT) / 1000000.0 AS wavg,
            CAST(sum(sample_count) AS BIGINT) AS n
     FROM t5 GROUP BY 1
     """,
@@ -169,8 +169,11 @@ def weighted_reagg_1h(spark: SparkSession, sf: str) -> DataFrame:
     )
     b1h = F.timestamp_millis((F.floor(F.col("b5") / H) * H).cast("long"))
     return t5.groupBy(F.date_format(b1h, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts")).agg(
-        F.round(
-            F.sum("avg_x_n_micro").cast("double") / F.sum("sample_count") / 1_000_000.0, 6
+        # round in integer micro space, never the float quotient (rule 2 /
+        # the r8-ADVICE final-round residual — same mechanism as micro_avg)
+        (
+            F.round(F.sum("avg_x_n_micro").cast("double") / F.sum("sample_count"), 0)
+            .cast("long") / 1_000_000.0
         ).alias("wavg"),
         F.sum("sample_count").alias("n"),
     )

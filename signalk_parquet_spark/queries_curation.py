@@ -976,9 +976,12 @@ _SEMDECON_PROBES = 2
 def _fused_cell_probes(df: DataFrame, cent_rows, n_probe: int) -> DataFrame:
     """Arrow-batched top-``n_probe`` cell assignment: one numpy matmul per
     batch against the broadcast centroid matrix — the large-K path (the
-    ivf_topk assign="numpy" pattern). Same d = |c|² − 2·e·c distance and
-    lowest-cid tie order as _cell_dist_structs (stable argsort over
-    cid-ordered centroids); probe 1 is the argmin cell. Adds ``cells``
+    ivf_topk assign="numpy" pattern). Same d = |c|² − 2·e·c distance
+    FORMULA and lowest-cid tie order as _cell_dist_structs (stable argsort
+    over cid-ordered centroids) — but numpy's pairwise-summed matmul can
+    differ from the expr path's sequential HOF dot by an ULP, so cell
+    assignments may diverge at exact distance ties (harmless under the
+    subset+recall contract). Probe 1 is the argmin cell. Adds ``cells``
     (array<long>, nearest first)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -992,6 +995,11 @@ def _fused_cell_probes(df: DataFrame, cent_rows, n_probe: int) -> DataFrame:
 
     def fn(it):
         for pdf in it:
+            if pdf.empty:
+                # np.array([]) is shape (0,), not (0, d) — the matmul would
+                # raise on an empty Arrow batch
+                yield pdf.assign(cells=[])[cols + ["cells"]]
+                continue
             V = np.array(pdf["emb"].tolist())
             d = cn2[None, :] - 2.0 * (V @ C.T)
             idx = np.argsort(d, axis=1, kind="stable")[:, :p]

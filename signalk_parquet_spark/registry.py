@@ -177,30 +177,41 @@ def dd_bucket(resolution_ms: int, ts: str = "ts") -> str:
 
 
 def micro_avg(col):
-    """ORDER-INDEPENDENT average for gate queries: per-row round to exact
-    integer micro-units (safe — k.5 micro values are exactly representable
-    doubles below 2^52, where Spark's HALF_UP and DuckDB's half-away agree,
-    incl. negatives), exact BIGINT sum, then two deterministic IEEE
-    divisions. Plain float avg() is summation-ORDER-dependent: at sf0.1 a
-    170-row bucket's partial-aggregate sum differs from DuckDB's by an ULP
-    and a round(·, 6) boundary straddle flips the 6th decimal — found by
-    the first full value-compare at sf0.1 (r8; 8 gates, all this class;
-    invisible at the driver's sf0.01). Twin: :func:`dd_micro_avg`, which
-    must keep the identical division ORDER."""
+    """ORDER-INDEPENDENT, micro-GRID average for gate queries: per-row round
+    to exact integer micro-units (safe — k.5 micro values are exactly
+    representable doubles below 2^52, where Spark's HALF_UP and DuckDB's
+    half-away agree, incl. negatives), exact BIGINT sum, ONE deterministic
+    IEEE division, round THAT to an integer (still in micro space — integer
+    .5 boundaries are exactly representable, so both engines' half-away
+    agree), then divide by 1e6. Plain float avg() is summation-ORDER-
+    dependent: at sf0.1 a 170-row bucket's partial-aggregate sum differs
+    from DuckDB's by an ULP and a round(·, 6) boundary straddle flips the
+    6th decimal — found by the first full value-compare at sf0.1 (r8; 8
+    gates, all this class; invisible at the driver's sf0.01).
+
+    The r8 form returned the raw quotient and let gates apply
+    round(·, 6) — the exact final-step-float-round rule 2 warns about: a
+    quotient landing on a .5-of-the-7th-decimal halfway point (NOT exactly
+    representable) could split Spark's shortest-decimal HALF_UP from
+    DuckDB's binary round (r8 ADVICE). Now the value is ON the micro grid
+    by construction, so any outer round(·, 6) is a provable no-op: the
+    nearest double to k/1e6 is ≥ ~0.5e-6 − ULP away from every 7th-decimal
+    halfway point, and its shortest-decimal repr IS "k/1e6". Twin:
+    :func:`dd_micro_avg`, which must keep the identical operation order."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
     s = F.sum(F.round(c * 1_000_000).cast("long")).cast("double")
-    return s / F.count(c) / 1_000_000.0
+    return F.round(s / F.count(c), 0).cast("long") / 1_000_000.0
 
 
 def dd_micro_avg(expr: str) -> str:
-    """DuckDB twin of :func:`micro_avg` — same micro round, exact sum, and
-    the same (sum / n) / 1e6 division order (reassociating the divisions
-    would change the double)."""
+    """DuckDB twin of :func:`micro_avg` — same micro round, exact sum, same
+    single division, integer-space round, then /1e6 (reassociating any of
+    it would change the double)."""
     return (
-        f"CAST(sum(CAST(round({expr} * 1000000) AS BIGINT)) AS DOUBLE)"
-        f" / count({expr}) / 1000000.0"
+        f"CAST(round(CAST(sum(CAST(round({expr} * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / count({expr}), 0) AS BIGINT) / 1000000.0"
     )
 
 

@@ -10,7 +10,8 @@ both produced locally-green/driver-red rows). A green run here means the
 window should produce 50 green CORRECTNESS rows modulo driver-internal
 differences we can't see.
 
-Usage: python tools/driver_sim.py [sf_dir] [--all]
+Usage: python tools/driver_sim.py [sf_dir] [--all | --only name1,name2]
+(--only runs just the named gates — the dev loop for a fresh edit.)
 """
 
 from __future__ import annotations
@@ -40,7 +41,14 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--all"]
+    only: list[str] | None = None
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--only":
+            only = next(it).split(",")
+        elif a != "--all":
+            args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("driver-sim")
     con = duckdb.connect()
@@ -49,7 +57,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = registry.queries(), registry.oracle_sql()
-    names = list(qs) if "--all" in sys.argv[1:] else list(qs)[:50]
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"--only names not registered: {unknown}")
+        names = only
+    else:
+        names = list(qs) if "--all" in sys.argv[1:] else list(qs)[:50]
     bad: list[str] = []
     for name in names:
         try:
