@@ -677,3 +677,134 @@ def anti_join_users(spark: SparkSession, sf: str) -> DataFrame:
     clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return clickers.join(buyers, "user_id", "left_anti")
+
+
+# --- S11: GPX track import --------------------------------------------------------
+def _gpx_fixture_tracks() -> list[list[tuple[float, float, str]]]:
+    """Deterministic two-track fixture — the single source of truth for BOTH
+    the GPX files the Spark side imports and the oracle's VALUES literals
+    (no committed binary to drift out of sync). Variable positive dt,
+    5-ish-decimal coordinates, whole-second timestamps (exact dt on both
+    engines)."""
+    from datetime import datetime, timedelta, timezone
+
+    tracks: list[list[tuple[float, float, str]]] = []
+    for lat0, lon0, n, step_s in ((47.5, 8.7, 25, 10), (42.35, -70.9, 20, 15)):
+        t = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+        pts: list[tuple[float, float, str]] = []
+        for i in range(n):
+            lat = lat0 + 0.0013 * i + 0.00004 * (i % 5)
+            lon = lon0 + 0.0009 * i - 0.00003 * (i % 7)
+            pts.append((lat, lon, t.strftime("%Y-%m-%dT%H:%M:%SZ")))
+            t += timedelta(seconds=step_s + 5 * (i % 3))
+        tracks.append(pts)
+    return tracks
+
+
+_GPX_TRACKS = _gpx_fixture_tracks()
+
+
+def _write_gpx_fixture() -> list[str]:
+    """Materialize the fixture tracks as real GPX 1.1 files (repr() floats
+    round-trip exactly through the importer's float())."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_gpx_fixture")
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for trk, pts in enumerate(_GPX_TRACKS):
+        body = "".join(
+            f'  <trkpt lat="{lat!r}" lon="{lon!r}"><time>{iso}</time></trkpt>\n'
+            for lat, lon, iso in pts
+        )
+        content = (
+            '<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">\n'
+            " <trk><trkseg>\n" + body + " </trkseg></trk>\n</gpx>\n"
+        )
+        p = os.path.join(d, f"track{trk}.gpx")
+        tmp = f"{p}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, p)  # atomic: concurrent runs never see a torn file
+        paths.append(p)
+    return paths
+
+
+def _gpx_oracle() -> str:
+    """DuckDB twin of the GPX import: same VALUES points, the importer's
+    haversine/bearing formulas written in the IDENTICAL operation order
+    (sources/gpx.py:67-82; deg->rad per gpx-import-service.ts:562-570).
+    Floats enter as CAST('repr' AS DOUBLE) — string->double parse is
+    correctly rounded, while a DECIMAL literal could round twice. The sin/
+    cos/asin/atan2 calls land in the same glibc from both engines (the
+    rule-10 same-libm residual class); the final value is put on the micro
+    grid in INTEGER space on both sides, never by rounding a float (rule 2)."""
+    vals = ",\n      ".join(
+        f"({trk}, {i}, CAST('{lat!r}' AS DOUBLE), CAST('{lon!r}' AS DOUBLE),"
+        f" TIMESTAMP '{iso.replace('T', ' ').replace('Z', '')}')"
+        for trk, pts in enumerate(_GPX_TRACKS)
+        for i, (lat, lon, iso) in enumerate(pts)
+    )
+    hav = (
+        "2*6371000*asin(sqrt(pow(sin(radians(lat-plat)/2),2)"
+        " + cos(radians(plat))*cos(radians(lat))*pow(sin(radians(lon-plon)/2),2)))"
+    )
+    brg = (
+        "radians(fmod(degrees(atan2("
+        "sin(radians(lon-plon))*cos(radians(lat)), "
+        "cos(radians(plat))*sin(radians(lat))"
+        " - sin(radians(plat))*cos(radians(lat))*cos(radians(lon-plon))"
+        ")) + 360.0, 360.0))"
+    )
+
+    def micro(expr: str) -> str:
+        return f"CAST(round(({expr}) * 1000000.0) AS BIGINT) / 1000000.0"
+
+    return f"""
+    WITH pts AS (
+      SELECT * FROM (VALUES
+      {vals}) AS t(trk, i, lat, lon, ts)
+    ),
+    legs AS (
+      SELECT trk, lat, lon, ts,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(ts) OVER w AS pts_
+      FROM pts WINDOW w AS (PARTITION BY trk ORDER BY i)
+    )
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+           'navigation.position' AS path, CAST(NULL AS DOUBLE) AS value,
+           lat AS value_latitude, lon AS value_longitude
+    FROM pts
+    UNION ALL
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'navigation.speedOverGround',
+           {micro(hav + " / ((epoch_ms(ts) - epoch_ms(pts_)) / 1000.0)")},
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM legs WHERE plat IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts_)
+    UNION ALL
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'navigation.courseOverGroundTrue',
+           {micro(brg)}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM legs WHERE plat IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts_)
+    """
+
+
+@register("gpx_import_records", _gpx_oracle())
+def gpx_import_records(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY S11 — the GPX import source, driver-gated (r8 verdict Next
+    #3): fixture tracks -> sources/gpx.import_gpx_files (executor-side
+    mapInPandas parse, position + derived deg->rad speed/course records per
+    gpx-import-service.ts:562-570) -> the record projection the lake
+    ingests. The fixture is sf-independent by nature (an import source has
+    no scale knob); the oracle recomputes the derived records from the raw
+    trkpt literals independently."""
+    from .sources.gpx import import_gpx_files
+
+    df = import_gpx_files(spark, _write_gpx_fixture())
+    micro = (F.round(F.col("value") * 1_000_000.0).cast("long") / 1_000_000.0)
+    return df.select(
+        F.date_format("signalk_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        "path",
+        micro.alias("value"),
+        "value_latitude",
+        "value_longitude",
+    )
