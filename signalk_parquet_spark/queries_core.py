@@ -808,3 +808,37 @@ def gpx_import_records(spark: SparkSession, sf: str) -> DataFrame:
         "value_latitude",
         "value_longitude",
     )
+
+
+# --- incremental tier maintenance (beyond-reference; r8 verdict Next #5) ----------
+@register(
+    "rollup_incremental_1h",
+    f"""
+    SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+           round({dd_micro_avg("value")}, 6) AS value_avg, min(value) AS value_min,
+           max(value) AS value_max, count(value) AS sample_count,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_timestamp,
+           strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_timestamp
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental tier maintenance stated as its correctness contract:
+    incremental-after-late-data == full recompute (the oracle IS the plain
+    full recompute). The reference re-aggregates whole days in a loop
+    (aggregation-service.ts:853-864); operators/incremental.py recomputes
+    only touched buckets — discovery (distinct over late rows), scoped
+    re-agg (broadcast semi-join), anti-join+union merge. 'Late' here is a
+    deterministic 10% slice (event_id % 10 = 7) scattered across all
+    buckets' history, the worst-ish case for touched-set size."""
+    from .operators.incremental import merge_tier, scope_to_touched, touched_buckets
+
+    e = load(spark, sf, "events")
+    is_late = F.pmod(F.col("event_id"), 10) == 7
+    late, base = e.filter(is_late), e.filter(~is_late)
+    initial = bucketed_stats(base, "ts", "value", H, ["event_type"], exact_avg=True)
+    touched = touched_buckets(late, H, ["event_type"], "ts")
+    scoped = scope_to_touched(e, touched, H, ["event_type"], "ts")
+    recomputed = bucketed_stats(scoped, "ts", "value", H, ["event_type"], exact_avg=True)
+    merged = merge_tier(initial, recomputed, touched, ["event_type", "bucket_ts"])
+    return merged.withColumn("value_avg", F.round("value_avg", 6))

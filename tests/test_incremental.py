@@ -1,0 +1,123 @@
+"""Incremental tier maintenance (operators/incremental.py): late-arriving
+rows must trigger a recompute of exactly the touched (context, path, day)
+partitions — equal to a full recompute in content, and provably NOT
+rewriting untouched partitions (the 100 TB property)."""
+
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from signalk_parquet_spark.operators.incremental import (
+    full_equals_incremental,
+    merge_tier,
+    rollup_incremental,
+    scope_to_touched,
+    touched_buckets,
+)
+from signalk_parquet_spark.operators.rollup import rollup_scalar
+from signalk_parquet_spark.sources.lake import Lake
+
+from tests.records import make_record, records_df
+
+T0 = datetime(2024, 3, 10, 0, 30, tzinfo=timezone.utc)
+PATH = "environment.wind.speedApparent"
+
+
+def _mk_rows(ctx: str, day_offset: int, n: int, base_v: float) -> list[dict]:
+    start = T0 + timedelta(days=day_offset)
+    return [
+        make_record(start + timedelta(minutes=17 * i), PATH, base_v + 0.25 * i, context=ctx)
+        for i in range(n)
+    ]
+
+
+def _partition_mtimes(root: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+@pytest.fixture
+def lake_with_late(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    on_time = (
+        _mk_rows("vessels.a", 0, 40, 5.0)
+        + _mk_rows("vessels.a", 1, 40, 6.0)
+        + _mk_rows("vessels.b", 0, 40, 7.0)
+        + _mk_rows("vessels.b", 1, 40, 8.0)
+    )
+    # late rows: vessel A, day 0 ONLY — exactly one (context, path, day)
+    # partition should be touched
+    late = [
+        make_record(T0 + timedelta(hours=3, minutes=7 * i), PATH, 99.0 + i, context="vessels.a")
+        for i in range(5)
+    ]
+    lake.write_records(records_df(spark, on_time), tier="raw")
+    lake.write_rollup(rollup_scalar(lake.read(tier="raw").drop("tier", "year", "day"), "1h"), "1h")
+    # the late rows arrive: exported to raw (the buffer watermark step)
+    late_df = records_df(spark, late)
+    lake.write_records(late_df, tier="raw", mode="append")
+    return lake, late_df, tmp_path
+
+
+def test_incremental_equals_full_recompute(spark, lake_with_late):
+    lake, late_df, tmp_path = lake_with_late
+    n = rollup_incremental(lake, late_df, "1h")
+    assert n == 1  # one touched (context, path, day)
+    all_raw = lake.read(tier="raw").drop("tier", "year", "day")
+    assert full_equals_incremental(spark, lake, "1h", all_raw)
+
+
+def test_untouched_partitions_not_rewritten(spark, lake_with_late):
+    lake, late_df, tmp_path = lake_with_late
+    root = str(tmp_path / "lake")
+    before = _partition_mtimes(root)
+    rollup_incremental(lake, late_df, "1h")
+    after = _partition_mtimes(root)
+    # partition dirs carry the lake's sanitized names (dots -> __)
+    touched_frag = os.path.join(
+        "context=vessels__a", "path=environment__wind__speedApparent", "year=2024", "day=070"
+    )
+    untouched_tier_files = {
+        k for k in before
+        if k.startswith("tier=1h") and touched_frag not in k
+    }
+    assert untouched_tier_files  # the check must actually cover something
+    for k in untouched_tier_files:
+        assert after[k] == before[k], f"untouched partition rewritten: {k}"
+    # and the touched tier partition WAS rewritten
+    touched_files_after = {k for k in after if k.startswith("tier=1h") and touched_frag in k}
+    assert touched_files_after
+    assert any(k not in before or after[k] != before[k] for k in touched_files_after)
+
+
+def test_no_late_rows_is_a_noop(spark, lake_with_late):
+    lake, late_df, tmp_path = lake_with_late
+    empty = late_df.limit(0)
+    root = str(tmp_path / "lake")
+    before = _partition_mtimes(root)
+    assert rollup_incremental(lake, empty, "1h") == 0
+    assert _partition_mtimes(root) == before
+
+
+def test_bucket_level_merge_helpers(spark, lake_with_late):
+    """The pure-DataFrame rungs the gate query uses: touched discovery,
+    semi-join scoping, anti-join+union merge — equivalent to full recompute
+    at bucket granularity."""
+    lake, late_df, _ = lake_with_late
+    H = 3_600_000
+    all_raw = lake.read(tier="raw").drop("tier", "year", "day")
+    base = all_raw.exceptAll(late_df.select(*all_raw.columns))
+    keys = ("context", "path")
+    initial = rollup_scalar(base, "1h")
+    touched = touched_buckets(late_df, H, keys, iso=False)  # rollup_* key is bucket_time
+    scoped = scope_to_touched(all_raw, touched, H, keys, "signalk_timestamp", iso=False)
+    recomputed = rollup_scalar(scoped, "1h")
+    merged = merge_tier(initial, recomputed, touched, [*keys, "bucket_time"])
+    want = rollup_scalar(all_raw, "1h")
+    assert merged.exceptAll(want).isEmpty() and want.exceptAll(merged).isEmpty()
