@@ -215,3 +215,145 @@ def video_payload_for(doc_id: int, group_size: int = 4) -> bytes:
     # new_index = perm[old_index]; new_palette[j] = gray[inv[j]]
     # ⇒ new_palette[new_index[x]] = gray[old_index[x]] — same RGB everywhere
     return encode_gif_frames([perm[f] for f in frames], gray[inv])
+
+
+# --- video (MJPEG-in-AVI) ---------------------------------------------------------
+
+_MJPEG_W, _MJPEG_H = 32, 24  # 4 x 3 JPEG blocks
+_MJPEG_FRAMES = 4
+_MJPEG_BLOCKS = (_MJPEG_W // 8) * (_MJPEG_H // 8)
+
+
+def mjpeg_block_value(group: int, frame: int, blk: int) -> int:
+    """Planted per-block gray value — SQL-expressible ON PURPOSE: the
+    mjpeg_frame_features oracle recomputes it as
+    ``((doc_id // group)*73 + frame*31 + blk*17) % 251 + 2`` over
+    range() tables, so frame luma sums/min/max have analytic truth."""
+    return (group * 73 + frame * 31 + blk * 17) % 251 + 2
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+_MJPEG_ENC_TABLES: dict = {}
+
+
+def _annex_k_enc(key):
+    """Encoder-side Annex K table {symbol: (length, code)} (the decoder
+    module publishes the spec tables; we invert its canonical build)."""
+    if key not in _MJPEG_ENC_TABLES:
+        from ..operators.jpeg import ANNEX_K_HUFF, _build_huffman
+
+        _MJPEG_ENC_TABLES[key] = {
+            sym: (ln, code)
+            for (ln, code), sym in _build_huffman(*ANNEX_K_HUFF[key]).items()
+        }
+    return _MJPEG_ENC_TABLES[key]
+
+
+def encode_jpeg_gray_dconly(block_vals, blocks_w: int, blocks_h: int) -> bytes:
+    """Minimal baseline grayscale JPEG for PIECEWISE-CONSTANT 8x8 blocks
+    with an ALL-ONES quant table. A constant block's FDCT is DC-only with
+    DC = 8*(value-128) — an exact integer — and every AC exactly 0, so the
+    scan is just DC-diff + EOB per block and the decode round-trip is
+    EXACT (DC-only IDCT = DC/8 + 128 = value, dyadic at every step). No
+    DHT segments: the MJPEG no-tables convention — the decoder backfills
+    the T.81 Annex K defaults (operators/jpeg.py ANNEX_K_HUFF), which is
+    exactly the convention this generator must exercise."""
+    import struct as _s
+
+    dc_enc, ac_enc = _annex_k_enc((0, 0)), _annex_k_enc((1, 0))
+    h, w = blocks_h * 8, blocks_w * 8
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 2 + 1 + 64) + bytes([0]) + bytes([1] * 64)
+    sof = bytes([8]) + _s.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc0" + _s.pack(">H", len(sof) + 2) + sof
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + _s.pack(">H", len(sos) + 2) + sos
+    bw = _JpegBitWriter()
+    pred = 0
+    for v in block_vals:
+        dc = 8 * (int(v) - 128)
+        diff = dc - pred
+        s = abs(diff).bit_length()
+        ln, code = dc_enc[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        ln, code = ac_enc[0x00]  # EOB — every AC is exactly zero
+        bw.put(code, ln)
+        pred = dc
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal AVI-RIFF mux of standalone JPEG frames as one MJPG video
+    stream ('00dc' chunks, word-aligned), per the public Microsoft RIFF/AVI
+    layout: LIST hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER with biCompression='MJPG')) + LIST movi."""
+    import struct as _s
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _s.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(jpeg_frames)
+    avih = _s.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG" + _s.pack("<IHHIIIII", 0, 0, 0, 0, 1, fps, 0, n)
+        + _s.pack("<IiI", 0, -1, 0) + _s.pack("<4H", 0, 0, w, h)
+    )
+    strf = _s.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(riff_body)) + riff_body
+
+
+def mjpeg_payload_for(doc_id: int, group_size: int = 4) -> bytes:
+    """Planted MJPEG corpus: _MJPEG_FRAMES piecewise-constant frames whose
+    8x8-block values are the SQL-expressible plant (mjpeg_block_value of
+    doc_id // group_size) — the features gate's analytic truth."""
+    g = doc_id // group_size
+    frames = [
+        encode_jpeg_gray_dconly(
+            [mjpeg_block_value(g, f, b) for b in range(_MJPEG_BLOCKS)],
+            _MJPEG_W // 8,
+            _MJPEG_H // 8,
+        )
+        for f in range(_MJPEG_FRAMES)
+    ]
+    return encode_avi_mjpeg(frames, _MJPEG_W, _MJPEG_H)

@@ -294,3 +294,65 @@ def video_neardup_pairs(
         .filter((F.col("n_aligned") >= min_aligned) & (F.col("frac") >= min_frac))
         .select("id_a", "id_b", "n_aligned", "n_match", "frac")
     )
+
+
+def video_frame_luma_stats(
+    df,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_frames: int = 16,
+):
+    """Exact-INTEGER per-frame luma statistics — the oracle-able twin of
+    multimodal.frame_sample_features: where that operator emits float
+    mean/std over a box-resized thumb (production features), this one emits
+    (luma_sum, luma_min, luma_max) over the RAW decoded frame as BIGINTs,
+    so a planted corpus has analytic SQL truth with zero float risk
+    (the micro_avg lesson applied to media: never value-hash a float you
+    can state as an integer). Grayscale frames use the channel directly;
+    RGB frames use the integer milli-weight luma 299R + 587G + 114B
+    (BT.601 x1000 — exact int64 arithmetic).
+
+    One Arrow map stage over the container walk + per-frame JPEG/GIF decode
+    (multimodal._sampled_frames dispatch); undecodable payloads yield no
+    rows (quarantine-by-omission)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("luma_sum", T.LongType()),
+            T.StructField("luma_min", T.LongType()),
+            T.StructField("luma_max", T.LongType()),
+        ]
+    )
+    cols = ["id", "frame_idx", "n_frames", "luma_sum", "luma_min", "luma_max"]
+
+    def _batches(it):
+        import numpy as np
+
+        from .multimodal import _sampled_frames
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sampled = _sampled_frames(bytes(payload), every_n, max_frames)
+                if sampled is None:
+                    continue
+                n_frames, frames = sampled
+                for idx, px in frames:
+                    a = px.astype(np.int64)
+                    if a.ndim == 3 and a.shape[2] >= 3:
+                        luma = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+                    else:
+                        luma = a.reshape(a.shape[0], a.shape[1], -1)[:, :, 0]
+                    rows.append(
+                        (int(mid), int(idx), int(n_frames),
+                         int(luma.sum()), int(luma.min()), int(luma.max()))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema=out_schema)

@@ -172,3 +172,45 @@ def image_dedup_decisions_phash(spark: SparkSession, sf: str) -> DataFrame:
         max_hamming=3, bands=4, method="phash",
     )
     return pairs_to_decisions(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+_MJPEG_ORACLE = f"""
+    WITH v AS (
+      SELECT d.doc_id, f.i AS frame_idx,
+             ((d.doc_id // {_GROUP})*73 + f.i*31 + b.i*17) % 251 + 2 AS val
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {_CAP}) d,
+           range(4) f(i), range(12) b(i)
+    )
+    SELECT doc_id, frame_idx, 4 AS n_frames,
+           CAST(sum(val) * 64 AS BIGINT) AS luma_sum,
+           CAST(min(val) AS BIGINT) AS luma_min,
+           CAST(max(val) AS BIGINT) AS luma_max
+    FROM v GROUP BY 1, 2
+    """
+
+
+@register("mjpeg_frame_features", _MJPEG_ORACLE)
+def mjpeg_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    """MJPEG-in-AVI frame pipeline, driver-gated (r8 verdict Next #6 — the
+    last declared-in-scope media format): AVI container walk ('movi'/'00dc'
+    chunks, operators/video.iter_video_chunks) -> per-frame baseline JPEG
+    entropy decode (operators/jpeg, Annex-K no-DHT MJPEG convention) ->
+    exact-integer luma stats per frame. The planted corpus's 8x8-block
+    values are SQL-expressible (mediagen.mjpeg_block_value), and the
+    DC-only all-ones-quant encoding round-trips EXACTLY through the real
+    decoder, so frame luma sums/min/max have analytic BIGINT truth — any
+    container-walk slip (frame shift), Huffman/predictor bug, or IDCT
+    deviation lands a hard hash mismatch. Scale shape: one Arrow map stage,
+    frame sampling decodes only sampled frames (MJPEG frames are
+    independent), no shuffle before the tiny stat rows."""
+    from .operators.video import video_frame_luma_stats
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < _CAP)
+    avis = _synthetic_corpus(docs, "mjpeg_payload_for")
+    stats = video_frame_luma_stats(
+        avis, id_col="doc_id", payload_col="payload", max_frames=8
+    )
+    return stats.select(
+        F.col("id").alias("doc_id"), "frame_idx", "n_frames",
+        "luma_sum", "luma_min", "luma_max",
+    )

@@ -376,3 +376,75 @@ def test_iter_video_chunks_honors_declared_riff_size():
     assert list(iter_video_chunks(avi + phantom, 0)) == frames
     meta = parse_avi_header(avi + phantom)
     assert meta is not None and meta["n_frames"] == 2
+
+
+# --- r9: DC-only MJPEG generator + exact-integer luma stats -----------------------
+
+
+def test_mjpeg_dconly_roundtrip_exact():
+    """The generator's whole premise: piecewise-constant blocks + all-ones
+    quant survive encode->decode EXACTLY (DC = 8*(v-128) integer, ACs 0)."""
+    from signalk_parquet_spark.functions.mediagen import (
+        _MJPEG_BLOCKS,
+        encode_jpeg_gray_dconly,
+        mjpeg_block_value,
+    )
+    from signalk_parquet_spark.operators.jpeg import decode_jpeg_pixels
+
+    vals = [mjpeg_block_value(3, 1, b) for b in range(_MJPEG_BLOCKS)]
+    px = decode_jpeg_pixels(encode_jpeg_gray_dconly(vals, 4, 3))
+    assert px is not None and px.shape == (24, 32, 1)
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 4)
+        block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+        assert (block == v).all(), f"block {b}: {np.unique(block)} != {v}"
+
+
+def test_mjpeg_payload_decodes_via_container_walk():
+    from signalk_parquet_spark.functions.mediagen import (
+        _MJPEG_BLOCKS,
+        _MJPEG_FRAMES,
+        mjpeg_block_value,
+        mjpeg_payload_for,
+    )
+
+    p = mjpeg_payload_for(9)
+    meta = parse_avi_header(p)
+    assert meta["codec"] == "MJPG" and meta["n_frames"] == _MJPEG_FRAMES
+    total, frames = decode_avi_frames(p, max_frames=8)
+    assert total == _MJPEG_FRAMES and len(frames) == _MJPEG_FRAMES
+    g = 9 // 4
+    for idx, px in frames:
+        want = [mjpeg_block_value(g, idx, b) for b in range(_MJPEG_BLOCKS)]
+        assert int(px.astype(np.int64).sum()) == 64 * sum(want)
+        assert int(px.min()) == min(want) and int(px.max()) == max(want)
+
+
+def test_video_frame_luma_stats_gray_rgb_and_quarantine(spark):
+    """The operator behind the mjpeg_frame_features gate: grayscale MJPEG
+    uses the channel directly, RGB (animated GIF) takes the exact
+    milli-weight luma, undecodable payloads yield no rows."""
+    from signalk_parquet_spark.functions.mediagen import (
+        mjpeg_payload_for,
+        video_payload_for,
+    )
+    from signalk_parquet_spark.operators.raster import decode_gif_frames
+    from signalk_parquet_spark.operators.video import video_frame_luma_stats
+
+    gif = video_payload_for(0)
+    rows = [(1, bytearray(mjpeg_payload_for(4))), (2, bytearray(gif)),
+            (3, bytearray(b"not media at all"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["id"], r["frame_idx"]): r
+        for r in video_frame_luma_stats(df, max_frames=8).collect()
+    }
+    assert not any(k[0] == 3 for k in got)  # quarantined
+    assert sum(1 for k in got if k[0] == 1) == 4  # 4 MJPEG frames
+    # RGB GIF frame 0: stats must equal the direct decode's integer luma
+    f0 = decode_gif_frames(gif, max_frames=1)[0].astype(np.int64)
+    luma = 299 * f0[:, :, 0] + 587 * f0[:, :, 1] + 114 * f0[:, :, 2]
+    r = got[(2, 0)]
+    assert (r["luma_sum"], r["luma_min"], r["luma_max"]) == (
+        int(luma.sum()), int(luma.min()), int(luma.max())
+    )

@@ -94,6 +94,48 @@ def frames_ramp(spark, sizes=(200, 1000, 4000)):
         print(f"  n={n}: {time.time() - t:.1f} s, {rows} frame rows")
 
 
+def mjpeg_features_ramp(spark, sizes=(2_000, 8_000, 32_000)):
+    """The r9 gate's pipeline uncapped: executor-generated planted MJPEG-AVI
+    corpus (mediagen.mjpeg_payload_for — DC-only exact-round-trip JPEG) ->
+    container walk -> per-frame entropy decode -> integer luma stats; the
+    plant gives every run an EXACTNESS check, not just a wall clock."""
+    from signalk_parquet_spark.operators.video import video_frame_luma_stats
+
+    print("mjpeg_frame_features ramp (executor-generated 4-frame 32x24 MJPEG)")
+    for n in sizes:
+        def gen(it):
+            import pandas as pd
+
+            from signalk_parquet_spark.functions.mediagen import mjpeg_payload_for
+
+            for pdf in it:
+                ids = [int(x) for x in pdf["id"].tolist()]
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [mjpeg_payload_for(i) for i in ids]}
+                )
+
+        df = spark.range(n).repartition(32).mapInPandas(
+            gen, "doc_id long, payload binary"
+        )
+        t = time.time()
+        stats = video_frame_luma_stats(
+            df, id_col="doc_id", payload_col="payload", max_frames=8
+        )
+        # exactness alongside the wall: luma_sum must equal the analytic
+        # plant (mediagen.mjpeg_block_value as a native expression — 12
+        # blocks, so the interpreted HOF re-eval cost is nil)
+        expected = F.expr(
+            "64 * aggregate(sequence(0, 11), 0L, (acc, b) -> "
+            "acc + (CAST(id / 4 AS LONG) * 73 + frame_idx * 31 + b * 17) % 251 + 2)"
+        )
+        bad = stats.filter(F.col("luma_sum") != expected).count()
+        rows = stats.count()
+        wall = time.time() - t
+        ok = "exact" if bad == 0 else f"{bad} MISMATCHES"
+        print(f"  n={n}: {wall:.1f} s ({n / wall:.0f} clips/s), {rows} frame rows [{ok}]")
+
+
+
 def image_video_ramp(spark, sizes=(200, 1000, 4000)):
     """Image + video near-dup rungs: every 10th payload is a JPEG
     re-encode of an earlier one (the near-dup mass), payload synthesis
@@ -290,6 +332,7 @@ if __name__ == "__main__":
     spark = get_spark("media_ramp")
     spark.range(32).mapInPandas(lambda it: it, "id long").count()  # warm Arrow
     frames_ramp(spark)
+    mjpeg_features_ramp(spark)
     audio_ramp(spark)
     image_video_ramp(spark)
     decisions_ramp(spark)
