@@ -46,23 +46,58 @@ def rollup_scalar(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") -
     )
 
 
-def rollup_angular(df: DataFrame, tier: str, ts_col: str = "signalk_timestamp") -> DataFrame:
+def rollup_angular(
+    df: DataFrame, tier: str, ts_col: str = "signalk_timestamp",
+    exact_partials: bool = False,
+) -> DataFrame:
     """A11 — angular rollup with persisted sin/cos partial state; min/max are
-    meaningless for circular data and stay NULL (aggregation-service.ts:468-528)."""
+    meaningless for circular data and stay NULL (aggregation-service.ts:468-528).
+
+    ``exact_partials=True`` is the angular twin of bucketed_stats'
+    exact_avg (CLAUDE.md rule 10): each row's sin/cos is rounded to an
+    exact NANO integer (|sin|<=1 so k.5 nano boundaries are exactly
+    representable doubles — both engines' half-away rounding agrees given
+    identical trig outputs), summed as BIGINT, and divided in one
+    deterministic order — so the partials, and hence ATAN2's inputs, are
+    summation-ORDER-independent (identical across partitionings, re-runs,
+    and engines sharing libm bit behavior). The tier additionally persists
+    the raw nano SUMS (value_sin_sum_nano/value_cos_sum_nano), making
+    tier->tier re-aggregation exactly lossless in integer arithmetic
+    (reaggregate_angular exact_partials). The float default matches the
+    reference's persisted-float-partial state."""
     v = F.col("value").cast("double")
-    return (
-        _bucketed(df, tier, ts_col)
-        .groupBy("context", "path", "bucket_time")
-        .agg(
+    base = _bucketed(df, tier, ts_col).groupBy("context", "path", "bucket_time")
+    common = [
+        F.lit(None).cast("double").alias("value_min"),
+        F.lit(None).cast("double").alias("value_max"),
+        F.count(v).alias("sample_count"),
+        F.min(ts_col).alias("first_timestamp"),
+        F.max(ts_col).alias("last_timestamp"),
+    ]
+    if not exact_partials:
+        return base.agg(
             F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))).alias("value_avg"),
-            F.lit(None).cast("double").alias("value_min"),
-            F.lit(None).cast("double").alias("value_max"),
-            F.count(v).alias("sample_count"),
+            *common,
             F.avg(F.sin(v)).alias("value_sin_avg"),
             F.avg(F.cos(v)).alias("value_cos_avg"),
-            F.min(ts_col).alias("first_timestamp"),
-            F.max(ts_col).alias("last_timestamp"),
         )
+    sn = F.round(F.sin(v) * 1_000_000_000).cast("long")
+    cn = F.round(F.cos(v) * 1_000_000_000).cast("long")
+    out = base.agg(
+        *common,
+        F.sum(sn).alias("value_sin_sum_nano"),
+        F.sum(cn).alias("value_cos_sum_nano"),
+    )
+    qs = F.col("value_sin_sum_nano").cast("double") / F.col("sample_count") / 1e9
+    qc = F.col("value_cos_sum_nano").cast("double") / F.col("sample_count") / 1e9
+    return out.select(
+        "context", "path", "bucket_time",
+        F.atan2(qs, qc).alias("value_avg"),
+        "value_min", "value_max", "sample_count",
+        qs.alias("value_sin_avg"),
+        qc.alias("value_cos_avg"),
+        "first_timestamp", "last_timestamp",
+        "value_sin_sum_nano", "value_cos_sum_nano",
     )
 
 
@@ -185,18 +220,37 @@ def reaggregate_scalar(tier_df: DataFrame, resolution_ms: int) -> DataFrame:
     )
 
 
-def reaggregate_angular(tier_df: DataFrame, resolution_ms: int) -> DataFrame:
+def reaggregate_angular(
+    tier_df: DataFrame, resolution_ms: int, exact_partials: bool = False,
+) -> DataFrame:
     """A8 — ATAN2(SUM(sin*n)/SUM(n), SUM(cos*n)/SUM(n)), with the reference's
     COALESCE fallback to SIN(value_avg) for pre-migration tier files that
-    lack the partials (HistoryAPI.ts:2461-2468)."""
+    lack the partials (HistoryAPI.ts:2461-2468).
+
+    ``exact_partials=True`` consumes the nano-integer partial SUMS a
+    rollup_angular(exact_partials=True) tier persists: BIGINT sums all the
+    way up, one deterministic division order — the re-agg is exactly
+    lossless (float SUM(sin_avg*n) is summation-order-dependent, the
+    micro_avg class)."""
+    grouped = tier_df.withColumn(
+        "bucket", bucket_ts("bucket_time", resolution_ms)
+    ).groupBy("context", "path", "bucket")
+    if exact_partials:
+        out = grouped.agg(
+            F.sum("value_sin_sum_nano").alias("ssn"),
+            F.sum("value_cos_sum_nano").alias("csn"),
+            F.sum("sample_count").alias("sample_count"),
+        )
+        qs = F.col("ssn").cast("double") / F.col("sample_count") / 1e9
+        qc = F.col("csn").cast("double") / F.col("sample_count") / 1e9
+        return out.select(
+            "context", "path", "bucket",
+            F.atan2(qs, qc).alias("value"), "sample_count",
+        )
     sin_p = F.coalesce(F.col("value_sin_avg"), F.sin("value_avg"))
     cos_p = F.coalesce(F.col("value_cos_avg"), F.cos("value_avg"))
     n = F.col("sample_count")
-    return (
-        tier_df.withColumn("bucket", bucket_ts("bucket_time", resolution_ms))
-        .groupBy("context", "path", "bucket")
-        .agg(
-            F.atan2(F.sum(sin_p * n) / F.sum(n), F.sum(cos_p * n) / F.sum(n)).alias("value"),
-            F.sum("sample_count").alias("sample_count"),
-        )
+    return grouped.agg(
+        F.atan2(F.sum(sin_p * n) / F.sum(n), F.sum(cos_p * n) / F.sum(n)).alias("value"),
+        F.sum("sample_count").alias("sample_count"),
     )

@@ -17,7 +17,17 @@ from .operators.align import align_pivot
 from .operators.episodes import episodes
 from .operators.federation import blend_union, priority_dedup
 from .operators.smoothing import ema, sma
-from .registry import dd_bucket, dd_micro_avg, load, micro_avg, register
+from .registry import (
+    dd_bucket,
+    dd_micro_avg,
+    dd_micro_grid,
+    dd_nano_avg,
+    load,
+    micro_avg,
+    micro_grid,
+    nano_avg,
+    register,
+)
 
 H = 3600_000  # 1 hour in ms
 M5 = 300_000  # 5 minutes
@@ -123,19 +133,26 @@ def bucket_middle_index_1h(spark: SparkSession, sf: str) -> DataFrame:
 # --- A7: angular vector average ----------------------------------------------
 @register(
     "angular_avg",
-    """
+    f"""
     SELECT event_type,
-           round(atan2(avg(sin(radians(value))), avg(cos(radians(value)))), 6) AS vec_avg_rad
+           {dd_micro_grid(f"atan2({dd_nano_avg('sin(radians(value))')}, {dd_nano_avg('cos(radians(value))')})")} AS vec_avg_rad
     FROM events GROUP BY 1
     """,
 )
 def angular_avg_q(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY A7 — ATAN2(AVG(SIN),AVG(COS)) (src/HistoryAPI.ts:2543-2551),
-    treating `value` as degrees."""
+    treating `value` as degrees. Exactness mechanism (r8 verdict Next #4):
+    per-row NANO-integer sin/cos partials (nano_avg — kills float
+    summation-order dependence, the class that actually flipped 8 gates at
+    sf0.1), deterministic quotient division, ATAN2 on bit-identical inputs,
+    and an integer-space micro-grid final round (micro_grid — closes the
+    rule-2 final-float-round class). Remaining empirical dependency: per-ROW
+    sin/cos/atan2 bit-identity across JVM and glibc libm — measured and
+    margin-bounded by tests/test_angular_margin.py."""
     e = load(spark, sf, "events")
     v = F.radians(F.col("value"))
     return e.groupBy("event_type").agg(
-        F.round(F.atan2(F.avg(F.sin(v)), F.avg(F.cos(v))), 6).alias("vec_avg_rad")
+        micro_grid(F.atan2(nano_avg(F.sin(v)), nano_avg(F.cos(v)))).alias("vec_avg_rad")
     )
 
 
@@ -204,17 +221,24 @@ def tier_rollup_stats_5m(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "tier_rollup_angular_1h",
     f"""
-    SELECT event_type AS context, 'navigation.headingTrue' AS path,
-           {dd_bucket(H)} AS bucket_ts,
-           round(atan2(avg(sin(radians(value))), avg(cos(radians(value)))), 6) AS value_avg,
+    WITH g AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+             {dd_nano_avg("sin(radians(value))")} AS qs,
+             {dd_nano_avg("cos(radians(value))")} AS qc,
+             count(value) AS sample_count,
+             strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
+             strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type AS context, 'navigation.headingTrue' AS path, bucket_ts,
+           {dd_micro_grid("atan2(qs, qc)")} AS value_avg,
            CAST(NULL AS DOUBLE) AS value_min,
            CAST(NULL AS DOUBLE) AS value_max,
-           count(value) AS sample_count,
-           round(avg(sin(radians(value))), 6) AS sin_avg,
-           round(avg(cos(radians(value))), 6) AS cos_avg,
-           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
-           strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
-    FROM events GROUP BY 1, 2, 3
+           sample_count,
+           {dd_micro_grid("qs")} AS sin_avg,
+           {dd_micro_grid("qc")} AS cos_avg,
+           first_ts, last_ts
+    FROM g
     """,
 )
 def tier_rollup_angular_1h(spark: SparkSession, sf: str) -> DataFrame:
@@ -222,10 +246,14 @@ def tier_rollup_angular_1h(spark: SparkSession, sf: str) -> DataFrame:
     rollup_angular; aggregation-service.ts:468-528): vector average via
     sin/cos PARTIALS persisted alongside it (the lossless re-agg state A8
     consumes), min/max NULLed because extrema are meaningless on a circle.
-    Events stand in for a heading series (`value` as degrees). The trig
-    outputs round to 6 — the same granularity angular_avg has held green
-    across rounds (a flip needs the rounded operand within ~1e-15 of a
-    .5e-6 boundary)."""
+    Events stand in for a heading series (`value` as degrees).
+
+    exact_partials (r9): the tier's sin/cos partials are per-row NANO
+    integers summed exactly — summation-order-independent — and every
+    emitted trig value lands on the micro grid via an integer-space round
+    (micro_grid), replacing the r8 form's float avg + round(,6), which
+    survived on rounding margin alone (CLAUDE.md rule 10 residual; margin
+    now measured by tests/test_angular_margin.py)."""
     from .operators.rollup import rollup_angular
 
     e = load(spark, sf, "events").select(
@@ -234,17 +262,17 @@ def tier_rollup_angular_1h(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("signalk_timestamp"),
         F.radians("value").alias("value"),
     )
-    out = rollup_angular(e, "1h")
+    out = rollup_angular(e, "1h", exact_partials=True)
     return out.select(
         "context",
         "path",
         F.date_format("bucket_time", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts"),
-        F.round("value_avg", 6).alias("value_avg"),
+        micro_grid("value_avg").alias("value_avg"),
         "value_min",
         "value_max",
         "sample_count",
-        F.round("value_sin_avg", 6).alias("sin_avg"),
-        F.round("value_cos_avg", 6).alias("cos_avg"),
+        micro_grid("value_sin_avg").alias("sin_avg"),
+        micro_grid("value_cos_avg").alias("cos_avg"),
         iso_utc("first_timestamp").alias("first_ts"),
         iso_utc("last_timestamp").alias("last_ts"),
     )
@@ -259,29 +287,33 @@ H3 = 3 * H  # 3 hours
     f"""
     WITH t1 AS (
       SELECT event_type, CAST(floor(epoch_ms(ts)/{H})*{H} AS BIGINT) AS b1,
-             avg(sin(radians(value))) AS sin_avg,
-             avg(cos(radians(value))) AS cos_avg,
+             sum(CAST(round(sin(radians(value)) * 1000000000) AS BIGINT)) AS ssn,
+             sum(CAST(round(cos(radians(value)) * 1000000000) AS BIGINT)) AS csn,
              count(value) AS n
       FROM events GROUP BY 1, 2
     )
     SELECT event_type,
            strftime(epoch_ms(CAST(floor(b1/{H3})*{H3} AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS bucket_ts,
-           round(atan2(sum(sin_avg * n) / CAST(sum(n) AS BIGINT),
-                       sum(cos_avg * n) / CAST(sum(n) AS BIGINT)), 6) AS value_avg,
+           {dd_micro_grid(
+               "atan2(CAST(sum(ssn) AS DOUBLE) / CAST(sum(n) AS BIGINT) / 1000000000.0,"
+               " CAST(sum(csn) AS DOUBLE) / CAST(sum(n) AS BIGINT) / 1000000000.0)"
+           )} AS value_avg,
            CAST(sum(n) AS BIGINT) AS sample_count
     FROM t1 GROUP BY 1, 2
     """,
 )
 def angular_reagg_3h(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY A8 — angular LOSSLESS re-aggregation: the 1h tier's persisted
-    sin/cos partials re-aggregate to 3h buckets via
-    ATAN2(SUM(sin*n)/SUM(n), SUM(cos*n)/SUM(n)) — the exact two-level path
+    partials re-aggregate to 3h buckets — the exact two-level path
     operators/rollup.reaggregate_angular runs when the History planner
     picks a coarser resolution than the stored tier
-    (HistoryAPI.ts:2461-2468). The oracle computes the SAME two-level plan
-    (identical float operations in identical grouping), so the gate proves
-    tier→tier reconstruction, complementing the pytest re-agg≡direct
-    equivalence (which is a property, not an engine-parity check)."""
+    (HistoryAPI.ts:2461-2468). exact_partials (r9) makes 'lossless' literal:
+    the tier persists nano-integer sin/cos SUMS, the re-agg sums BIGINTs —
+    tier->tier reconstruction is INTEGER arithmetic end to end, with one
+    deterministic division feeding ATAN2 and a micro-grid integer-space
+    final round (a float SUM(sin_avg*n) was summation-order-dependent, the
+    micro_avg class). The oracle computes the same two-level plan; the
+    pytest re-agg≡direct equivalence remains the property check."""
     from .operators.rollup import reaggregate_angular, rollup_angular
 
     e = load(spark, sf, "events").select(
@@ -290,12 +322,12 @@ def angular_reagg_3h(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("signalk_timestamp"),
         F.radians("value").alias("value"),
     )
-    tier = rollup_angular(e, "1h")
-    out = reaggregate_angular(tier, H3)
+    tier = rollup_angular(e, "1h", exact_partials=True)
+    out = reaggregate_angular(tier, H3, exact_partials=True)
     return out.select(
         F.col("context").alias("event_type"),
         F.date_format("bucket", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts"),
-        F.round("value", 6).alias("value_avg"),
+        micro_grid("value").alias("value_avg"),
         "sample_count",
     )
 

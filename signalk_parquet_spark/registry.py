@@ -205,6 +205,48 @@ def micro_avg(col):
     return F.round(s / F.count(c), 0).cast("long") / 1_000_000.0
 
 
+def micro_grid(col):
+    """Put ANY double on the 6-decimal grid in INTEGER space (round(x*1e6)
+    -> BIGINT -> /1e6): given bit-identical inputs on both engines this is
+    exact by construction — integer .5 boundaries are exactly representable,
+    where Spark's HALF_UP and DuckDB's half-away agree — unlike round(x, 6),
+    whose .5-of-the-7th-decimal boundaries are NOT representable and can
+    split shortest-decimal from binary rounding (rule 2). The gate-side
+    closer for trig outputs (atan2 of deterministic quotients)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 1_000_000.0).cast("long") / 1_000_000.0
+
+
+def dd_micro_grid(expr: str) -> str:
+    """DuckDB twin of :func:`micro_grid`."""
+    return f"CAST(round(({expr}) * 1000000.0) AS BIGINT) / 1000000.0"
+
+
+def nano_avg(col):
+    """ORDER-INDEPENDENT mean of a TRIG output column (|x| <= 1): per-row
+    round to exact NANO integers (k.5 at |k| <= 1e9 is exactly
+    representable, so both engines' rounding agrees given bit-identical
+    trig values), BIGINT sum, one deterministic division order. The angular
+    twin of :func:`micro_avg` — nano because unit-interval values need the
+    headroom, and the quotient feeds ATAN2, not a value hash. Twin:
+    :func:`dd_nano_avg` (identical operation order)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(F.round(c * 1_000_000_000).cast("long")).cast("double")
+    return s / F.count(c) / 1e9
+
+
+def dd_nano_avg(expr: str) -> str:
+    """DuckDB twin of :func:`nano_avg`."""
+    return (
+        f"CAST(sum(CAST(round(({expr}) * 1000000000) AS BIGINT)) AS DOUBLE)"
+        f" / count({expr}) / 1000000000.0"
+    )
+
+
 def dd_micro_avg(expr: str) -> str:
     """DuckDB twin of :func:`micro_avg` — same micro round, exact sum, same
     single division, integer-space round, then /1e6 (reassociating any of
