@@ -282,87 +282,77 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r8 window (13 + 37 = 50), adopted from `tools/window_check.py
-#: --suggest` over the CORRECTNESS_r01-r07 union (the mechanical policy —
-#: the r6 lesson): 4 NEW gates (history_v2_blend — the v2 provider's
-#: union-before-aggregate federation vs the v1 priority pick,
-#: unigram_estep_counts — one full Viterbi-EM E-step vs a full-enumeration
-#: recursive-CTE oracle, unigram_tokenize_stats — apply_unigram end to
-#: end vs the same enumeration re-joined per doc, and
-#: decontaminate_semantic — embedding-cosine eval-leak screening over the
-#: hash split) + 1 semantics-EDITED gate (position_rollup_1h —
-#: A12 went reference-exact this round, so its r7 row no longer describes
-#: the shipped code), then ALL 42 r04-stale gates (the dedup
-#: keep/winnowing/semantic family, the ANN tail, asof/interval/sessionize,
-#: object_component_agg, the windowing extras, tpch_q11 — kept in
-#: suggestion order, which preserves registration order inside the
-#: dedup/ann families so their shared memo builds amortize in driver order
-#: like they do in bench order), then fill to 50 with the 5 stalest
-#: r06-era greens. After this round's rows land, every gate's freshest
-#: driver evidence is r06 or newer. Everything rotated out is green in
-#: CORRECTNESS_r07, so the union of round windows still covers every
-#: registered query.
+#: r9 window (16 + 5 + 29 = 50), from `tools/window_check.py --suggest`
+#: over the CORRECTNESS_r01-r08 union plus the manual new/edited pull-in
+#: the policy requires. Front 16: the 3 NEW gates (gpx_import_records —
+#: S11 via a fixture-literal oracle, rollup_incremental_1h — incremental
+#: maintenance == full recompute, mjpeg_frame_features — container walk +
+#: JPEG decode with analytic integer truth), the 3 angular gates
+#: (mechanism change: nano-int partials + micro_grid, r9), and the 10
+#: gates whose exactness mechanism the micro_avg integer-space final
+#: round altered (every micro_avg/dd_micro_avg consumer). Then the 5
+#: r04-tail gates the late-r8 edits displaced, then 29 of the r06 cohort
+#: in suggestion order with one swap: quality_gopher cedes its slot so
+#: the decontaminate_bloom + bloom_fp_rate pair (shared bloom build)
+#: stays contiguous. Still outside after r9 (lead r10): quality_gopher,
+#: mixture_epochs, the bpe pair, ivfpq pair, scrub/redact pair and the
+#: four media decision gates — all r06-green and unchanged.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- new/edited this round ---
-    "history_v2_blend",
-    "unigram_estep_counts",
-    "unigram_tokenize_stats",
-    "decontaminate_semantic",
-    "position_rollup_1h",
-    # edited late-r8: the micro_avg exactness class (CLAUDE.md rule 10 —
-    # found by the first full sf0.1 value-compare); rate_of_change and
-    # history_v2_blend, same class, are already above
+    # --- new this round ---
+    "gpx_import_records",
+    "rollup_incremental_1h",
+    "mjpeg_frame_features",
+    # --- edited: angular exactness mechanism (nano partials + micro_grid) ---
+    "angular_avg",
+    "tier_rollup_angular_1h",
+    "angular_reagg_3h",
+    # --- edited: micro_avg integer-space final round (every consumer) ---
     "bucket_avg_1h",
-    "priority_dedup_1h",
-    "align_pivot_1h",
     "weighted_reagg_1h",
     "tier_rollup_stats_5m",
+    "priority_dedup_1h",
+    "history_v2_blend",
+    "align_pivot_1h",
     "sma_1h_w5",
     "ema_1h_a02",
     "ema_pathspec_a05",
-    # --- stalest: last green r04 (all 42) ---
-    "dedup_jaccard_prefix",
-    "minhash_estimate_error",
-    "dedup_keep_longest",
-    "dedup_keep_corpus",
-    "dedup_substring_spans",
-    "dedup_winnowing",
-    "dedup_semantic",
-    "semdedup_recall",
-    "dedup_cluster_cc",
-    "ann_lsh_bucketed",
-    "embedding_neardup",
-    "ann_lsh_multitable",
-    "ann_recall",
-    "ann_ivf",
-    "ivf_recall",
-    "ann_scalar_quant",
-    "asof_last_purchase",
-    "interval_join_pairs",
-    "sessionize_30m",
-    "cube_returnflag_status",
-    "distinct_and_stddev",
-    "object_component_agg",
-    "scalar_subquery_acctbal",
-    "value_histogram",
     "rate_of_change",
-    "daily_activity",
-    "ranking_functions",
-    "cohort_retention",
-    "funnel_conversion",
-    "vector_centroid",
-    "tfidf_top_terms",
-    "window_funcs_extended",
-    "sample_stratified",
-    "pack_sequences",
-    "skew_salted_stats",
-    "intersect_buyers_clickers",
-    "ann_pq",
-    # pq_recall + lm_bigram_score / source_divergence / quality_classifier
-    # / tpch_q11 (r04 tail) + the three r06 fills (ann_ivf_kmeans,
-    # ivf_kmeans_recall, doc_embed_hashed) + dsir_weights /
-    # perplexity_buckets ceded their slots to the late-r8
-    # micro_avg-edited gates -> they lead r9's stalest set
+    # --- stalest: the r04 tail ---
+    "pq_recall",
+    "lm_bigram_score",
+    "source_divergence",
+    "quality_classifier",
+    "tpch_q11",
+    # --- stalest: r06 cohort (suggestion order; bloom pair kept adjacent) ---
+    "ann_ivf_kmeans",
+    "ivf_kmeans_recall",
+    "doc_embed_hashed",
+    "dsir_weights",
+    "perplexity_buckets",
+    "bucket_minmax_1h",
+    "bucket_first_last_1h",
+    "bucket_median_1h",
+    "bucket_middle_index_1h",
+    "episodes_error",
+    "union_by_name",
+    "anti_join_users",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "semi_join_orders",
+    "rank_orders_per_customer",
+    "order_gaps",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "text_top_tokens",
+    "regex_extract_tokens",
+    "unpivot_aligned",
+    "pii_scrub",
+    "decontaminate_bloom",
+    "bloom_fp_rate",
 )
 
 
