@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """End-to-end lifecycle demo — the full reference workflow on this engine:
 
-  live stream → hot buffer → daily export → tier rollups → retention →
+  live stream → hot buffer → daily export → tier rollups → late-data
+  incremental tier refresh → retention →
   federated History query (with smoothing + spatial) → historical replay
   → cloud sync
 
@@ -72,6 +73,20 @@ def main() -> None:
     # 3. tier rollups materialized (scalar + angular partial state)
     lake.write_rollup(rollup_scalar(lake.read(tier="raw", path="navigation.speedOverGround"), "5s"), "5s")
     print(f"3. tiers on disk: {sorted(r['tier'] for r in lake.read().select('tier').distinct().collect())}")
+
+    # 3b. late data arrives for yesterday: export to raw, then refresh the
+    # tier INCREMENTALLY — only the touched (context, path, day) partition
+    # recomputes (the reference re-aggregates whole days in a loop)
+    from signalk_parquet_spark.operators.incremental import rollup_incremental
+
+    late = [
+        make_record(YESTERDAY + timedelta(hours=2, seconds=i),
+                    "navigation.speedOverGround", 9.0 + i)
+        for i in range(5)
+    ]
+    lake.write_records(records_df(spark, late), tier="raw", mode="append")
+    touched = rollup_incremental(lake, records_df(spark, late), "5s")
+    print(f"3b. late data: {len(late)} rows -> {touched} tier partition(s) recomputed incrementally")
 
     # 4. retention drops the 30-day-old partition (7-day raw policy)
     removed = retention_cleanup(lake, TODAY, base_days=7, rules=[RetentionRule("*", 7)])

@@ -121,3 +121,54 @@ def test_bucket_level_merge_helpers(spark, lake_with_late):
     merged = merge_tier(initial, recomputed, touched, [*keys, "bucket_time"])
     want = rollup_scalar(all_raw, "1h")
     assert merged.exceptAll(want).isEmpty() and want.exceptAll(merged).isEmpty()
+
+
+# --- property: random late subsets, random widths --------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # series id
+            st.integers(min_value=0, max_value=48 * 60),  # minute offset
+            st.integers(min_value=-1000, max_value=1000), # value in quarter-units
+            st.booleans(),                                # arrives late?
+        ),
+        min_size=1, max_size=120,
+    ),
+    res_ms=st.sampled_from([60_000, 3_600_000]),
+)
+def test_incremental_merge_equals_full_property(spark, rows, res_ms):
+    """For ANY split of rows into on-time/late and any bucket width, the
+    incremental merge (initial-from-base + recompute-touched) equals the
+    full recompute. Values are quarter-unit dyadics so float sums are
+    order-independent and exceptAll is exact."""
+    # split in PYTHON, not via a (ts, context) join — generated rows can
+    # collide on that key with opposite flags, which a join would duplicate
+    late_recs, base_recs = [], []
+    for i, (s, m, v, late) in enumerate(rows):
+        rec = make_record(
+            T0 + timedelta(minutes=m, seconds=(i * 7) % 60),
+            PATH,
+            0.25 * v,
+            context=f"vessels.s{s}",
+        )
+        (late_recs if late else base_recs).append(rec)
+    seed = records_df(spark, late_recs or base_recs)
+    late_df = records_df(spark, late_recs) if late_recs else seed.limit(0)
+    base = records_df(spark, base_recs) if base_recs else seed.limit(0)
+    df = base.unionByName(late_df)
+    keys = ("context", "path")
+    tier = {60_000: "60s", 3_600_000: "1h"}[res_ms]
+    initial = rollup_scalar(base, tier)
+    touched = touched_buckets(late_df, res_ms, keys, iso=False)
+    scoped = scope_to_touched(df, touched, res_ms, keys, "signalk_timestamp", iso=False)
+    merged = merge_tier(initial, rollup_scalar(scoped, tier), touched, [*keys, "bucket_time"])
+    want = rollup_scalar(df, tier)
+    assert merged.exceptAll(want).isEmpty() and want.exceptAll(merged).isEmpty()
