@@ -113,6 +113,8 @@ _PLANTED_ORACLES = frozenset(
         "image_dedup_decisions_phash",  # missed until r8 — same _PLANT_ORACLE
         "audio_dedup_decisions",
         "video_dedup_decisions",
+        "mjpeg_frame_features",  # r9: analytic range() plant vs real decode
+        "gpx_import_records",  # r9: fixture-literal VALUES vs a real import
     }
 )
 
