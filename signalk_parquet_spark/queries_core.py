@@ -712,22 +712,30 @@ def anti_join_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- S11: GPX track import --------------------------------------------------------
-def _gpx_fixture_tracks() -> list[list[tuple[float, float, str]]]:
+def _gpx_fixture_tracks() -> list[list[tuple]]:
     """Deterministic two-track fixture — the single source of truth for BOTH
     the GPX files the Spark side imports and the oracle's VALUES literals
-    (no committed binary to drift out of sync). Variable positive dt,
-    5-ish-decimal coordinates, whole-second timestamps (exact dt on both
-    engines)."""
+    (no committed binary to drift out of sync). Per point:
+    (lat, lon, iso, ele, speed_tag, course_tag) — <ele> on every point,
+    <speed>/<course> tags on EVEN indices only (quarter-/tenth-unit exact
+    decimals), so the gate certifies BOTH the reference's tag semantics
+    (gpx-import-service.ts:560-572: speed m/s as-is, course deg->rad, ele
+    -> gnss.antennaAltitude) and this engine's derive_missing extension on
+    the tagless odd points. Variable positive dt, whole-second timestamps
+    (exact dt on both engines)."""
     from datetime import datetime, timedelta, timezone
 
-    tracks: list[list[tuple[float, float, str]]] = []
-    for lat0, lon0, n, step_s in ((47.5, 8.7, 25, 10), (42.35, -70.9, 20, 15)):
+    tracks: list[list[tuple]] = []
+    for g, (lat0, lon0, n, step_s) in enumerate(((47.5, 8.7, 25, 10), (42.35, -70.9, 20, 15))):
         t = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
-        pts: list[tuple[float, float, str]] = []
+        pts: list[tuple] = []
         for i in range(n):
             lat = lat0 + 0.0013 * i + 0.00004 * (i % 5)
             lon = lon0 + 0.0009 * i - 0.00003 * (i % 7)
-            pts.append((lat, lon, t.strftime("%Y-%m-%dT%H:%M:%SZ")))
+            ele = 100.0 + ((g * 7 + i * 5) % 200) / 4.0
+            spd = ((g * 13 + i * 3) % 70) / 4.0 if i % 2 == 0 else None
+            crs = ((g * 29 + i * 11) % 3600) / 10.0 if i % 2 == 0 else None
+            pts.append((lat, lon, t.strftime("%Y-%m-%dT%H:%M:%SZ"), ele, spd, crs))
             t += timedelta(seconds=step_s + 5 * (i % 3))
         tracks.append(pts)
     return tracks
@@ -746,10 +754,14 @@ def _write_gpx_fixture() -> list[str]:
     os.makedirs(d, exist_ok=True)
     paths = []
     for trk, pts in enumerate(_GPX_TRACKS):
-        body = "".join(
-            f'  <trkpt lat="{lat!r}" lon="{lon!r}"><time>{iso}</time></trkpt>\n'
-            for lat, lon, iso in pts
-        )
+        body = ""
+        for lat, lon, iso, ele, spd, crs in pts:
+            tags = f"<time>{iso}</time><ele>{ele!r}</ele>"
+            if spd is not None:
+                tags += f"<speed>{spd!r}</speed>"
+            if crs is not None:
+                tags += f"<course>{crs!r}</course>"
+            body += f'  <trkpt lat="{lat!r}" lon="{lon!r}">{tags}</trkpt>\n'
         content = (
             '<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">\n'
             " <trk><trkseg>\n" + body + " </trkseg></trk>\n</gpx>\n"
@@ -764,19 +776,25 @@ def _write_gpx_fixture() -> list[str]:
 
 
 def _gpx_oracle() -> str:
-    """DuckDB twin of the GPX import: same VALUES points, the importer's
-    haversine/bearing formulas written in the IDENTICAL operation order
-    (sources/gpx.py:67-82; deg->rad per gpx-import-service.ts:562-570).
-    Floats enter as CAST('repr' AS DOUBLE) — string->double parse is
-    correctly rounded, while a DECIMAL literal could round twice. The sin/
-    cos/asin/atan2 calls land in the same glibc from both engines (the
-    rule-10 same-libm residual class); the final value is put on the micro
-    grid in INTEGER space on both sides, never by rounding a float (rule 2)."""
+    """DuckDB twin of the GPX import: same VALUES points; tag semantics per
+    the reference (speed as-is, radians(course), ele) and the
+    derive_missing extension's haversine/bearing written in the importer's
+    IDENTICAL operation order (sources/gpx.py). Floats enter as
+    CAST('repr' AS DOUBLE) — string->double parse is correctly rounded,
+    while a DECIMAL literal could round twice. The trig calls land in the
+    same glibc from both engines (rule-10 same-libm residual, measured by
+    tests/test_angular_margin.py); every value lands on the micro grid in
+    INTEGER space on both sides, never by rounding a float (rule 2)."""
+
+    def lit(x) -> str:
+        return "CAST(NULL AS DOUBLE)" if x is None else f"CAST('{x!r}' AS DOUBLE)"
+
     vals = ",\n      ".join(
-        f"({trk}, {i}, CAST('{lat!r}' AS DOUBLE), CAST('{lon!r}' AS DOUBLE),"
-        f" TIMESTAMP '{iso.replace('T', ' ').replace('Z', '')}')"
+        f"({trk}, {i}, {lit(lat)}, {lit(lon)},"
+        f" TIMESTAMP '{iso.replace('T', ' ').replace('Z', '')}',"
+        f" {lit(ele)}, {lit(spd)}, {lit(crs)})"
         for trk, pts in enumerate(_GPX_TRACKS)
-        for i, (lat, lon, iso) in enumerate(pts)
+        for i, (lat, lon, iso, ele, spd, crs) in enumerate(pts)
     )
     hav = (
         "2*6371000*asin(sqrt(pow(sin(radians(lat-plat)/2),2)"
@@ -793,30 +811,37 @@ def _gpx_oracle() -> str:
     def micro(expr: str) -> str:
         return f"CAST(round(({expr}) * 1000000.0) AS BIGINT) / 1000000.0"
 
+    iso = "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"
+    dt_ok = "plat IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts_)"
     return f"""
     WITH pts AS (
       SELECT * FROM (VALUES
-      {vals}) AS t(trk, i, lat, lon, ts)
+      {vals}) AS t(trk, i, lat, lon, ts, ele, spd, crs)
     ),
     legs AS (
-      SELECT trk, lat, lon, ts,
+      SELECT trk, lat, lon, ts, ele, spd, crs,
              lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
              lag(ts) OVER w AS pts_
       FROM pts WINDOW w AS (PARTITION BY trk ORDER BY i)
     )
-    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+    SELECT {iso} AS ts_iso,
            'navigation.position' AS path, CAST(NULL AS DOUBLE) AS value,
            lat AS value_latitude, lon AS value_longitude
     FROM pts
     UNION ALL
-    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'navigation.speedOverGround',
-           {micro(hav + " / ((epoch_ms(ts) - epoch_ms(pts_)) / 1000.0)")},
+    SELECT {iso}, 'navigation.gnss.antennaAltitude', {micro("ele")},
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM legs WHERE plat IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts_)
+    FROM pts
     UNION ALL
-    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), 'navigation.courseOverGroundTrue',
-           {micro(brg)}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM legs WHERE plat IS NOT NULL AND epoch_ms(ts) > epoch_ms(pts_)
+    SELECT {iso}, 'navigation.speedOverGround',
+           {micro(f"CASE WHEN spd IS NOT NULL THEN spd ELSE {hav} / ((epoch_ms(ts) - epoch_ms(pts_)) / 1000.0) END")},
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM legs WHERE spd IS NOT NULL OR ({dt_ok})
+    UNION ALL
+    SELECT {iso}, 'navigation.courseOverGroundTrue',
+           {micro(f"CASE WHEN crs IS NOT NULL THEN radians(crs) ELSE {brg} END")},
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM legs WHERE crs IS NOT NULL OR ({dt_ok})
     """
 
 
@@ -824,14 +849,17 @@ def _gpx_oracle() -> str:
 def gpx_import_records(spark: SparkSession, sf: str) -> DataFrame:
     """SURVEY S11 — the GPX import source, driver-gated (r8 verdict Next
     #3): fixture tracks -> sources/gpx.import_gpx_files (executor-side
-    mapInPandas parse, position + derived deg->rad speed/course records per
-    gpx-import-service.ts:562-570) -> the record projection the lake
-    ingests. The fixture is sf-independent by nature (an import source has
-    no scale knob); the oracle recomputes the derived records from the raw
-    trkpt literals independently."""
+    mapInPandas parse) -> the record projection the lake ingests. All four
+    reference import paths are certified (position; <speed> m/s as-is;
+    <course> deg->rad; <ele> -> gnss.antennaAltitude — gpx-import-
+    service.ts:560-572) PLUS the derive_missing extension: the fixture
+    carries tags on even points only, so odd points exercise the same-
+    segment haversine/bearing derivation against the oracle's identical
+    formulas. The fixture is sf-independent by nature (an import source
+    has no scale knob)."""
     from .sources.gpx import import_gpx_files
 
-    df = import_gpx_files(spark, _write_gpx_fixture())
+    df = import_gpx_files(spark, _write_gpx_fixture(), derive_missing=True)
     micro = (F.round(F.col("value") * 1_000_000.0).cast("long") / 1_000_000.0)
     return df.select(
         F.date_format("signalk_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),

@@ -1,7 +1,17 @@
 """GPX track import (SURVEY §2.1 S11) — the reference parses GPX with regex
-(src/utils/gpx-parser.ts) into DataRecords for navigation.position,
-speedOverGround and courseOverGroundTrue (degrees→radians at
-gpx-import-service.ts:562-570).
+(src/utils/gpx-parser.ts) into DataRecords for its four import paths
+(gpx-import-service.ts:33-43): navigation.position, speedOverGround (the
+GPX <speed> tag, already m/s — used AS-IS, :564-565), courseOverGroundTrue
+(the <course> tag, degrees → radians, :566-569) and gnss.antennaAltitude
+(<ele>, meters, :570). A point lacking a tag simply emits no record for
+that path (pointToValue returns undefined) — the reference never DERIVES
+speed/course from consecutive positions.
+
+``derive_missing=True`` is this engine's documented EXTENSION beyond the
+reference: consumer-grade GPX files routinely omit <speed>/<course>, so
+points without the tag get haversine speed / initial-bearing course derived
+from the previous point of the SAME <trkseg> (derivation never crosses a
+segment gap). Tagged points always win; default off = reference-exact.
 
 Spark-first: parse on executors via mapInPandas over a file listing (no
 driver-side loops), emitting the same DataRecord shape the lake ingests.
@@ -25,42 +35,83 @@ from ..schema import flatten_value, record_schema
 _NS = {"gpx": "http://www.topografix.com/GPX/1/1"}
 
 
-def parse_gpx_bytes(payload: bytes, context: str = "vessels.gpx-import") -> list[dict]:
-    """GPX <trkpt> elements -> DataRecord dicts (position + derived speed and
-    course records, deg->rad like the reference)."""
+def _child_text(pt, tag: str) -> str | None:
+    el = pt.find(f"gpx:{tag}", _NS)
+    if el is None:
+        el = pt.find(tag)
+    return el.text if el is not None and el.text else None
+
+
+def _child_float(pt, tag: str) -> float | None:
+    txt = _child_text(pt, tag)
+    if txt is None:
+        return None
+    try:
+        return float(txt)
+    except ValueError:
+        return None
+
+
+def parse_gpx_bytes(
+    payload: bytes,
+    context: str = "vessels.gpx-import",
+    derive_missing: bool = False,
+) -> list[dict]:
+    """GPX <trkpt> elements -> DataRecord dicts for the reference's four
+    import paths (module docstring). ``derive_missing`` additionally fills
+    absent <speed>/<course> from the previous same-segment point."""
     root = ET.fromstring(payload)
-    pts = root.findall(".//gpx:trkpt", _NS) or root.findall(".//trkpt")
+    segs = root.findall(".//gpx:trkseg", _NS) or root.findall(".//trkseg")
+    if not segs:  # trkpt outside any trkseg (malformed but seen in the wild)
+        segs = [root]
     rows: list[dict] = []
-    prev: tuple[float, float, datetime] | None = None
-    for pt in pts:
-        lat, lon = float(pt.get("lat")), float(pt.get("lon"))
-        t_el = pt.find("gpx:time", _NS) if pt.find("gpx:time", _NS) is not None else pt.find("time")
-        if t_el is None or not t_el.text:
-            continue
-        ts = parse_iso(t_el.text)
-        base = {
-            "received_timestamp": ts,
-            "signalk_timestamp": ts,
-            "context": context,
-            "source": '{"label":"gpx-import"}',
-            "source_label": "gpx-import",
-            "source_type": "gpx",
-            "source_pgn": None,
-            "source_src": None,
-            "meta": None,
-        }
-        rows.append({**base, "path": "navigation.position",
-                     **flatten_value({"latitude": lat, "longitude": lon})})
-        if prev is not None:
-            plat, plon, pts_ = prev
-            dt = (ts - pts_).total_seconds()
-            if dt > 0:
-                dist = _haversine(plat, plon, lat, lon)
+    for seg in segs:
+        pts = seg.findall("gpx:trkpt", _NS) or seg.findall("trkpt")
+        if seg is root:
+            pts = root.findall(".//gpx:trkpt", _NS) or root.findall(".//trkpt")
+        prev: tuple[float, float, datetime] | None = None
+        for pt in pts:
+            lat, lon = float(pt.get("lat")), float(pt.get("lon"))
+            t_txt = _child_text(pt, "time")
+            if t_txt is None:
+                continue
+            ts = parse_iso(t_txt)
+            base = {
+                "received_timestamp": ts,
+                "signalk_timestamp": ts,
+                "context": context,
+                "source": '{"label":"gpx-import"}',
+                "source_label": "gpx-import",
+                "source_type": "gpx",
+                "source_pgn": None,
+                "source_src": None,
+                "meta": None,
+            }
+            rows.append({**base, "path": "navigation.position",
+                         **flatten_value({"latitude": lat, "longitude": lon})})
+            ele = _child_float(pt, "ele")
+            if ele is not None:
+                rows.append({**base, "path": "navigation.gnss.antennaAltitude",
+                             **flatten_value(ele)})
+            speed = _child_float(pt, "speed")  # GPX <speed> is m/s: as-is
+            course = _child_float(pt, "course")  # degrees true -> radians
+            if course is not None:
+                course = math.radians(course)
+            if derive_missing and prev is not None and (speed is None or course is None):
+                plat, plon, pts_ = prev
+                dt = (ts - pts_).total_seconds()
+                if dt > 0:
+                    if speed is None:
+                        speed = _haversine(plat, plon, lat, lon) / dt
+                    if course is None:
+                        course = math.radians(_bearing(plat, plon, lat, lon))
+            if speed is not None:
                 rows.append({**base, "path": "navigation.speedOverGround",
-                             **flatten_value(dist / dt)})
+                             **flatten_value(speed)})
+            if course is not None:
                 rows.append({**base, "path": "navigation.courseOverGroundTrue",
-                             **flatten_value(math.radians(_bearing(plat, plon, lat, lon)))})
-        prev = (lat, lon, ts)
+                             **flatten_value(course)})
+            prev = (lat, lon, ts)
     return rows
 
 
@@ -82,9 +133,15 @@ def _bearing(lat1, lon1, lat2, lon2) -> float:
     return (math.degrees(math.atan2(y, x)) + 360.0) % 360.0
 
 
-def import_gpx_files(spark: SparkSession, gpx_paths: list[str], context: str = "vessels.gpx-import") -> DataFrame:
+def import_gpx_files(
+    spark: SparkSession,
+    gpx_paths: list[str],
+    context: str = "vessels.gpx-import",
+    derive_missing: bool = False,
+) -> DataFrame:
     """Distributed import: the FILE LIST is the DataFrame; each executor
-    parses its files (binary read + ET parse) inside mapInPandas."""
+    parses its files (binary read + ET parse) inside mapInPandas.
+    ``derive_missing`` — see parse_gpx_bytes."""
     schema = record_schema({"latitude": T.DoubleType(), "longitude": T.DoubleType()})
     files_df = spark.createDataFrame([(p,) for p in gpx_paths], "gpx_path string").repartition(
         min(len(gpx_paths), 32)
@@ -96,7 +153,7 @@ def import_gpx_files(spark: SparkSession, gpx_paths: list[str], context: str = "
             out: list[dict] = []
             for p in pdf["gpx_path"]:
                 with open(p, "rb") as fh:
-                    rows = parse_gpx_bytes(fh.read(), context)
+                    rows = parse_gpx_bytes(fh.read(), context, derive_missing)
                 out.extend({n: r.get(n) for n in names} for r in rows)
             yield pd.DataFrame(out, columns=names)
 

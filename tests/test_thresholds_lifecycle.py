@@ -210,15 +210,55 @@ def test_gpx_import(spark, tmp_path):
 
     p = tmp_path / "track.gpx"
     p.write_bytes(GPX)
+    # reference-exact default: no <speed>/<course>/<ele> tags -> positions only
     rows = parse_gpx_bytes(GPX)
-    # 2 positions + 1 speed + 1 course
+    assert [r["path"] for r in rows] == ["navigation.position"] * 2
+    # derive_missing extension: haversine speed + bearing course from the
+    # previous same-segment point
+    rows = parse_gpx_bytes(GPX, derive_missing=True)
     assert [r["path"] for r in rows].count("navigation.position") == 2
     assert [r["path"] for r in rows].count("navigation.speedOverGround") == 1
-    df = import_gpx_files(spark, [str(p)])
+    df = import_gpx_files(spark, [str(p)], derive_missing=True)
     got = df.collect()
     assert len(got) == 4
     sog = [r for r in got if r["path"] == "navigation.speedOverGround"][0]
     assert sog["value"] == pytest.approx(11.12, abs=0.1)  # ~111m in 10s
+
+
+GPX_TAGGED = b"""<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+ <trk><trkseg>
+  <trkpt lat="47.5" lon="8.7"><time>2024-06-01T12:00:00Z</time><ele>12.5</ele><speed>5.25</speed><course>180.0</course></trkpt>
+  <trkpt lat="47.501" lon="8.7"><time>2024-06-01T12:00:10Z</time></trkpt>
+ </trkseg></trk>
+ <trk><trkseg>
+  <trkpt lat="10.0" lon="10.0"><time>2024-06-01T13:00:00Z</time></trkpt>
+ </trkseg></trk>
+</gpx>"""
+
+
+def test_gpx_tag_semantics_and_segment_reset():
+    """Reference fidelity (gpx-import-service.ts:560-572): <speed> m/s
+    AS-IS, <course> deg->rad, <ele> -> gnss.antennaAltitude; tagged values
+    win over derivation; derivation never crosses a <trkseg> boundary."""
+    import math
+
+    from signalk_parquet_spark.sources.gpx import parse_gpx_bytes
+
+    rows = parse_gpx_bytes(GPX_TAGGED, derive_missing=True)
+    by = {}
+    for r in rows:
+        by.setdefault(r["path"], []).append(r)
+    assert [r["value"] for r in by["navigation.gnss.antennaAltitude"]] == [12.5]
+    # point 0: tag values verbatim (speed NOT re-derived, course in radians)
+    assert by["navigation.speedOverGround"][0]["value"] == 5.25
+    assert by["navigation.courseOverGroundTrue"][0]["value"] == math.radians(180.0)
+    # point 1: derived (tagless) -- ~111 m in 10 s heading ~north
+    assert by["navigation.speedOverGround"][1]["value"] == pytest.approx(11.12, abs=0.1)
+    assert by["navigation.courseOverGroundTrue"][1]["value"] == pytest.approx(0.0, abs=0.01)
+    # the second segment's lone point derives NOTHING (no cross-segment prev)
+    assert len(by["navigation.speedOverGround"]) == 2
+    assert sum(1 for r in by["navigation.position"] if r["value_latitude"] == 10.0) == 1
 
 
 # --- multimodal plumbing + real decoders -----------------------------------------------
