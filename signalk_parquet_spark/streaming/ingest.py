@@ -243,6 +243,78 @@ def start_rollup_job(
     return writer.trigger(processingTime="30 seconds").start()
 
 
+def start_incremental_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    buffer: HotBuffer,
+    lake,
+    checkpoint_dir: str,
+    tier: str = "1h",
+    kind: str = "scalar",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Beyond-watermark late data, handled CONTINUOUSLY — the complement of
+    start_rollup_job: that job's watermarked state absorbs lateness within
+    its watermark, and anything later is dropped by the stream. This job
+    watches the late-arrival feed instead and, per micro-batch:
+
+      1. appends the batch to the hot buffer;
+      2. rebuilds each touched DAY buffer->raw as a dynamic partition
+         overwrite (the `exported`-flag equivalent) with exact-duplicate
+         collapse, a driver loop bounded by the batch's day spread;
+      3. refreshes ONLY the touched tier partitions
+         (operators/incremental.rollup_incremental).
+
+    Restart safety: at-least-once replay re-APPENDS the batch to the
+    buffer, so the day rebuild reads the buffer through dropDuplicates()
+    — replay duplicates are bit-identical complete rows, so the rebuilt
+    day, and hence the scoped recompute over it, converge to the
+    exactly-once result without a transactional table format. (Distinct
+    real observations always differ in at least signalk_timestamp /
+    source / value, so the collapse never merges genuine data; the main
+    ingest's debounce() suppresses same-ts same-source repeats anyway.)
+
+    Operating envelope (the reference's own): a late row must arrive
+    within the buffer's retention of its day, because export_day rebuilds
+    the whole day FROM the buffer — the 48 h watermark on the main ingest
+    and the 48 h buffer retention define the same window
+    (sqlite-buffer.ts README: 48 h default).
+    """
+    from datetime import datetime, timedelta, timezone
+
+    from ..operators.incremental import rollup_incremental
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        buffer.append(batch_df)
+        days = [
+            r["d"]
+            for r in batch_df.select(
+                F.to_date("signalk_timestamp").alias("d")
+            ).distinct().collect()
+        ]
+        for d in days:
+            start = datetime(d.year, d.month, d.day, tzinfo=timezone.utc)
+            rows = buffer.read(
+                from_ts=start, to_ts=start + timedelta(days=1)
+            ).dropDuplicates()
+            if not rows.isEmpty():
+                lake.write_records(rows, tier="raw", mode="overwrite")
+        rollup_incremental(lake, batch_df, tier, kind)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime="30 seconds").start()
+
+
 def streaming_session_windows(
     spark: SparkSession,
     source_dir: str,

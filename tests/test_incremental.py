@@ -172,3 +172,56 @@ def test_incremental_merge_equals_full_property(spark, rows, res_ms):
     merged = merge_tier(initial, rollup_scalar(scoped, tier), touched, [*keys, "bucket_time"])
     want = rollup_scalar(df, tier)
     assert merged.exceptAll(want).isEmpty() and want.exceptAll(merged).isEmpty()
+
+
+# --- streaming maintenance: beyond-watermark stragglers ---------------------------
+
+
+def test_streaming_incremental_maintenance(spark, tmp_path):
+    """start_incremental_maintenance end to end: a late-arrival feed lands
+    in the buffer, the touched DAY rebuilds buffer->raw (duplicate-collapse
+    overwrite), the touched tier partition recomputes — and a full
+    reprocess of the same feed (fresh checkpoint = worst-case replay)
+    converges to the identical state."""
+    from signalk_parquet_spark.schema import record_schema
+    from signalk_parquet_spark.sources.buffer import HotBuffer
+    from signalk_parquet_spark.streaming.ingest import start_incremental_maintenance
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    buffer = HotBuffer(spark, str(tmp_path / "hot"))
+    on_time = _mk_rows("vessels.a", 0, 30, 5.0) + _mk_rows("vessels.b", 1, 30, 7.0)
+    buffer.append(records_df(spark, on_time))
+    buffer.export_day(lake, T0)
+    buffer.export_day(lake, T0 + timedelta(days=1))
+    lake.write_rollup(
+        rollup_scalar(lake.read(tier="raw").drop("tier", "year", "day"), "1h"), "1h"
+    )
+
+    late = [
+        make_record(T0 + timedelta(hours=4, minutes=3 * i), PATH, 50.0 + i,
+                    context="vessels.a")
+        for i in range(6)
+    ]
+    feed = str(tmp_path / "late_feed")
+    records_df(spark, late).write.parquet(feed)
+    schema = record_schema()
+
+    def run(ckpt: str) -> None:
+        q = start_incremental_maintenance(
+            spark, feed, schema, buffer, lake, str(tmp_path / ckpt), tier="1h"
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    all_rows = lake.read(tier="raw")
+    assert all_rows.count() == len(on_time) + len(late)  # no dup, no loss
+    assert full_equals_incremental(
+        spark, lake, "1h", all_rows.drop("tier", "year", "day")
+    )
+    # worst-case replay: reprocess the whole feed under a fresh checkpoint
+    run("ckpt2")
+    again = lake.read(tier="raw")
+    assert again.count() == len(on_time) + len(late)
+    assert full_equals_incremental(
+        spark, lake, "1h", again.drop("tier", "year", "day")
+    )
