@@ -60,13 +60,15 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def merge_pair(syms: Column, a: str, b: str) -> Column:
+def merge_pair(syms: Column, a: str, b: str, merged: str | None = None) -> Column:
     """Replace each left-to-right non-overlapping adjacent (a, b) in a
     symbol array with the merged symbol — entirely JVM-side via an
     aggregate fold carrying {out, pend} (pend = '' means no symbol is
     pending; symbols are never empty strings). The lambda touches only
-    its accumulator, its element, and literals (CLAUDE.md rule 7)."""
-    merged = a + b
+    its accumulator, its element, and literals (CLAUDE.md rule 7).
+    ``merged`` defaults to a+b (BPE); WordPiece passes a + strip_##(b)."""
+    if merged is None:
+        merged = a + b
     init = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
     )

@@ -310,3 +310,149 @@ def unigram_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.size("unigram_tokens").cast("long").alias("n_pieces"),
         F.size(F.array_distinct("unigram_tokens")).cast("long").alias("n_distinct"),
     )
+
+
+# --- WordPiece (the third classic trainer; operators/wordpiece.py) -----------------
+
+_WP_SQL_SYMS = """
+  SELECT list_transform(
+           range(1, len(string_split(word, '')) + 1),
+           i -> CASE WHEN i = 1 THEN string_split(word, '')[i]
+                     ELSE '##' || string_split(word, '')[i] END
+         ) AS syms, freq
+  FROM w
+"""
+
+
+@register(
+    "wordpiece_pair_scores",
+    f"""
+    WITH w AS (
+      SELECT x AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+      GROUP BY 1
+    ), sy AS ({_WP_SQL_SYMS}),
+    pairs AS (
+      SELECT syms[i] || ' ' || syms[i + 1] AS pair, freq
+      FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i FROM sy)
+    ),
+    p AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY 1),
+    s AS (
+      SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
+      FROM (SELECT unnest(syms) AS sym, freq FROM sy) GROUP BY 1
+    )
+    SELECT p.pair, p.cnt,
+           CAST(p.cnt AS DOUBLE) / CAST(sa.scnt * sb.scnt AS DOUBLE) AS score
+    FROM p
+    JOIN s sa ON sa.sym = string_split(p.pair, ' ')[1]
+    JOIN s sb ON sb.sym = string_split(p.pair, ' ')[2]
+    ORDER BY score DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def wordpiece_pair_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """First-iteration WordPiece statistics: the LIKELIHOOD score
+    cnt(pair)/(cnt(a)·cnt(b)) over ##-positional symbols — the argmax
+    surface train_wordpiece iterates (operators/wordpiece.py; BPE ranks by
+    raw cnt instead, bpe_pair_counts). The score is one IEEE division of
+    exact BIGINTs — bit-identical cross-engine, no rounding needed. Plan:
+    one corpus word rollup, two vocab-keyed aggregates, two broadcast
+    joins, top-k by a TOTAL order (score DESC, pair ASC)."""
+    from .operators.wordpiece import pair_scores, wordpiece_symbols
+
+    d = load(spark, sf, "documents")
+    state = word_freq(d).select(wordpiece_symbols("word").alias("syms"), "freq")
+    return (
+        pair_scores(state)
+        .orderBy(F.desc("score"), F.asc("pair"))
+        .limit(20)
+        .select("pair", "cnt", "score")
+    )
+
+
+#: fixed literal vocabulary for the greedy-apply gate: all bare singles
+#: (every word start matches), continuation singles only a..n (words
+#: needing ##o..##z collapse to [UNK] unless a multi-char piece covers
+#: them), plus multi-char pieces that force longest-match-first decisions.
+_WP_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("n") + 1)]
+    + ["sc", "scan", "col", "jo", "the", "wind",
+       "##an", "##in", "##ow", "##umn", "##ue", "##er", "##am"]
+)
+
+
+@register(
+    "wordpiece_tokenize_stats",
+    f"""
+    WITH RECURSIVE v(tok) AS (
+      VALUES {", ".join(f"('{t}')" for t in _WP_VOCAB)}
+    ),
+    words AS (
+      SELECT DISTINCT x AS word
+      FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+      WHERE len(x) > 0
+    ),
+    enc AS (
+      SELECT word, 1 AS pos, 0 AS n_pieces, FALSE AS unk FROM words
+      UNION ALL
+      SELECT word,
+             CASE WHEN best IS NULL THEN len(word) + 1
+                  WHEN pos = 1 THEN pos + len(best)
+                  ELSE pos + len(best) - 2 END,
+             CASE WHEN best IS NULL THEN n_pieces ELSE n_pieces + 1 END,
+             best IS NULL
+      FROM (
+        SELECT word, pos, n_pieces,
+               (SELECT tok FROM v
+                WHERE (pos = 1 AND tok NOT LIKE '##%'
+                       AND substr(word, pos, len(tok)) = tok)
+                   OR (pos > 1 AND tok LIKE '##%'
+                       AND substr(word, pos, len(tok) - 2) = substr(tok, 3))
+                ORDER BY len(tok) DESC, tok ASC LIMIT 1) AS best
+        FROM enc WHERE pos <= len(word) AND NOT unk
+      )
+    ),
+    per_word AS (
+      SELECT word,
+             CASE WHEN unk THEN 1 ELSE n_pieces END AS pieces,
+             CAST(unk AS BIGINT) AS unks
+      FROM enc WHERE unk OR pos = len(word) + 1
+    ),
+    dw AS (
+      SELECT doc_id, x AS word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents)
+      WHERE len(x) > 0
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sum(pw.pieces), 0) AS BIGINT) AS n_pieces,
+           CAST(coalesce(sum(pw.unks), 0) AS BIGINT) AS n_unk
+    FROM documents d
+    LEFT JOIN dw ON d.doc_id = dw.doc_id
+    LEFT JOIN per_word pw ON dw.word = pw.word
+    GROUP BY 1
+    """,
+)
+def wordpiece_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end WordPiece TOKENIZATION (operators/wordpiece.
+    apply_wordpiece): greedy longest-match-first against a fixed literal
+    vocabulary, ##-prefixed continuations, whole-word [UNK] on any
+    unmatchable position — per-doc piece and UNK counts. The oracle
+    replays the SAME greedy algorithm as a recursive CTE whose step picks
+    each position's longest vocab match via a correlated argmax (total
+    order: match length DESC, token ASC), then re-joins per-word results
+    to the per-doc word list — integers only, engine-exact. The vocabulary
+    deliberately includes multi-char pieces that force longest-match
+    decisions and omits ##o..##z singles so real [UNK]s occur. Plan: one
+    Arrow map stage over documents (per-batch word cache), one per-doc
+    aggregate; the word-level oracle recursion is |distinct words| ×
+    word length — vocabulary work, never corpus-sized."""
+    from .operators.wordpiece import apply_wordpiece
+
+    d = load(spark, sf, "documents")
+    toks = apply_wordpiece(d.select("doc_id", "text"), _WP_VOCAB)
+    return toks.select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.size(F.filter("pieces", lambda p: p == "[UNK]")).cast("long").alias("n_unk"),
+    )

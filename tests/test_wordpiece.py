@@ -1,0 +1,142 @@
+"""WordPiece trainer/apply (operators/wordpiece.py) — the test_bpe pattern:
+the Spark trainer must agree merge-for-merge with an independent
+pure-Python reference implementing the published rules (likelihood score
+cnt(pair)/(cnt(a)·cnt(b)) over ##-positional symbols, total tie order),
+and greedy application must match a direct per-word reimplementation."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from signalk_parquet_spark.operators.wordpiece import (
+    CONT,
+    UNK,
+    _encode_word,
+    apply_wordpiece,
+    train_wordpiece,
+    vocab_from_merges,
+)
+
+
+def _py_symbols(word: str) -> list[str]:
+    return [word[0]] + [CONT + c for c in word[1:]]
+
+
+def _py_train(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference trainer, written independently of the Spark
+    fold: recompute symbol sequences each iteration from scratch."""
+    state = {w: (_py_symbols(w), f) for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        pair_cnt: Counter = Counter()
+        sym_cnt: Counter = Counter()
+        for syms, f in state.values():
+            for s in syms:
+                sym_cnt[s] += f
+            for a, b in zip(syms, syms[1:]):
+                pair_cnt[(a, b)] += f
+        if not pair_cnt:
+            break
+        # deterministic total order: score DESC, "a b" string ASC
+        scored = sorted(
+            pair_cnt,
+            key=lambda p: (
+                -(pair_cnt[p] / (sym_cnt[p[0]] * sym_cnt[p[1]])),
+                f"{p[0]} {p[1]}",
+            ),
+        )
+        best = scored[0]
+        a, b = best
+        merged = a + (b[len(CONT):] if b.startswith(CONT) else b)
+        merges.append((a, b))
+        for w, (syms, f) in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = (out, f)
+    return merges
+
+
+CORPUS = (
+    ["hugging"] * 10 + ["hugged"] * 6 + ["hugger"] * 4 + ["jugging"] * 5
+    + ["bug"] * 8 + ["bugs"] * 3 + ["rug"] * 2 + ["rugged"] * 7
+)
+
+
+def _freqs(words) -> dict[str, int]:
+    return dict(Counter(words))
+
+
+def test_trainer_matches_python_reference(spark):
+    wf = _freqs(CORPUS)
+    words_df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    got = train_wordpiece(words_df, 10, tiny=True)
+    want = _py_train(wf, 10)
+    assert got == want
+    # and the objective genuinely differs from BPE on this corpus: BPE's
+    # first merge is the most FREQUENT pair; WordPiece's is the best
+    # NORMALIZED pair — guard that the test corpus distinguishes them
+    from signalk_parquet_spark.operators.bpe import train_bpe
+
+    bpe_first = train_bpe(words_df, 1, tiny=True)[0]
+    assert bpe_first != want[0]
+
+
+def test_greedy_encode_rules():
+    vocab = {"h", "u", "g", "hug", "##g", "##u", "##gs", "##ging"}
+    assert _encode_word("hug", vocab) == ["hug"]
+    # longest-match-first: ##ging beats ##g at position 3
+    assert _encode_word("hugging", vocab) == ["hug", "##ging"]
+    assert _encode_word("huggs", vocab) == ["hug", "##gs"]
+    # unmatchable position -> whole word UNK
+    assert _encode_word("hugz", vocab) == [UNK]
+    assert _encode_word("zug", vocab) == [UNK]  # no bare 'z'
+
+
+def test_apply_wordpiece_df(spark):
+    wf = _freqs(CORPUS)
+    words_df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    merges = train_wordpiece(words_df, 8, tiny=True)
+    alphabet = sorted({s for w in wf for s in _py_symbols(w)})
+    vocab = vocab_from_merges(alphabet, merges)
+    docs = spark.createDataFrame(
+        [(1, "hugging bugs"), (2, "rugged rug"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["pieces"] for r in apply_wordpiece(docs, vocab).collect()}
+    vset = set(vocab)
+    assert rows[1] == _encode_word("hugging", vset) + _encode_word("bugs", vset)
+    assert rows[2] == _encode_word("rugged", vset) + _encode_word("rug", vset)
+    assert rows[3] == []
+    # round-trip: non-UNK pieces reassemble the word
+    joined = "".join(p[len(CONT):] if p.startswith(CONT) else p for p in rows[1])
+    assert joined == "huggingbugs" or UNK in rows[1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=12
+    )
+)
+def test_greedy_encode_invariants(words):
+    """Randomized invariants of greedy encode against any vocab built from
+    the words themselves: pieces reassemble the word exactly, first piece
+    bare, later pieces ##-prefixed — or the result is exactly [UNK]."""
+    vocab = set()
+    for w in words:
+        vocab.update(_py_symbols(w)[:2])  # partial coverage -> some UNKs
+    for w in words:
+        enc = _encode_word(w, vocab)
+        if enc == [UNK]:
+            continue
+        assert not enc[0].startswith(CONT)
+        assert all(p.startswith(CONT) for p in enc[1:])
+        assert "".join([enc[0]] + [p[len(CONT):] for p in enc[1:]]) == w
