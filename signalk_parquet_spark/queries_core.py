@@ -902,3 +902,100 @@ def rollup_incremental_1h(spark: SparkSession, sf: str) -> DataFrame:
     recomputed = bucketed_stats(scoped, "ts", "value", H, ["event_type"], exact_avg=True)
     merged = merge_tier(initial, recomputed, touched, ["event_type", "bucket_ts"])
     return merged.withColumn("value_avg", F.round("value_avg", 6))
+
+
+# --- beyond-reference source format: JSON-lines feed ------------------------------
+def _jsonl_fixture_rows() -> list[tuple]:
+    """(ts_iso, context, path, value, value_text) literals — the single
+    source of truth for the written JSONL feed AND the oracle's VALUES.
+    Quarter-unit numerics (exact decimals), string observations on the
+    state path, two vessels x three paths, whole-second timestamps."""
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 7, 1, 6, 0, 0, tzinfo=timezone.utc)
+    paths = ["navigation.speedOverGround", "environment.wind.speedApparent",
+             "navigation.state"]
+    states = ["sailing", "motoring", "anchored"]
+    rows: list[tuple] = []
+    for i in range(60):
+        ts = (t0 + timedelta(seconds=20 * i + (i % 7))).strftime("%Y-%m-%dT%H:%M:%SZ")
+        ctx = f"vessels.v{i % 2}"
+        p = paths[i % 3]
+        if p == "navigation.state":
+            rows.append((ts, ctx, p, None, states[i % 5 % 3]))
+        else:
+            rows.append((ts, ctx, p, ((i * 7) % 53) / 4.0, None))
+    return rows
+
+
+_JSONL_ROWS = _jsonl_fixture_rows()
+
+
+def _write_jsonl_fixture() -> str:
+    """The fixture feed on disk: the literal rows plus two malformed lines
+    and one missing-ts line the reader must QUARANTINE/drop (they are
+    absent from the oracle, so mishandling them is a hash mismatch)."""
+    import json as _json
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_jsonl_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "feed.jsonl")
+    lines = []
+    for ts, ctx, path, value, value_text in _JSONL_ROWS:
+        lines.append(_json.dumps({
+            "ts": ts, "context": ctx, "path": path, "value": value,
+            "value_text": value_text, "source_label": "export-1",
+        }))
+    lines.insert(7, '{"ts": "2024-07-01T06:00:00Z", "context": "vessels.v0", "path": "x", "value": "not-a-number"}')
+    lines.insert(23, "{broken json line")
+    lines.append('{"context": "vessels.v1", "path": "navigation.state", "value_text": "lost"}')
+    tmp = f"{p}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, p)
+    return p
+
+
+def _jsonl_oracle() -> str:
+    def lit(x) -> str:
+        if x is None:
+            return "NULL"
+        if isinstance(x, float):
+            return f"CAST('{x!r}' AS DOUBLE)"
+        return f"'{x}'"
+
+    vals = ",\n      ".join(
+        f"({lit(ts)}, {lit(ctx)}, {lit(p)}, "
+        f"{'CAST(NULL AS DOUBLE)' if v is None else lit(v)}, "
+        f"{'CAST(NULL AS VARCHAR)' if vt is None else lit(vt)})"
+        for ts, ctx, p, v, vt in _JSONL_ROWS
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {vals}) AS t(ts_iso, context, path, value, value_text)
+    """
+
+
+@register("jsonl_source_records", _jsonl_oracle())
+def jsonl_source_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference source format (sources/formats.py): a JSON-lines
+    export feed read with an EXPLICIT schema (no inference pre-scan),
+    PERMISSIVE quarantine for malformed lines, ISO->timestamp conversion,
+    and the DataRecord projection. The fixture feed deliberately contains
+    a type-mismatch line, a syntactically broken line, and a missing-ts
+    line — none appear in the oracle, so any quarantine slip (dropped
+    good row, kept bad row) is a hash mismatch. Values are exact literal
+    decimals; no rounding anywhere."""
+    from .sources.formats import read_jsonl_records
+
+    path = _write_jsonl_fixture()
+    df = read_jsonl_records(spark, path)
+    return df.select(
+        F.date_format("signalk_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        "context",
+        "path",
+        "value",
+        "value_text",
+    )

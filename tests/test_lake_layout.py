@@ -217,3 +217,77 @@ def test_migrate_rollup_epoch_crash_resume(spark, tmp_path):
     lk.write_rollup(spark.createDataFrame(partial), tier="5s")
     with pytest.raises(RuntimeError, match="without a migration"):
         migrate_rollup_epoch(lk)
+
+
+# --- r9: line-format ingestion sources (sources/formats.py) -----------------------
+
+
+def test_jsonl_records_and_quarantine(spark, tmp_path):
+    import json
+
+    from signalk_parquet_spark.sources.formats import (
+        quarantined_lines,
+        read_jsonl_raw,
+        read_jsonl_records,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    good = [
+        {"ts": "2024-07-01T06:00:00Z", "context": "vessels.a",
+         "path": "navigation.speedOverGround", "value": 5.25,
+         "value_text": None, "source_label": "exp"},
+        {"ts": "2024-07-01T06:00:20Z", "context": "vessels.a",
+         "path": "navigation.state", "value": None,
+         "value_text": "sailing", "source_label": "exp"},
+    ]
+    lines = [json.dumps(g) for g in good]
+    lines.insert(1, '{"ts": "2024-07-01T06:00:10Z", "value": "NaNope"}')  # type mismatch
+    lines.append("{not json")
+    lines.append('{"context": "vessels.a", "path": "x", "value": 1.0}')  # no ts
+    p.write_text("\n".join(lines) + "\n")
+
+    recs = read_jsonl_records(spark, str(p)).collect()
+    assert len(recs) == 2
+    by_path = {r["path"]: r for r in recs}
+    assert by_path["navigation.speedOverGround"]["value"] == 5.25
+    assert by_path["navigation.state"]["value_text"] == "sailing"
+    assert by_path["navigation.state"]["source"] == '{"label":"exp"}'
+    assert by_path["navigation.state"]["signalk_timestamp"].second == 20
+    # the two malformed lines are quarantined, never silently dropped
+    q = quarantined_lines(read_jsonl_raw(spark, str(p))).collect()
+    assert len(q) == 2
+
+
+def test_csv_records(spark, tmp_path):
+    from signalk_parquet_spark.sources.formats import read_csv_records
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "ts,context,path,value,value_text,source_label\n"
+        "2024-07-01T06:00:00Z,vessels.a,navigation.speedOverGround,5.25,,exp\n"
+        "2024-07-01T06:00:20Z,vessels.a,navigation.state,,sailing,exp\n"
+    )
+    recs = read_csv_records(spark, str(p)).orderBy("signalk_timestamp").collect()
+    assert [r["path"] for r in recs] == [
+        "navigation.speedOverGround", "navigation.state"
+    ]
+    assert recs[0]["value"] == 5.25 and recs[1]["value_text"] == "sailing"
+
+
+def test_jsonl_records_feed_the_lake(spark, tmp_path):
+    """The imported records must be lake-writable like live records."""
+    import json
+
+    from signalk_parquet_spark.sources.formats import read_jsonl_records
+    from signalk_parquet_spark.sources.lake import Lake
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(json.dumps({
+        "ts": "2024-07-01T06:00:00Z", "context": "vessels.a",
+        "path": "navigation.speedOverGround", "value": 5.25,
+        "value_text": None, "source_label": "exp",
+    }) + "\n")
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_records(read_jsonl_records(spark, str(p)), tier="raw")
+    back = lake.read(tier="raw").collect()
+    assert len(back) == 1 and back[0]["value"] == 5.25
