@@ -1083,3 +1083,101 @@ def decontaminate_semantic_ivf(
         .filter(cos >= tau)
         .select("test_vec", "train_vec")
     )
+
+
+# --- C4 quality rules (Raffel et al. 2020 §2.2) ------------------------------------
+
+#: stand-in blocklist: the published C4 pipeline uses the LDNOOBW word list;
+#: the rule SHAPE (any blocklisted token anywhere on the page drops it) is
+#: what the engine implements — production swaps the full list in here.
+C4_BLOCKLIST = ("spamword", "junkword")
+
+
+def c4_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document C4 quality metrics and flags — the published rule set
+    (Raffel et al. 2020 §2.2: keep lines ending in terminal punctuation
+    with >=5 words, drop lines containing 'javascript', drop pages with
+    <3 sentences or containing 'lorem ipsum' / '{' / a blocklisted word).
+    Sentences are approximated as terminal-punctuation occurrences within
+    KEPT lines, the standard reimplementation. Map-only, zero shuffle —
+    like quality_gopher, this is the filter a 100 TB corpus runs before
+    any exchange; integers and continuum compares only (engine-exact)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    is_kept = (
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.split(ln, " ")) >= 5)
+        & ~F.contains(F.lower(ln), F.lit("javascript"))
+    )
+    kept = F.filter(lines, is_kept)
+    # terminal-punct occurrences per kept line, summed in integer space
+    sent = F.aggregate(
+        kept,
+        F.lit(0).cast("long"),
+        lambda acc, ln: acc
+        + (F.length(ln) - F.length(F.regexp_replace(ln, "[.!?]", ""))).cast("long"),
+    )
+    lower = F.lower(text)
+    f_lorem = F.contains(lower, F.lit("lorem ipsum"))
+    f_brace = F.contains(text, F.lit("{"))
+    toks = F.split(lower, "[ \n]")
+    f_bad = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in C4_BLOCKLIST]))
+    n_sent = sent
+    keep = ~f_lorem & ~f_brace & ~f_bad & (n_sent >= 3)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        f_lorem.cast("int").alias("f_lorem"),
+        f_brace.cast("int").alias("f_brace"),
+        f_bad.cast("int").alias("f_badword"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+_C4_BAD_SQL = ", ".join(f"'{w}'" for w in C4_BLOCKLIST)
+
+
+@register(
+    "quality_c4",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM documents
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, ln -> regexp_matches(ln, '[.!?"]$')
+                                  AND len(string_split(ln, ' ')) >= 5
+                                  AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        CAST(coalesce(list_sum(list_transform(kept,
+               ln -> length(ln) - length(regexp_replace(ln, '[.!?]', '', 'g'))
+             )), 0) AS BIGINT) AS n_sentences,
+        CAST(contains(lower(text), 'lorem ipsum') AS INT) AS f_lorem,
+        CAST(contains(text, '{{') AS INT) AS f_brace,
+        CAST(len(list_filter(string_split(regexp_replace(lower(text), chr(10), ' ', 'g'), ' '),
+                             x -> x IN ({_C4_BAD_SQL}))) > 0 AS INT) AS f_badword
+      FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, f_lorem, f_brace, f_badword,
+           CAST(f_lorem = 0 AND f_brace = 0 AND f_badword = 0
+                AND n_sentences >= 3 AS INT) AS keep
+    FROM m
+    """,
+)
+def quality_c4(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 quality filtering (Raffel et al. 2020 §2.2) — the OTHER published
+    pretraining rule set alongside quality_gopher: line-level keep rules
+    (terminal punctuation, >=5 words, no 'javascript'), page-level drops
+    ('lorem ipsum', '{', blocklist, <3 sentences). The synthetic corpus has
+    no punctuation or newlines, so most flags are constant here (exactly
+    the quality_gopher situation) — the rule variation is pinned by
+    tests/test_quality_c4.py's three-way crafted-corpus differential
+    (Spark vs DuckDB vs a pure-Python reference). Integer counts and
+    continuum compares only; map-only plan, zero shuffle."""
+    return c4_metrics(load(spark, sf, "documents"))
