@@ -570,3 +570,44 @@ def test_position_rollup_windows_share_one_exchange(spark):
         if l.strip().startswith("(") and ") Exchange" in l
     )
     assert n_shuffles <= 3, plan
+
+
+def test_quality_c4_is_map_only(spark):
+    """The C4 filter must stay a zero-shuffle map plan (SCALE claim: the
+    first thing a 100 TB corpus runs, before any exchange)."""
+    plan = formatted_plan(registry.queries()["quality_c4"](spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    # the cached documents table embeds its ONE-TIME spread repartition
+    # (registry.load) inside the InMemoryRelation — the query's own plan
+    # is everything above the cache scan, and must hold no Exchange
+    query_part = body.split("InMemoryTableScan")[0]
+    assert "Exchange" not in query_part, query_part
+
+
+def test_incremental_scoping_joins_are_broadcast(spark):
+    """rollup_incremental_1h's scoping must be a broadcast LEFT SEMI and
+    its merge a broadcast LEFT ANTI — never a sort-merge shuffle of the
+    raw side against the tiny touched frame."""
+    plan = formatted_plan(registry.queries()["rollup_incremental_1h"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jsonl_scan_has_no_inference_prescan(spark, tmp_path):
+    """read_jsonl_records must carry the EXPLICIT schema into the scan —
+    a schema-inference pre-scan would show up as a second job; here we
+    assert the scan's ReadSchema is the declared feed shape."""
+    import json
+
+    from signalk_parquet_spark.sources.formats import read_jsonl_records
+
+    p = tmp_path / "f.jsonl"
+    p.write_text(json.dumps({
+        "ts": "2024-07-01T06:00:00Z", "context": "vessels.a",
+        "path": "p", "value": 1.0, "value_text": None, "source_label": "s",
+    }) + "\n")
+    plan = formatted_plan(read_jsonl_records(spark, str(p)))
+    assert "Scan json" in plan and "ReadSchema" in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body  # record projection is map-only too
