@@ -115,6 +115,7 @@ _PLANTED_ORACLES = frozenset(
         "video_dedup_decisions",
         "mjpeg_frame_features",  # r9: analytic range() plant vs real decode
         "gpx_import_records",  # r9: fixture-literal VALUES vs a real import
+        "jsonl_source_records",  # r9: fixture-literal VALUES vs a real read
     }
 )
 
