@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """End-to-end LLM training-data curation demo over the synthetic corpus:
 
-  PII scrub -> quality scoring + Gopher rule filter -> repetition filter ->
+  PII scrub -> quality scoring + Gopher + C4 rule filters -> repetition filter ->
   classifier + corpus-LM screens ->
   exact + MinHash-LSH dedup ->
   copied-span screening -> semantic (SemDeDup) dedup ->
@@ -76,6 +76,14 @@ def main() -> None:
     gopher = q["quality_gopher"](spark, sf).select(
         "doc_id", F.col("keep").alias("gopher_keep")
     )
+    # C4 page-level drops (lorem ipsum / brace / blocklist) — the line-level
+    # keeps are constant on this punctuation-free corpus, so only the page
+    # flags bite here; both published rule sets ride the same scan (r9)
+    c4 = q["quality_c4"](spark, sf).select(
+        "doc_id",
+        ((F.col("f_lorem") + F.col("f_brace") + F.col("f_badword")) == 0)
+        .alias("c4_page_ok"),
+    )
     rep = q["repetition_score"](spark, sf).select("doc_id", "repetitive")
     clf = q["quality_classifier"](spark, sf).select("doc_id", "keep")
     lm = q["lm_bigram_score"](spark, sf).select("doc_id", "lm_score")
@@ -85,14 +93,16 @@ def main() -> None:
         .join(rep, "doc_id")
         .join(clf, "doc_id")
         .join(lm, "doc_id")
+        .join(c4, "doc_id")
         .filter(
             (F.col("quality_score") > 0.2)
             & (F.col("gopher_keep") == 1)
+            & F.col("c4_page_ok")
             & ~F.col("repetitive")
             & (F.col("keep") == 1)
             & (F.col("lm_score") > 2.0)
         )
-        .drop("gopher_keep")
+        .drop("gopher_keep", "c4_page_ok")
     )
     n1 = kept.count()
 
