@@ -140,3 +140,19 @@ def test_greedy_encode_invariants(words):
         assert not enc[0].startswith(CONT)
         assert all(p.startswith(CONT) for p in enc[1:])
         assert "".join([enc[0]] + [p[len(CONT):] for p in enc[1:]]) == w
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=2, max_size=8,
+    )
+)
+def test_trainer_matches_python_reference_randomized(spark_global, wf):
+    """Randomized trainer differential: tiny 'abcd' alphabets force heavy
+    score ties, exercising the (score DESC, pair ASC) total order that a
+    fixed corpus can't fully cover."""
+    words_df = spark_global.createDataFrame(list(wf.items()), "word string, freq long")
+    assert train_wordpiece(words_df, 5, tiny=True) == _py_train(wf, 5)
