@@ -999,3 +999,139 @@ def jsonl_source_records(spark: SparkSession, sf: str) -> DataFrame:
         "value",
         "value_text",
     )
+
+
+# --- S10 upstream: SignalK delta-JSON wire-format ingestion ------------------------
+def _delta_fixture() -> list[dict]:
+    """Literal delta messages — the single source of truth for the JSON the
+    Spark side parses AND the oracle's expected-record VALUES. Covers:
+    scalar numbers (quarter-unit exact), string observations, booleans,
+    position objects (flattened lat/lon), a null value (kept, all-null
+    value columns — the reference's typeof-null branch), $source vs
+    source.label precedence, and a META-ONLY object update that must be
+    SKIPPED (data-handler.ts:665-680)."""
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2024, 8, 1, 9, 0, 0, tzinfo=timezone.utc)
+    deltas: list[dict] = []
+    for i in range(20):
+        ts = (t0 + timedelta(seconds=15 * i)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        ctx = f"vessels.v{i % 2}"
+        values = [
+            {"path": "navigation.speedOverGround", "value": ((i * 5) % 37) / 4.0},
+            {"path": "navigation.position",
+             "value": {"latitude": 47.0 + i / 8.0, "longitude": 8.0 - i / 16.0}},
+        ]
+        if i % 3 == 0:
+            values.append({"path": "navigation.state",
+                           "value": ["sailing", "motoring", "anchored"][i % 9 // 3]})
+        if i % 4 == 0:
+            values.append({"path": "navigation.anchor.alarm", "value": i % 8 == 0})
+        if i % 5 == 0:
+            values.append({"path": "environment.depth.belowKeel", "value": None})
+        if i % 6 == 0:  # metadata update: must not become a record
+            values.append({"path": "navigation.speedOverGround",
+                           "value": {"units": "m/s", "description": "SOG"}})
+        update = {
+            "timestamp": ts,
+            "source": {"label": f"gps-{i % 2}", "type": "NMEA2000",
+                       "pgn": 129026.0, "src": "115"},
+            "values": values,
+        }
+        if i % 2 == 0:  # $source present and it must WIN over source.label
+            update["$source"] = f"n2k.{i % 2}"
+        deltas.append({"context": ctx, "updates": [update]})
+    return deltas
+
+
+_DELTAS = _delta_fixture()
+
+
+def _delta_expected() -> list[tuple]:
+    """The records the reference's rules produce from _DELTAS — computed
+    here (plain Python mirroring data-handler.ts) and embedded as the
+    oracle's VALUES."""
+    rows: list[tuple] = []
+    for d in _DELTAS:
+        u = d["updates"][0]
+        label = u.get("$source") or u["source"]["label"]
+        for pv in u["values"]:
+            v = pv["value"]
+            if isinstance(v, dict):
+                if set(v) <= {"units", "meta", "description", "displayUnits",
+                              "zones", "timeout"}:
+                    continue  # meta-only skip
+                rows.append((u["timestamp"], d["context"], pv["path"], None, None,
+                             None, v.get("latitude"), v.get("longitude"), label))
+            elif isinstance(v, bool):
+                rows.append((u["timestamp"], d["context"], pv["path"], None, None,
+                             v, None, None, label))
+            elif isinstance(v, (int, float)):
+                rows.append((u["timestamp"], d["context"], pv["path"], float(v),
+                             None, None, None, None, label))
+            elif isinstance(v, str):
+                rows.append((u["timestamp"], d["context"], pv["path"], None, v,
+                             None, None, None, label))
+            else:  # null value: kept, all value columns null
+                rows.append((u["timestamp"], d["context"], pv["path"], None, None,
+                             None, None, None, label))
+    return rows
+
+
+def _delta_oracle() -> str:
+    def lit(x) -> str:
+        if x is None:
+            return "NULL"
+        if isinstance(x, bool):
+            return "TRUE" if x else "FALSE"
+        if isinstance(x, float):
+            return f"CAST('{x!r}' AS DOUBLE)"
+        return f"'{x}'"
+
+    vals = ",\n      ".join(
+        f"({lit(ts)}, {lit(ctx)}, {lit(p)}, "
+        f"{'CAST(NULL AS DOUBLE)' if v is None else lit(v)}, "
+        f"{'CAST(NULL AS VARCHAR)' if vt is None else lit(vt)}, "
+        f"{'CAST(NULL AS BOOLEAN)' if vb is None else lit(vb)}, "
+        f"{'CAST(NULL AS DOUBLE)' if la is None else lit(la)}, "
+        f"{'CAST(NULL AS DOUBLE)' if lo is None else lit(lo)}, {lit(sl)})"
+        for ts, ctx, p, v, vt, vb, la, lo, sl in _delta_expected()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {vals}) AS t(ts_iso, context, path, value, value_text, value_bool,
+                   value_latitude, value_longitude, source_label)
+    """
+
+
+@register("delta_ingest_records", _delta_oracle())
+def delta_ingest_records(spark: SparkSession, sf: str) -> DataFrame:
+    """S10's upstream: the SignalK delta-JSON WIRE FORMAT parsed into
+    DataRecords as one declarative plan (sources/deltas.py — Spark 4
+    VARIANT for the arbitrary-typed value field, schema_of_variant type
+    dispatch, meta-only skip, $source||source.label precedence,
+    value_<k> flattening for declared object columns). The oracle embeds
+    the record set a plain-Python mirror of data-handler.ts:634-695
+    produces from the same literal messages — parser and rules are both
+    under the hash."""
+    import json as _json
+
+    from .sources.deltas import deltas_to_records
+
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in _DELTAS], "delta string"
+    )
+    recs = deltas_to_records(
+        df, value_columns={"latitude": "double", "longitude": "double"}
+    )
+    return recs.select(
+        F.date_format("signalk_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        "context",
+        "path",
+        "value",
+        "value_text",
+        "value_bool",
+        "value_latitude",
+        "value_longitude",
+        "source_label",
+    )

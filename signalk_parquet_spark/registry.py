@@ -282,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r9 window (20 + 5 + 25 = 50), from `tools/window_check.py --suggest`
+#: r9 window (21 + 5 + 24 = 50), from `tools/window_check.py --suggest`
 #: over the CORRECTNESS_r01-r08 union plus the manual new/edited pull-in
 #: the policy requires. Front 16: the 3 NEW gates (gpx_import_records —
 #: S11 via a fixture-literal oracle, rollup_incremental_1h — incremental
@@ -292,14 +292,15 @@ def oracle_sql() -> dict[str, str]:
 #: gates whose exactness mechanism the micro_avg integer-space final
 #: round altered (every micro_avg/dd_micro_avg consumer). Then the 5
 #: r04-tail gates the late-r8 edits displaced, then 29 of the r06 cohort
-#: in suggestion order. The four late-r9 gates (WordPiece pair,
-#: jsonl_source_records, quality_c4) took the last four r06 slots: the
-#: decontaminate_bloom + bloom_fp_rate pair ceded TOGETHER (its shared
-#: bloom build stays contiguous outside), then pii_scrub and
-#: unpivot_aligned. Still outside after r9 (lead r10): unpivot_aligned,
-#: pii_scrub, the bloom pair, quality_gopher, mixture_epochs, the bpe
-#: pair, ivfpq pair, scrub/redact pair and the four media decision gates
-#: — all r06-green and unchanged.
+#: in suggestion order. The five late-r9 gates (WordPiece pair,
+#: jsonl_source_records, quality_c4, delta_ingest_records) took the last
+#: five r06 slots: the decontaminate_bloom + bloom_fp_rate pair ceded
+#: TOGETHER (its shared bloom build stays contiguous outside), then
+#: pii_scrub, unpivot_aligned and regex_extract_tokens. Still outside
+#: after r9 (lead r10): regex_extract_tokens, unpivot_aligned, pii_scrub,
+#: the bloom pair, quality_gopher, mixture_epochs, the bpe pair, ivfpq
+#: pair, scrub/redact pair and the four media decision gates — all
+#: r06-green and unchanged.
 _WINDOW_FIRST: tuple[str, ...] = (
     # --- new this round ---
     "gpx_import_records",
@@ -309,6 +310,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "wordpiece_tokenize_stats",
     "jsonl_source_records",
     "quality_c4",
+    "delta_ingest_records",
     # --- edited: angular exactness mechanism (nano partials + micro_grid) ---
     "angular_avg",
     "tier_rollup_angular_1h",
@@ -355,7 +357,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q14",
     "tpch_q18",
     "text_top_tokens",
-    "regex_extract_tokens",
 )
 
 

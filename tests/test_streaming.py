@@ -887,3 +887,41 @@ def test_streaming_bloom_screen_bits_coupling(spark):
     # builder validates too
     with pytest.raises(ValueError, match=">= 1"):
         build_bloom_filter(te, bits=0)
+
+
+def test_deltas_to_records_streaming(spark, tmp_path):
+    """sources/deltas.deltas_to_records is a pure column plan, so the SAME
+    transform must run under readStream — live wire-format ingestion —
+    including the meta-only skip and multi-update messages."""
+    import json
+
+    from signalk_parquet_spark.sources.deltas import deltas_to_records
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    msg = {
+        "context": "vessels.self",
+        "updates": [
+            {"timestamp": "2024-08-01T09:00:00Z", "$source": "n2k.0",
+             "source": {"label": "gps", "type": "NMEA2000", "pgn": 129026.0, "src": "1"},
+             "values": [
+                 {"path": "navigation.speedOverGround", "value": 5.25},
+                 {"path": "navigation.speedOverGround", "value": {"units": "m/s"}},
+             ]},
+            {"timestamp": "2024-08-01T09:00:01Z",
+             "source": {"label": "gps", "type": "NMEA2000", "pgn": 129026.0, "src": "1"},
+             "values": [{"path": "navigation.state", "value": "sailing"}]},
+        ],
+    }
+    (src / "m.jsonl").write_text(json.dumps({"delta": json.dumps(msg)}) + "\n")
+    stream = spark.readStream.schema("delta string").json(str(src))
+    out = deltas_to_records(stream)
+    q = (
+        out.writeStream.format("memory").queryName("wire_recs")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM wire_recs ORDER BY signalk_timestamp").collect()
+    assert [r["path"] for r in rows] == ["navigation.speedOverGround", "navigation.state"]
+    assert rows[0]["value"] == 5.25 and rows[0]["source_label"] == "n2k.0"
+    assert rows[1]["value_text"] == "sailing" and rows[1]["source_label"] == "gps"
