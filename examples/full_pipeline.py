@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """End-to-end lifecycle demo — the full reference workflow on this engine:
 
-  live stream → hot buffer → daily export → tier rollups → late-data
-  incremental tier refresh → retention →
+  wire deltas + live stream → hot buffer → daily export → tier rollups →
+  late-data incremental tier refresh → retention →
   federated History query (with smoothing + spatial) → historical replay
   → cloud sync
 
@@ -46,6 +46,24 @@ def main() -> None:
     lake = Lake(spark, f"{base}/lake")
     buffer = HotBuffer(spark, f"{base}/hot")
 
+    # 0. the actual WIRE FORMAT: SignalK delta JSON parsed declaratively
+    #    (sources/deltas.py — the same plan runs under readStream for the
+    #    live websocket feed; r9)
+    import json
+
+    from signalk_parquet_spark.sources.deltas import deltas_to_records
+
+    wire = [{"context": "vessels.self", "updates": [{
+        "timestamp": (TODAY + timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "$source": "demo.n2k",
+        "source": {"label": "gps", "type": "NMEA2000", "pgn": 129026.0, "src": "1"},
+        "values": [{"path": "environment.depth.belowKeel", "value": 12.0 + 0.5 * i}],
+    }]} for i in range(5)]
+    wire_df = spark.createDataFrame([(json.dumps(w),) for w in wire], "delta string")
+    wire_recs = deltas_to_records(wire_df)
+    buffer.append(wire_recs)  # meta already null; shape is the buffer contract
+    print(f"0. parsed {wire_recs.count()} records from {len(wire)} wire deltas into the buffer")
+
     # 1. live stream lands in the hot buffer (file source stands in for the
     #    SignalK websocket; swap the source line for Kafka in production)
     live = scalar_series(TODAY, [3.0 + 0.1 * i for i in range(20)])
@@ -57,7 +75,7 @@ def main() -> None:
     records_df(spark, live).write.parquet(src)
     q = start_file_ingest(spark, src, buffer, records_df(spark, live).schema, f"{base}/ckpt")
     q.awaitTermination(120)
-    print(f"1. streamed {buffer.read().count()} records into the hot buffer")
+    print(f"1. streamed the live file feed; hot buffer now holds {buffer.read().count()} records")
 
     # 2. yesterday's data exported to the cold lake (idempotent)
     hist = scalar_series(YESTERDAY, [4, 5, 6, 7, 8])
