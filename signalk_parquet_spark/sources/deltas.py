@@ -19,10 +19,15 @@ flattened via try_variant_get paths for the caller-declared object
 columns (the flattened column SET is schema-service territory — per
 (context, path) — so it is an explicit argument, not runtime discovery).
 
-Determinism deviation, documented: the reference stamps
+Determinism deviations, documented: (1) the reference stamps
 received_timestamp = now() at arrival (:635); this transform defaults it
 to the update's own timestamp so replays and tests are reproducible —
 pass ``received=F.current_timestamp()`` for arrival-time semantics.
+(2) an update WITHOUT a timestamp falls back to now() in the reference
+(:636); here it is DROPPED (a deterministic transform cannot invent an
+event time) — callers that want the reference's behavior can
+pre-coalesce the wire frame's timestamp with current_timestamp() before
+this transform.
 """
 
 from __future__ import annotations
