@@ -62,6 +62,56 @@ def stratified_sample(
     )
 
 
+def cluster_quota_sample(
+    collection: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quota: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced subsampling over an embedding column: assign every
+    vector to its nearest centroid cell (map-only — centroids inline as
+    broadcast literals under the similarity family's bounded_collect
+    contract), rank within each cell by (distance-to-centroid asc, id), and
+    keep the ``quota`` most-central per cell. This is the data-BALANCING
+    step of an embedding-curated corpus (cap every semantic region at the
+    same budget so oversampled regions stop dominating the mix) — the
+    complement of SemDeDup, which removes near-DUPLICATES within a cell
+    rather than capping the cell.
+
+    Scale: one shuffle, partitioned by cell id — parallelism is the cell
+    count (K ≈ √N by the IVF sizing contract) and each window holds one
+    cell, never the corpus. The rank is a plain row_number, so with a
+    WHERE rank <= quota on top Spark plans a WindowGroupLimit: partial
+    top-``quota`` per map task BEFORE the exchange, so the shuffle carries
+    at most quota·K·tasks rows, not N. Distances use the shared
+    _cell_dist_structs construction (sequential IEEE order, (d, id) tie
+    order), so an oracle computing list_dot_product reproduces the ranking
+    bit-for-bit. Returns (cid, id, rank) — integer columns only.
+    """
+    from .similarity import _cell_dist_structs, bounded_collect
+    from ..functions.vectors import as_double
+
+    cent_rows = bounded_collect(
+        centroids.select("cid", "cemb"), "cluster_quota_sample centroids"
+    )
+    best = F.array_min(
+        _cell_dist_structs(cent_rows, as_double(F.col(vec_col)), dim)
+    )
+    # project the struct ONCE, then split fields — two references to `best`
+    # would evaluate the whole HOF distance array twice per row
+    assigned = collection.select(
+        F.col(id_col).alias("id"), best.alias("best")
+    ).select("id", F.col("best.cid").alias("cid"), F.col("best.d").alias("d"))
+    w = Window.partitionBy("cid").orderBy(F.col("d"), F.col("id"))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= quota)
+        .select("cid", "id", "rank")
+    )
+
+
 def pack_token_stream(
     df: DataFrame,
     id_col: str,

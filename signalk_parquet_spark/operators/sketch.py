@@ -1,0 +1,157 @@
+"""Bounded-memory frequent-item detection: Misra–Gries + exact recount.
+
+The scale problem: "which tokens exceed frequency 1/(m+1)?" over a 100 TB
+corpus. The naive plan shuffles EVERY token occurrence into a global
+groupBy — the single largest shuffle a text pipeline can emit (token count
+≈ bytes/5). The classic streaming answer is the Misra–Gries summary
+(Misra & Gries 1982): m counters, decrement-all on overflow, guaranteeing
+every item with true count > N/(m+1) survives. MG summaries are MERGEABLE
+with the same bound (Agarwal, Cormode et al., "Mergeable Summaries",
+PODS '12): merging two sketches (add counters pointwise, then subtract the
+(m+1)-th largest value and drop ≤0) keeps the global guarantee. That turns
+the problem into:
+
+  pass 1 (map-only, NO shuffle): one MG sketch per input partition via
+          mapInPandas — each emits ≤ m (token, weight) rows;
+  merge  (driver, bounded): num_partitions × m rows collapse to ≤ m
+          candidates — at 10k partitions and m=64 that is 640k tiny rows,
+          a scalar collect, not a data shuffle;
+  pass 2 (exact): recount ONLY the candidates with a broadcast semi-join
+          (≤ m keys) + groupBy — partial aggregation absorbs almost
+          everything map-side because the key space is ≤ m.
+
+The guarantee is LOAD-BEARING for exactness: if the sketch ever dropped a
+true heavy hitter, pass 2 would miss it and the result would be wrong —
+the driver gate (heavy_hitters_2pass) value-hashes the output against a
+full-shuffle oracle, so a broken eviction rule goes red, not slow.
+
+The bench corpus is the adversarial case on purpose: ~31 near-uniform
+tokens against m=30 counters means evictions fire on nearly every step
+(capacity < vocabulary), yet the output must still be exactly the tokens
+above the 1/31 line. Skewed streams (the common case at scale) are pinned
+by tests/test_sketch.py property tests.
+
+Reference parity: the reference engine has no sketch surface; this is a
+beyond-reference capability of the LLM-pipeline family (SURVEY §2 extras).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SKETCH_SCHEMA = StructType(
+    [StructField("token", StringType()), StructField("wt", LongType())]
+)
+
+
+def mg_sketch(stream: Iterable[str], m: int) -> dict[str, int]:
+    """One Misra–Gries pass: ≤ m counters; any item with count > N/(m+1)
+    is guaranteed present on return. Decrement-all costs O(m) but only
+    fires when the dict is full AND the item is new — amortized O(1) per
+    input over any stream (each decrement cancels one prior increment)."""
+    c: dict[str, int] = {}
+    for tok in stream:
+        if tok in c:
+            c[tok] += 1
+        elif len(c) < m:
+            c[tok] = 1
+        else:
+            dead = []
+            for k in c:
+                c[k] -= 1
+                if c[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del c[k]
+    return c
+
+
+def mg_merge(sketches: Iterable[dict[str, int]], m: int) -> dict[str, int]:
+    """Merge MG summaries, preserving the N/(m+1) guarantee (Agarwal et al.
+    PODS'12): pointwise sum, then subtract the (m+1)-th largest weight from
+    every counter and drop the non-positive ones."""
+    total: dict[str, int] = {}
+    for s in sketches:
+        for k, v in s.items():
+            total[k] = total.get(k, 0) + v
+    if len(total) <= m:
+        return total
+    cut = sorted(total.values(), reverse=True)[m]
+    return {k: v - cut for k, v in total.items() if v > cut}
+
+
+def partition_sketches(df: DataFrame, text_col: str, m: int, sep: str = " ") -> DataFrame:
+    """Pass 1: one MG sketch per partition, emitted as ≤ m (token, wt) rows.
+    Arrow-batched; the sketch lives across batches of the SAME partition
+    (mapInPandas hands one generator per partition). Tokens are iterated
+    from .tolist() columns, never iterrows (CLAUDE.md lesson)."""
+
+    def sketch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c: dict[str, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for text in pdf[text_col].tolist():
+                if not text:
+                    continue
+                for tok in text.split(sep):
+                    if tok in c:
+                        c[tok] += 1
+                    elif len(c) < m:
+                        c[tok] = 1
+                    else:
+                        dead = [k for k in c if c[k] == 1]
+                        for k in c:
+                            c[k] -= 1
+                        for k in dead:
+                            del c[k]
+        yield pd.DataFrame({"token": list(c), "wt": list(c.values())}, columns=["token", "wt"])
+
+    return df.select(text_col).mapInPandas(sketch_partition, _SKETCH_SCHEMA)
+
+
+def frequent_tokens_exact(
+    df: DataFrame, text_col: str, m: int, sep: str = " "
+) -> DataFrame:
+    """EXACT frequent tokens (count·(m+1) > N) without ever shuffling the
+    token stream: MG candidates (pass 1 + driver merge, bounded at
+    num_partitions × m rows) → broadcast semi-join recount (pass 2) →
+    integer threshold against the scalar total. Returns (token, cnt),
+    cnt BIGINT — engine-exact, no floats anywhere."""
+    sketch_rows = partition_sketches(df, text_col, m, sep).collect()
+    merged = mg_merge(_group_rows(sketch_rows), m)
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(t,) for t in sorted(merged)] or [(None,)], "token string"
+    ).filter(F.col("token").isNotNull())
+    toks = df.select(F.explode(F.split(F.col(text_col), sep)).alias("token"))
+    total = df.select(
+        F.sum(F.size(F.split(F.col(text_col), sep))).cast("long").alias("total")
+    )
+    counts = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(m + 1) > F.col("total"))
+        .select("token", "cnt")
+    )
+
+
+def _group_rows(rows) -> list[dict[str, int]]:
+    """Partition sketch rows → one dict per emitting partition is not
+    recoverable from the rows alone (and not needed): mg_merge only sums
+    pointwise before the single subtract step, so handing it one combined
+    dict per token is arithmetically identical to merging per-partition
+    dicts pairwise."""
+    combined: dict[str, int] = {}
+    for r in rows:
+        combined[r["token"]] = combined.get(r["token"], 0) + r["wt"]
+    return [combined]

@@ -553,3 +553,52 @@ def ivf_kmeans_recall(spark: SparkSession, sf: str) -> DataFrame:
         k=_TOPK, n_probe=_KM_NPROBE, dim=_DIM, assign="numpy",
     )
     return topk_recall(approx, knn_bruteforce(spark, sf))
+
+
+# --- cluster-balanced subsampling (data balancing over embedding cells) ---------------
+_BAL_QUOTA = 40
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % {_STRIDE} = 0
+    ), ad AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(e.emb, c.cemb) AS d
+      FROM e CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad
+      ) WHERE rn = 1
+    ), r AS (
+      SELECT cid, vec_id AS id,
+             row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rank
+      FROM assign
+    )
+    SELECT cid, id, rank FROM r WHERE rank <= {_BAL_QUOTA}
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced data selection: cap every embedding cell at the same
+    budget, keeping the quota most-CENTRAL vectors per cell (rank by
+    distance-to-centroid, id tie-break) — the balancing step an
+    embedding-curated training mix runs after dedup, so no semantic region
+    dominates (operators.sampling.cluster_quota_sample; the SemDeDup
+    complement — that rung removes near-duplicates inside a cell, this one
+    caps the cell itself). Deterministic stride centroids keep the oracle
+    exact (a learned quantizer slots in via kmeans_centroids, same plan);
+    distances share _cell_dist_structs' sequential IEEE construction, so
+    the DuckDB ranking is bit-identical and the output is integer-only
+    (cid, id, rank). Plan shape: map-only assignment + ONE window keyed by
+    cell — WindowGroupLimit truncates to quota per map task before the
+    exchange, so the shuffle is bounded by quota x cells, not corpus size."""
+    from .operators.sampling import cluster_quota_sample
+    from .operators.similarity import stride_centroids
+
+    e = load(spark, sf, "embeddings")
+    cent = stride_centroids(e, "vec_id", "embedding", _STRIDE)
+    return cluster_quota_sample(e, cent, "vec_id", "embedding", _BAL_QUOTA, dim=_DIM)

@@ -141,6 +141,36 @@ def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- bounded-memory frequent tokens (Misra–Gries 2-pass, exact) -----------------------
+_MG_M = 30  # capacity BELOW the ~31-token vocabulary, so evictions really fire
+
+
+@register(
+    "heavy_hitters_2pass",
+    f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS total FROM t)
+    SELECT token, cnt FROM c, n WHERE cnt * {_MG_M + 1} > total
+    """,
+)
+def heavy_hitters_2pass(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT frequent tokens (count > N/{m+1}) via the Misra–Gries 2-pass
+    scheme (operators/sketch.py): a map-only bounded-memory candidate pass
+    (one m-counter summary per partition, mergeable per Agarwal et al.
+    PODS'12) plus an exact recount of the ≤ m candidates — the oracle is
+    the full-shuffle groupBy the sketch path avoids, so a broken eviction
+    or merge rule surfaces as a MISSING row here, not a perf regression.
+    m=30 sits below the corpus's ~31-token vocabulary on purpose: the
+    sketch spills constantly (the adversarial near-uniform case) and the
+    guarantee — not luck — is what keeps every above-threshold token a
+    candidate. Output is (token, BIGINT cnt); the threshold is the integer
+    compare cnt·(m+1) > total, exact on both engines."""
+    from .operators.sketch import frequent_tokens_exact
+
+    return frequent_tokens_exact(load(spark, sf, "documents"), "text", _MG_M)
+
+
 # --- JSON prop extraction (events.props) ----------------------------------------------
 @register(
     "json_extract_props",

@@ -1,0 +1,102 @@
+"""Misra–Gries frequent-items: the guarantee, mergeability, and the 2-pass
+exact pipeline. The guarantee (every item with count > N/(m+1) survives the
+sketch) is what makes heavy_hitters_2pass EXACT — these tests attack it with
+randomized skewed and adversarial-uniform streams, and with arbitrary
+partition splits for the merge path."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from signalk_parquet_spark.operators.sketch import (
+    frequent_tokens_exact,
+    mg_merge,
+    mg_sketch,
+    partition_sketches,
+)
+
+
+def _true_heavies(stream: list[str], m: int) -> set[str]:
+    n = len(stream)
+    return {t for t, c in Counter(stream).items() if c * (m + 1) > n}
+
+
+def _zipf_stream(rng: random.Random, n: int, vocab: int) -> list[str]:
+    # heavy skew: P(rank r) ~ 1/r — the common natural-text shape
+    weights = [1.0 / (r + 1) for r in range(vocab)]
+    return rng.choices([f"w{r}" for r in range(vocab)], weights=weights, k=n)
+
+
+@given(seed=st.integers(0, 10_000), m=st.integers(2, 40), vocab=st.integers(2, 200))
+@settings(max_examples=60, deadline=None)
+def test_mg_guarantee_zipf(seed: int, m: int, vocab: int) -> None:
+    rng = random.Random(seed)
+    stream = _zipf_stream(rng, 2_000, vocab)
+    sk = mg_sketch(stream, m)
+    assert len(sk) <= m
+    missed = _true_heavies(stream, m) - set(sk)
+    assert not missed, f"MG dropped true heavies {missed} (m={m}, vocab={vocab})"
+
+
+def test_mg_guarantee_uniform_eviction_storm() -> None:
+    """Capacity below vocabulary on a near-uniform stream — evictions fire
+    on nearly every step (the bench-corpus shape). Slight skew planted so
+    the heavy set is non-empty."""
+    rng = random.Random(7)
+    stream = [f"w{rng.randrange(31)}" for _ in range(30_000)] + ["w0"] * 2_000
+    rng.shuffle(stream)
+    sk = mg_sketch(stream, 30)
+    assert "w0" in sk  # the only token above 1/31 of this stream
+    assert _true_heavies(stream, 30) <= set(sk)
+
+
+@given(seed=st.integers(0, 10_000), m=st.integers(2, 30), parts=st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_mg_merge_preserves_guarantee(seed: int, m: int, parts: int) -> None:
+    """Split a stream arbitrarily, sketch each part, merge — every global
+    heavy hitter must survive (Mergeable Summaries, PODS'12)."""
+    rng = random.Random(seed)
+    stream = _zipf_stream(rng, 3_000, 80)
+    cuts = sorted(rng.randrange(len(stream)) for _ in range(parts - 1))
+    pieces = [stream[a:b] for a, b in zip([0, *cuts], [*cuts, len(stream)])]
+    merged = mg_merge([mg_sketch(p, m) for p in pieces], m)
+    assert len(merged) <= m
+    missed = _true_heavies(stream, m) - set(merged)
+    assert not missed, f"merge dropped {missed} (m={m}, parts={parts})"
+
+
+def test_partition_sketches_bounded_and_superset(spark) -> None:
+    rng = random.Random(11)
+    docs = [
+        (" ".join(_zipf_stream(rng, 40, 50)),) for _ in range(400)
+    ]
+    df = spark.createDataFrame(docs, "text string").repartition(8)
+    m = 12
+    rows = partition_sketches(df, "text", m).collect()
+    # bounded output: at most m rows per partition
+    assert len(rows) <= 8 * m
+    all_tokens = [t for (text,) in docs for t in text.split(" ")]
+    heavies = _true_heavies(all_tokens, m)
+    exact = (
+        frequent_tokens_exact(df, "text", m)
+        .toPandas()
+        .set_index("token")["cnt"]
+        .to_dict()
+    )
+    true_counts = Counter(all_tokens)
+    assert set(exact) == heavies
+    for t, c in exact.items():
+        assert c == true_counts[t]
+
+
+def test_frequent_tokens_exact_empty_and_tiny(spark) -> None:
+    empty = spark.createDataFrame([], "text string")
+    assert frequent_tokens_exact(empty, "text", 5).count() == 0
+    one = spark.createDataFrame([("a a b",)], "text string")
+    out = {r["token"]: r["cnt"] for r in frequent_tokens_exact(one, "text", 5).collect()}
+    # N=3, threshold cnt*6 > 3 -> both tokens qualify
+    assert out == {"a": 2, "b": 1}
