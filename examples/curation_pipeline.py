@@ -9,7 +9,8 @@
   eval decontamination -> embedding-space diversity balancing ->
   per-language quotas -> stratified mix re-balancing ->
   token-stream packing into training chunks ->
-  BPE tokenizer training on the curated train split + tokenization
+  BPE tokenizer training on the curated train split + tokenization ->
+  content-hash shard write + footer-manifest audit (the output edge)
 
 Every stage is the same operator the gate queries verify against DuckDB;
 this script just chains them the way a pipeline run would. Run with:
@@ -34,6 +35,7 @@ from signalk_parquet_spark.operators.dedup import (
 )
 from signalk_parquet_spark.operators.multimodal import decode_features
 from signalk_parquet_spark.operators.sampling import pack_token_stream, stratified_sample
+from signalk_parquet_spark.operators.shards import verify_shards, write_shards
 from signalk_parquet_spark.operators.scrub import PII_PATTERNS, scrub_report
 from signalk_parquet_spark.operators.similarity import semantic_keep, stride_centroids
 from signalk_parquet_spark.operators.spans import (
@@ -250,6 +252,26 @@ def main() -> None:
     ).collect()[0]
     n_bpe, n_ws = tok_counts["bpe"], tok_counts["ws"]
 
+    # 6c. the output edge: land the curated train split as content-hash
+    # shards (rerun-stable membership), commit the footer-derived
+    # _manifest.json, then audit the tree from parquet METADATA only —
+    # the write a training job streams from (operators/shards.py).
+    import shutil
+    import tempfile
+
+    shard_dir = tempfile.mkdtemp(prefix="curation_shards_")
+    try:
+        manifest = write_shards(
+            train_docs.select("doc_id", "lang", "text"), shard_dir, "doc_id", n_shards=8
+        )
+        audit = verify_shards(shard_dir)
+        n_train = train_docs.count()
+        assert audit["ok"], audit["errors"]
+        assert manifest["total_rows"] == n_train
+        shard_sizes = sorted(v["n_rows"] for v in manifest["shards"].values())
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
     # 7. modality sidecar: an AUDIO table curated with the same ladder —
     # spectral screen (drop near-silent clips), then fingerprint near-dup
     # dedup (the Haitsma-Kalker bucket join; streaming twin:
@@ -336,6 +358,8 @@ def main() -> None:
           f"{n_ws} whitespace tokens -> {n_bpe} BPE subword tokens")
     print(f"audio sidecar: {na0} clips -> {na1} after spectral screen "
           f"-> {na2} after fingerprint dedup")
+    print(f"shard write: {n_train} train docs -> 8 shards "
+          f"(sizes {shard_sizes[0]}..{shard_sizes[-1]}), manifest audit ok")
     assert n0 >= n1 >= n2 >= n2b >= n2c >= n3 > 0
     assert n_screen >= n_screen_true > 0  # bloom screen over-approximates
     assert n6 <= n3 and n7 > 0 and n_chunks > 0

@@ -1181,3 +1181,36 @@ def quality_c4(spark: SparkSession, sf: str) -> DataFrame:
     (Spark vs DuckDB vs a pure-Python reference). Integer counts and
     continuum compares only; map-only plan, zero shuffle."""
     return c4_metrics(load(spark, sf, "documents"))
+
+
+# --- training-shard output plan (the pipeline's last mile) -----------------------------
+_N_SHARDS = 16
+
+
+@register(
+    "shard_plan",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM s GROUP BY 1
+    """,
+)
+def shard_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard plan of the training-shard writer (operators/shards.py):
+    content-hash shard assignment (48-bit md5 prefix mod N — reproducible
+    across reruns/retries/engines, uniform to ~2^-24 so no skew handling)
+    rolled up to (shard, n_docs, total_chars, min/max doc). This is the
+    frame write_shards derives its layout from; the written tree + footer
+    manifest + metadata-only audit are pinned by tests/test_shards.py
+    (side-effect surface, same policy as the other sinks). One groupBy
+    over {n_shards} keys — partial agg absorbs everything map-side."""
+    from .operators.shards import plan_shards
+
+    d = load(spark, sf, "documents")
+    return plan_shards(d, "doc_id", _N_SHARDS, size_col="n_chars")

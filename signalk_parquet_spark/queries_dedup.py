@@ -872,3 +872,58 @@ def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+# --- per-document n-gram novelty (contribution scoring) --------------------------------
+@register(
+    "ngram_novelty",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_HSHINGLES_DD} AS shl FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shl) AS h FROM docs
+    ), f AS (
+      SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY 1
+    ), nv AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel FROM f GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(len(d.shl) AS BIGINT) AS n_shingles,
+           COALESCE(nv.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+           CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / len(d.shl) AS novelty
+    FROM docs d LEFT JOIN nv USING (doc_id)
+    WHERE len(d.shl) > 0
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    shingles whose corpus-wide first occurrence (min doc_id — at scale the
+    crawl/ingest order key) is this document. The contribution-scoring
+    complement of the dedup screens: substring/minhash ask "how much of
+    this doc is elsewhere?", novelty asks "what does this doc add that
+    nothing before it had?" — the signal an iterative curation loop uses
+    to cap marginal-value-zero sources. Derives from the SAME persisted
+    shingle memo the whole dedup family shares, so the marginal cost is
+    one groupBy over shingle hashes (min-label agg — partial min absorbs
+    map-side), a tiny per-doc recount keyed by first_doc, and one join
+    back (broadcast at these SFs, sort-merge on doc_id at scale). The
+    ratio is integer-derived (BIGINT/BIGINT in one division) — exact on
+    both engines without rounding (CLAUDE.md rule 3)."""
+    sh = _shingled_docs(spark, sf).select("id", "shl")
+    ex = sh.select("id", F.explode("shl").alias("h"))
+    first = ex.groupBy("h").agg(F.min("id").alias("first_doc"))
+    nov = (
+        first.groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("first_doc", "id")
+    )
+    base = sh.select("id", F.size("shl").cast("long").alias("n_shingles")).filter(
+        F.col("n_shingles") > 0
+    )
+    return base.join(nov, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        (F.coalesce(F.col("n_novel"), F.lit(0)).cast("double") / F.col("n_shingles")).alias(
+            "novelty"
+        ),
+    )

@@ -302,6 +302,15 @@ def oracle_sql() -> dict[str, str]:
 #: pair, scrub/redact pair and the four media decision gates — all
 #: r06-green and unchanged.
 _WINDOW_FIRST: tuple[str, ...] = (
+    # --- new this round (second batch: LLM-pipeline capabilities; these
+    # took the window's last four slots — tpch_q10/q14/q18 and
+    # text_top_tokens cede to r10, all r06-green and unchanged). Note
+    # ngram_novelty is the window's FIRST shingle-memo consumer, so bench
+    # charges it the dedup family's shared shingle build. ---
+    "heavy_hitters_2pass",
+    "cluster_balanced_sample",
+    "shard_plan",
+    "ngram_novelty",
     # --- new this round ---
     "gpx_import_records",
     "rollup_incremental_1h",
@@ -353,10 +362,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "rank_orders_per_customer",
     "order_gaps",
     "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "text_top_tokens",
 )
 
 

@@ -908,3 +908,122 @@ def streaming_bloom_screen(
         .filter(F.col("bloom_hit_b"))
         .select("doc_id", "g")
     )
+
+
+# --- streaming frequent tokens (Misra–Gries over continuous ingest) --------------------
+HH_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("wt", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+#: per-group state: the MG counters plus the group's running token count
+_HH_STATE = T.StructType(
+    [
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("wts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def make_heavy_hitters_fn(m: int, ttl_s: float | None = None):
+    """applyInPandasWithState function for one token-hash group: the group's
+    Misra–Gries counters persist across micro-batches; after folding a
+    batch in, the group re-emits its CURRENT sketch (append stream —
+    consumers keep each group's latest emission, exactly how a trending-
+    tokens dashboard reads it). With ``ttl_s``, a group idle past the TTL
+    drops its counters — the windowed "trending lately" semantics."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in HH_SKETCH_SCHEMA.fields])
+            return
+        toks, wts, n_seen = state.get if state.exists else ([], [], 0)
+        c = dict(zip(list(toks), list(wts)))
+        n_seen = int(n_seen)
+        got = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            got = True
+            # zip over .tolist() columns, never iterrows (CLAUDE.md lesson)
+            for tok in pdf["token"].tolist():
+                n_seen += 1
+                if tok in c:
+                    c[tok] += 1
+                elif len(c) < m:
+                    c[tok] = 1
+                else:
+                    dead = [k for k in c if c[k] == 1]
+                    for k in c:
+                        c[k] -= 1
+                    for k in dead:
+                        del c[k]
+        state.update((list(c), [int(v) for v in c.values()], n_seen))
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
+        if got and c:
+            yield pd.DataFrame(
+                {
+                    "grp": int(key[0]),
+                    "token": list(c),
+                    "wt": [int(v) for v in c.values()],
+                    "n_seen": n_seen,
+                },
+                columns=[f.name for f in HH_SKETCH_SCHEMA.fields],
+            )
+        else:
+            yield pd.DataFrame(columns=[f.name for f in HH_SKETCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    text_col: str = "text",
+    m: int = 30,
+    n_groups: int = 8,
+    sep: str = " ",
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming frequent-token candidates — the continuous-ingest twin of
+    operators.sketch.frequent_tokens_exact's pass 1. Tokens route to a
+    stateful group by content hash (ALL occurrences of a token land in ONE
+    group, so a group's substream holds the token's full count); each group
+    maintains an m-counter Misra–Gries summary across micro-batches and
+    re-emits it when touched. Because N_group <= N_total, any token with
+    GLOBAL count > N/(m+1) clears its own group's N_g/(m+1) bar a fortiori
+    — the union of the groups' latest sketches is a candidate superset of
+    the global heavy hitters at every point in the stream, with NO
+    cross-group coordination (tests pin this against the batch gate).
+
+    Scale: state is m counters per group — constant-size, hash-partitioned
+    across the state store; the shuffle routes tokens by group key exactly
+    like the batch pass routes nothing at all (the batch form is map-only;
+    streaming needs the route so a token's counts meet in one place). A
+    downstream exact recount (the 2-pass contract) stays a batch job over
+    the landed data, filtered to the emitted candidates."""
+    toks = stream.select(
+        F.explode(F.split(F.col(text_col), sep)).alias("token")
+    ).withColumn(
+        "grp",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+            % n_groups
+        ).cast("int"),
+    )
+    return toks.groupBy("grp").applyInPandasWithState(
+        make_heavy_hitters_fn(m, ttl_s),
+        HH_SKETCH_SCHEMA,
+        _HH_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -100,3 +100,45 @@ def test_frequent_tokens_exact_empty_and_tiny(spark) -> None:
     out = {r["token"]: r["cnt"] for r in frequent_tokens_exact(one, "text", 5).collect()}
     # N=3, threshold cnt*6 > 3 -> both tokens qualify
     assert out == {"a": 2, "b": 1}
+
+
+def test_streaming_heavy_hitters_supersets_batch_gate(spark, tmp_path) -> None:
+    """Replay the corpus as two micro-batches: the union of the groups'
+    LATEST sketches must contain every token the batch heavy_hitters_2pass
+    gate reports (the a-fortiori group guarantee), and each group's sketch
+    stays bounded at m counters."""
+    from signalk_parquet_spark.queries_text import heavy_hitters_2pass
+    from signalk_parquet_spark.registry import load
+    from signalk_parquet_spark.streaming.stateful import streaming_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    rows = load(spark, sf, "documents").select("doc_id", "text").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "hh_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_heavy_hitters(stream, m=30, n_groups=8)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh_out")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from hh_out").toPandas()
+    assert len(emitted), "stream emitted nothing"
+    latest = emitted[
+        emitted.groupby("grp")["n_seen"].transform("max") == emitted["n_seen"]
+    ]
+    assert latest.groupby("grp").size().max() <= 30
+    cands = set(latest["token"])
+    batch = {r["token"] for r in heavy_hitters_2pass(spark, sf).collect()}
+    missing = batch - cands
+    assert not missing, f"streaming sketch union dropped true heavies: {missing}"
