@@ -1,0 +1,126 @@
+"""Measured ramp: Misra–Gries 2-pass exact frequent tokens vs the naive
+full groupBy, as the VOCABULARY grows (the axis that actually costs).
+
+The bench corpus's 31-token vocabulary is the degenerate case for the
+naive plan — partial aggregation collapses everything map-side and the
+exchange carries ~31 rows/partition. Real corpora have 10^6..10^9 distinct
+tokens; then the groupBy exchange carries ~distinct-per-partition rows
+and the reduce side builds a corpus-sized hash table. The MG pass exchanges
+NOTHING (pass 1 is map-only; the driver collect is partitions × m rows)
+and pass 2's exchange is ≤ m keys.
+
+Corpus: executor-generated docs of 100 Zipf(1.3)-distributed tokens over a
+V-token vocabulary (heavy head, so true heavy hitters exist at every V).
+Per row we report both walls, the EXCHANGE-ROW proxies (distinct tokens vs
+partitions × m + m), and a set-equality differential of the two outputs.
+
+Honesty note: pass 1's token loop is Python (Arrow-batched); the naive
+groupBy's map side is JVM codegen. On local[32] with zero network cost the
+JVM constant can win on wall even while shuffling 10^6 rows — the claim
+this ramp quantifies is the EXCHANGE-VOLUME asymmetry (what a 1000-executor
+network pays), not a local-wall win. Read both columns.
+
+Run: python tools/sketch_ramp.py  (~2-4 min; prints one table)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from signalk_parquet_spark.operators.sketch import (  # noqa: E402
+    frequent_tokens_exact,
+    partition_sketches,
+)
+from signalk_parquet_spark.session import get_spark  # noqa: E402
+
+N_DOCS = 40_000
+TOK_PER_DOC = 100
+M = 64
+PARTS = 32
+
+
+def corpus(spark, vocab: int):
+    """Executor-generated Zipf(1.3) corpus — deterministic per partition."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for pid in pdf["id"].tolist():
+                rng = np.random.default_rng(1000 + pid)
+                n = N_DOCS // PARTS
+                draws = rng.zipf(1.3, size=(n, TOK_PER_DOC))
+                draws = np.minimum(draws, vocab) - 1  # cap tail into the vocab
+                rows.extend(
+                    " ".join(f"w{t}" for t in doc) for doc in draws
+                )
+            yield pd.DataFrame({"text": rows})
+
+    df = spark.range(PARTS).repartition(PARTS).mapInPandas(gen, "text string")
+    df = df.persist()
+    df.count()
+    return df
+
+
+def naive_exact(df):
+    toks = df.select(F.explode(F.split("text", " ")).alias("token"))
+    total = df.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(M + 1) > F.col("total"))
+        .select("token", "cnt")
+    )
+
+
+def main() -> None:
+    spark = get_spark("sketch-ramp")
+    print(f"docs={N_DOCS} tok/doc={TOK_PER_DOC} m={M} parts={PARTS}")
+    print(
+        f"{'vocab':>9} {'distinct':>9} {'heavies':>8} {'naive_s':>8} "
+        f"{'mg_s':>7} {'xchg_naive':>11} {'xchg_mg':>8} {'match':>6}"
+    )
+    for vocab in (1_000, 100_000, 2_000_000):
+        df = corpus(spark, vocab)
+        try:
+            t0 = time.time()
+            naive = {r["token"]: r["cnt"] for r in naive_exact(df).collect()}
+            t_naive = time.time() - t0
+            t0 = time.time()
+            mg = {
+                r["token"]: r["cnt"]
+                for r in frequent_tokens_exact(df, "text", M).collect()
+            }
+            t_mg = time.time() - t0
+            distinct = (
+                df.select(F.explode(F.split("text", " ")).alias("t"))
+                .distinct()
+                .count()
+            )
+            sketch_rows = partition_sketches(df, "text", M).count()
+            print(
+                f"{vocab:>9} {distinct:>9} {len(naive):>8} {t_naive:>8.2f} "
+                f"{t_mg:>7.2f} {distinct:>11} {sketch_rows + M:>8} "
+                f"{'OK' if naive == mg else 'DIVERGED':>6}"
+            )
+            if naive != mg:
+                raise SystemExit(f"differential failed at vocab={vocab}")
+        finally:
+            df.unpersist()
+
+
+if __name__ == "__main__":
+    main()
