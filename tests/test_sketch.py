@@ -142,3 +142,47 @@ def test_streaming_heavy_hitters_supersets_batch_gate(spark, tmp_path) -> None:
     batch = {r["token"] for r in heavy_hitters_2pass(spark, sf).collect()}
     missing = batch - cands
     assert not missing, f"streaming sketch union dropped true heavies: {missing}"
+
+
+def test_streaming_heavy_hitters_state_survives_restart(spark, tmp_path) -> None:
+    """MG counters must recover from the checkpoint across two separate
+    query runs: run 2's tiny top-up can only push a token's weight past
+    run 1's total if run 1's counters came back. Parquet sink — the memory
+    sink cannot recover from checkpoints (CLAUDE.md)."""
+    from signalk_parquet_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "hhr_src")
+    out = str(tmp_path / "hhr_out")
+    ckpt = str(tmp_path / "hhr_ckpt")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_heavy_hitters(stream, m=8, n_groups=2)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, " ".join(["alpha"] * 50 + ["beta"] * 3))], schema
+    ).coalesce(1).write.parquet(src)
+    run_once()
+    spark.createDataFrame([(2, "alpha alpha alpha")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()  # NEW query, same checkpoint: counters must come back
+
+    emitted = spark.read.parquet(out).toPandas()
+    latest = emitted[
+        emitted.groupby("grp")["n_seen"].transform("max") == emitted["n_seen"]
+    ]
+    wt = dict(zip(latest["token"], latest["wt"]))
+    # 50 from run 1 + 3 from run 2 (minus any MG decrements; m=8 > vocab=2,
+    # so none fire and the count is exact)
+    assert wt.get("alpha") == 53, wt
