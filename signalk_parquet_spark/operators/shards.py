@@ -144,15 +144,24 @@ def verify_shards(out_dir: str) -> dict[str, Any]:
     listed = set()
     for k, info in m["shards"].items():
         rows = 0
+        nbytes = 0
         for rel in info["files"]:
             listed.add(rel)
             fp = os.path.join(out_dir, rel)
             if not os.path.exists(fp):
                 errors.append(f"shard {k}: missing file {rel}")
                 continue
-            rows += pq.read_metadata(fp).num_rows
+            try:
+                rows += pq.read_metadata(fp).num_rows
+            except Exception as e:  # truncated/grown file: footer magic gone
+                errors.append(f"shard {k}: unreadable footer {rel}: {e}")
+            nbytes += os.path.getsize(fp)
         if rows != info["n_rows"]:
             errors.append(f"shard {k}: footer rows {rows} != manifest {info['n_rows']}")
+        if nbytes != info["bytes"] and not any(
+            e.startswith(f"shard {k}: missing") for e in errors
+        ):
+            errors.append(f"shard {k}: bytes {nbytes} != manifest {info['bytes']}")
     for name in os.listdir(out_dir):
         if name.startswith("shard="):
             sub = os.path.join(out_dir, name)

@@ -97,8 +97,12 @@ def partition_sketches(df: DataFrame, text_col: str, m: int, sep: str = " ") -> 
             if pdf.empty:
                 continue
             for text in pdf[text_col].tolist():
-                if not text:
+                if text is None:
                     continue
+                # NOTE: ''.split(sep) == [''] — the empty-string token is a
+                # real token on the JVM side too (split('', sep) -> ['']),
+                # so it must flow through the sketch like any other or an
+                # all-empty-doc corpus would break the superset guarantee
                 for tok in text.split(sep):
                     if tok in c:
                         c[tok] += 1

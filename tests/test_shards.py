@@ -82,3 +82,20 @@ def test_assignment_deterministic_and_uniform(spark) -> None:
     sizes = [sum(1 for v in a.values() if v == k) for k in range(16)]
     # uniform hash: 4000/16 = 250 expected; allow generous 4-sigma band
     assert min(sizes) > 180 and max(sizes) < 320, sizes
+
+
+def test_verify_catches_byte_truncation(spark, sf_smoke, tmp_path) -> None:
+    """A listed file whose on-disk size drifted from the manifest (partial
+    copy, bit-rot truncation that keeps the footer parseable length-wise)
+    must fail the audit even when row counts still read back."""
+    d = load(spark, sf_smoke, "documents").limit(40)
+    out = str(tmp_path / "shards")
+    write_shards(d, out, "doc_id", n_shards=2)
+    m = read_manifest(out)
+    victim = next(v["files"][0] for v in m["shards"].values() if v["files"])
+    fp = os.path.join(out, victim)
+    with open(fp, "ab") as fh:
+        fh.write(b"\x00" * 16)  # grow the file; footer still parses
+    audit = verify_shards(out)
+    assert not audit["ok"], audit
+    assert any("bytes" in e or "unreadable footer" in e for e in audit["errors"]), audit

@@ -186,3 +186,13 @@ def test_streaming_heavy_hitters_state_survives_restart(spark, tmp_path) -> None
     # 50 from run 1 + 3 from run 2 (minus any MG decrements; m=8 > vocab=2,
     # so none fire and the count is exact)
     assert wt.get("alpha") == 53, wt
+
+
+def test_empty_string_token_counts_like_jvm(spark) -> None:
+    """''.split(sep) is [''] on BOTH sides (Python and Spark's split), so an
+    all-empty-doc corpus has one heavy token: the empty string. The sketch
+    must carry it or the 2-pass superset guarantee silently breaks."""
+    df = spark.createDataFrame([("",)] * 10 + [("a b",)], "text string")
+    out = {r["token"]: r["cnt"] for r in frequent_tokens_exact(df, "text", 5).collect()}
+    # N = 10*1 + 2 = 12; '' has 10 -> 10*6 > 12 qualifies; a/b have 1 each (6 < 12)
+    assert out == {"": 10}, out
