@@ -23,20 +23,19 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
-#: `--smoke`: the 20 heaviest gates of the official r8 full run (42% of
-#: total wall in ~1/7 of the queries) — the dev-loop perf tier so
-#: iteration doesn't pay a 115 s full session. Record official numbers
+#: `--smoke`: the 20 heaviest gates of the official r9 158-gate full run
+#: (38% of total wall in ~1/8 of the queries) — the dev-loop perf tier so
+#: iteration doesn't pay a 125 s full session. Record official numbers
 #: from FULL runs only; refresh this list from BENCH_local.json when the
 #: heavy set shifts (it shifts with every window rotation: family-shared
 #: memo builds are charged to the first consumer in the current order).
 SMOKE_TIER = (
-    "dedup_jaccard_prefix,bpe_train_merges,dedup_keep_longest,"
-    "ann_ivf_kmeans,audio_dedup_decisions,image_dedup_decisions,"
-    "video_dedup_decisions,position_rollup_1h,bloom_fp_rate,"
-    "history_v2_blend,cobucketed_revenue,image_dedup_decisions_phash,"
-    "dsir_weights,decontaminate_bloom,unigram_estep_counts,"
-    "semdedup_recall,dedup_winnowing,minhash_estimate_error,"
-    "proximity_pairs,dedup_ngram_jaccard"
+    "ann_ivf_kmeans,video_dedup_decisions,heavy_hitters_2pass,"
+    "audio_dedup_decisions,dedup_jaccard_prefix,bpe_train_merges,"
+    "image_dedup_decisions,cluster_balanced_sample,proximity_pairs,"
+    "cobucketed_revenue,image_dedup_decisions_phash,dedup_keep_longest,"
+    "quality_c4,ngram_novelty,decontaminate_bloom,dsir_weights,"
+    "pq_recall,bloom_fp_rate,scrub_duplicate_spans,position_rollup_1h"
 ).split(",")
 
 

@@ -615,3 +615,28 @@ def test_jsonl_scan_has_no_inference_prescan(spark, tmp_path):
     assert "Scan json" in plan and "ReadSchema" in plan
     body = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in body  # record projection is map-only too
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    """Pass 2 of the MG 2-pass must stay a broadcast LEFT SEMI against the
+    ≤ m candidate keys — a shuffled join here would reintroduce the full
+    token exchange the sketch exists to delete."""
+    plan = formatted_plan(registry.queries()["heavy_hitters_2pass"](spark, SF))
+    assert "LeftSemi" in plan, "candidate filter is not a semi join"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        "candidate set not broadcast"
+    )
+
+
+def test_shard_plan_single_exchange_partial_agg(spark):
+    """The shard rollup is ONE hash exchange over n_shards keys with the
+    partial aggregate absorbing map-side (HashAggregate below and above
+    the exchange); any second data exchange means the plan regressed."""
+    plan = formatted_plan(registry.queries()["shard_plan"](spark, SF))
+    # everything below the InMemoryTableScan is the cached table's OWN
+    # build plan (rendered inline, exchanges included) — the query's live
+    # plan is the part above it
+    body = plan.split("===== Subqueries =====")[0].split("InMemoryTableScan")[0]
+    n_exchange = sum("Exchange" in l for l in body.splitlines())
+    assert "HashAggregate" in body
+    assert n_exchange == 1, f"expected exactly one live exchange, got {n_exchange}:\n{body}"
