@@ -1214,3 +1214,166 @@ def shard_plan(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return plan_shards(d, "doc_id", _N_SHARDS, size_col="n_chars")
+
+
+# --- WARC ingestion gate (the Common Crawl input edge) ---------------------------------
+#: (uri, status, html_body, EXPECTED extracted text — hand-computed, NOT
+#: derived by calling the extractor: the oracle must be independent truth)
+_WARC_PAGES = [
+    (
+        "http://example.com/alpha",
+        200,
+        '<html><head><script>var a = "<p>hi</p>";</script><title>Alpha</title>'
+        "</head><body>Hello &amp; <b>world</b>!</body></html>",
+        "Alpha Hello & world !",
+    ),
+    (
+        "http://example.com/missing",
+        404,
+        "<html><body>Not Found</body></html>",
+        "Not Found",
+    ),
+    (
+        "http://example.com/framing",
+        200,
+        "<html><body>line1\r\n\r\nline2 tricky</body></html>",
+        "line1 line2 tricky",
+    ),
+    (
+        "http://example.org/gz",
+        200,
+        "<html><style>.x{color:red}</style><body>Gzipped &lt;member&gt;</body></html>",
+        "Gzipped <member>",
+    ),
+]
+
+
+def _warc_record(rid: str, rtype: str, headers: dict, payload: bytes) -> bytes:
+    head = [f"WARC/1.0", f"WARC-Type: {rtype}", f"WARC-Record-ID: <{rid}>"]
+    head += [f"{k}: {v}" for k, v in headers.items()]
+    head += [f"Content-Length: {len(payload)}"]
+    return "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _warc_http(status: int, body: str) -> bytes:
+    reason = {200: "OK", 404: "Not Found"}[status]
+    b = body.encode()
+    return (
+        f"HTTP/1.1 {status} {reason}\r\nContent-Type: text/html\r\n\r\n".encode() + b
+    )
+
+
+def _warc_fixture_rows() -> list[tuple]:
+    """Expected gate rows (record_id, warc_type, target_uri, http_status,
+    payload_len, text, quarantined) — payload_len is ground truth by
+    construction (we wrote exactly that many bytes)."""
+    rows = [
+        ("urn:test:info", "warcinfo", None, None, len(b"software: fixture\r\n"), None, 0),
+        (
+            "urn:test:req", "request", "http://example.com/alpha", None,
+            len(b"GET /alpha HTTP/1.1\r\nHost: example.com\r\n\r\n"), None, 0,
+        ),
+    ]
+    for i, (uri, status, html_body, text) in enumerate(_WARC_PAGES):
+        rows.append(
+            (
+                f"urn:test:resp{i}", "response", uri, status,
+                len(_warc_http(status, html_body)), text, 0,
+            )
+        )
+    return rows
+
+
+def _write_warc_fixture() -> list[str]:
+    """Two files: plain WARC (info + request + 3 responses) and a
+    per-record-gzip-member .warc.gz (the Common Crawl layout) holding the
+    fourth response."""
+    import gzip as _gz
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_fixture")
+    os.makedirs(d, exist_ok=True)
+    date_h = {"WARC-Date": "2024-01-02T03:04:05Z"}
+    plain = _warc_record(
+        "urn:test:info", "warcinfo",
+        {**date_h, "Content-Type": "application/warc-fields"},
+        b"software: fixture\r\n",
+    )
+    plain += _warc_record(
+        "urn:test:req", "request",
+        {**date_h, "WARC-Target-URI": "http://example.com/alpha"},
+        b"GET /alpha HTTP/1.1\r\nHost: example.com\r\n\r\n",
+    )
+    for i, (uri, status, html_body, _) in enumerate(_WARC_PAGES[:3]):
+        plain += _warc_record(
+            f"urn:test:resp{i}", "response",
+            {**date_h, "WARC-Target-URI": uri, "Content-Type": "application/http"},
+            _warc_http(status, html_body),
+        )
+    p1 = os.path.join(d, "fixture.warc")
+    with open(p1, "wb") as fh:
+        fh.write(plain)
+    uri, status, html_body, _ = _WARC_PAGES[3]
+    member = _warc_record(
+        "urn:test:resp3", "response",
+        {**date_h, "WARC-Target-URI": uri, "Content-Type": "application/http"},
+        _warc_http(status, html_body),
+    )
+    p2 = os.path.join(d, "fixture.warc.gz")
+    with open(p2, "wb") as fh:
+        # TWO concatenated gzip members splitting one record mid-payload:
+        # only a true multi-member read (GzipFile) reconstructs the framing
+        half = len(member) // 2
+        fh.write(_gz.compress(member[:half]) + _gz.compress(member[half:]))
+    return [p1, p2]
+
+
+def _warc_oracle() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    vals = ",\n      ".join(
+        "(" + ", ".join(lit(x) for x in r) + ")" for r in _warc_fixture_rows()
+    )
+    return f"""
+    SELECT record_id, warc_type,
+           CAST(target_uri AS VARCHAR) AS target_uri,
+           CAST(http_status AS INTEGER) AS http_status,
+           CAST(payload_len AS BIGINT) AS payload_len,
+           CAST(text AS VARCHAR) AS text,
+           CAST(quarantined AS INTEGER) AS quarantined
+    FROM (VALUES
+      {vals}
+    ) t(record_id, warc_type, target_uri, http_status, payload_len, text, quarantined)
+    """
+
+
+@register("warc_import_records", _warc_oracle())
+def warc_import_records(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC ingestion (sources/warc.py) driver-gated against hand-computed
+    fixture literals: Content-Length framing (one payload embeds
+    \\r\\n\\r\\n), per-record-gzip-member .warc.gz (the Common Crawl
+    layout, read through GzipFile's multi-member pass), warcinfo/request
+    records carried with NULL text, HTTP status extraction, and the
+    documented regex text extraction (script/style subtree drop, tag
+    strip, entity decode, whitespace squeeze — expected strings are
+    hand-derived, so a silent extractor change goes red). sf-independent
+    by nature (an import source has no scale knob); record_id strips the
+    <> envelope per the WARC spec's uri form."""
+    from .sources.warc import import_warc_files
+
+    df = import_warc_files(spark, _write_warc_fixture())
+    return df.select(
+        F.regexp_replace("record_id", "^<|>$", "").alias("record_id"),
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "payload_len",
+        "text",
+        "quarantined",
+    )

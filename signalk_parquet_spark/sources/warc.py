@@ -1,0 +1,162 @@
+"""WARC ingestion — the Common Crawl input edge of a training-data pipeline.
+
+WARC (ISO 28500) is how web corpora arrive: concatenated records, each a
+`WARC/1.x` header block, a blank line, then EXACTLY `Content-Length` bytes
+of payload (for `response` records: an HTTP response whose body is the
+HTML). Framing MUST come from Content-Length — payloads legally contain
+`\\r\\n\\r\\n` — and Common Crawl ships each record as its own gzip member
+concatenated into one `.warc.gz`, which Python's GzipFile reads through
+transparently (multi-member).
+
+Spark shape: `spark.read.format("binaryFile")` hands each WARC file to one
+task as bytes (CC segments are ~1 GB — one task per segment is exactly how
+CC is processed in practice; a 100 TB crawl is ~100k files, i.e. ~100k
+tasks, no shuffle at all until the downstream dedup/quality stages). The
+parse is a single forward pass; records that violate framing are counted
+into a quarantine column set, not raised — one rotten record must not kill
+a segment task (same policy as sources/formats.py's PERMISSIVE quarantine).
+
+HTML -> text here is an honest REGEX approximation (drop script/style
+blocks, strip tags, decode entities, squeeze whitespace) — the same
+documented-stub class as the media decoders: a production pipeline swaps
+in a DOM extractor (trafilatura/jusText) behind the same column contract;
+everything Spark-side (framing, partitioning, schema, quarantine) is real.
+
+No reference parity claim: the reference has no web-corpus surface; this
+is a beyond-reference LLM-pipeline source (BASELINE extension set).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html as _html
+import io
+import re
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),  # ISO-8601 as shipped
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("quarantined", T.IntegerType()),  # bad records this file
+    ]
+)
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def html_to_text(body: str) -> str:
+    """Regex text extraction: drop script/style subtrees, strip tags, decode
+    entities, squeeze whitespace. Deterministic and engine-free, so the gate
+    oracle can carry the expected literals."""
+    s = _SCRIPT_RE.sub(" ", body)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    if data[:2] == b"\x1f\x8b":
+        # GzipFile reads CONCATENATED members — the Common Crawl layout
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as fh:
+            return fh.read()
+    return data
+
+
+def parse_warc_bytes(data: bytes) -> tuple[list[dict[str, Any]], int]:
+    """One forward pass over a (possibly gzipped) WARC byte string.
+    Returns (records, quarantined_count). Framing is strictly
+    Content-Length-driven; a record with an unparsable header block or a
+    length overrunning the buffer quarantines the REMAINDER of the file
+    (framing is lost beyond it — resync heuristics hide corruption)."""
+    data = _maybe_gunzip(data)
+    out: list[dict[str, Any]] = []
+    bad = 0
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip the two inter-record CRLFs (and tolerate extras)
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not data[pos : pos + 5] == b"WARC/":
+            bad += 1
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            bad += 1
+            break
+        body_start = head_end + 4
+        if body_start + length > n:
+            bad += 1
+            break
+        payload = data[body_start : body_start + length]
+        pos = body_start + length
+        rec: dict[str, Any] = {
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "payload_len": length,
+            "text": None,
+        }
+        if rec["warc_type"] == "response" and payload[:5] == b"HTTP/":
+            http_head_end = payload.find(b"\r\n\r\n")
+            if http_head_end >= 0:
+                status_line = payload[: payload.find(b"\r\n")].decode(
+                    "latin-1", "replace"
+                )
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    rec["http_status"] = int(parts[1])
+                body = payload[http_head_end + 4 :].decode("utf-8", "replace")
+                rec["text"] = html_to_text(body)
+        out.append(rec)
+    return out, bad
+
+
+def import_warc_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed WARC import: binaryFile scan (one task per file — the
+    Common Crawl per-segment unit of work), executor-side single-pass parse,
+    one output row per record. The per-file quarantine count rides on every
+    row of its file so downstream quality accounting can aggregate it
+    without a second pass."""
+    import pandas as pd
+
+    bin_df = spark.read.format("binaryFile").load(paths)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"].tolist(), pdf["content"].tolist()):
+                recs, bad = parse_warc_bytes(bytes(content))
+                for r in recs:
+                    rows.append({"source_file": path, **r, "quarantined": bad})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return bin_df.select("path", "content").mapInPandas(parse, WARC_SCHEMA)

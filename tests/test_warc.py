@@ -1,0 +1,87 @@
+"""WARC source: Content-Length framing, multi-member gzip, quarantine
+policy, HTML text extraction, and the distributed import's row contract."""
+
+from __future__ import annotations
+
+import gzip
+
+from signalk_parquet_spark.sources.warc import (
+    html_to_text,
+    import_warc_files,
+    parse_warc_bytes,
+)
+
+
+def _rec(rid: str, rtype: str, payload: bytes, extra: dict | None = None) -> bytes:
+    head = [
+        "WARC/1.0",
+        f"WARC-Type: {rtype}",
+        f"WARC-Record-ID: <{rid}>",
+        *(f"{k}: {v}" for k, v in (extra or {}).items()),
+        f"Content-Length: {len(payload)}",
+    ]
+    return "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_framing_survives_crlf_crlf_in_payload() -> None:
+    tricky = b"a\r\n\r\nb\r\n\r\nc"
+    data = _rec("r1", "resource", tricky) + _rec("r2", "resource", b"zz")
+    recs, bad = parse_warc_bytes(data)
+    assert bad == 0
+    assert [r["record_id"] for r in recs] == ["<r1>", "<r2>"]
+    assert recs[0]["payload_len"] == len(tricky)
+
+
+def test_truncated_payload_quarantines_remainder() -> None:
+    good = _rec("ok", "resource", b"fine")
+    head = b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 9999\r\n\r\nshort"
+    recs, bad = parse_warc_bytes(good + head)
+    assert [r["record_id"] for r in recs] == ["<ok>"]
+    assert bad == 1
+
+
+def test_missing_content_length_quarantines() -> None:
+    data = b"WARC/1.0\r\nWARC-Type: resource\r\n\r\npayload\r\n\r\n"
+    recs, bad = parse_warc_bytes(data)
+    assert recs == [] and bad == 1
+
+
+def test_non_warc_prefix_quarantines() -> None:
+    recs, bad = parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
+    assert recs == [] and bad == 1
+
+
+def test_multi_member_gzip_reassembles_framing() -> None:
+    rec = _rec("gz", "resource", b"x" * 100)
+    half = len(rec) // 2
+    data = gzip.compress(rec[:half]) + gzip.compress(rec[half:])
+    recs, bad = parse_warc_bytes(data)
+    assert bad == 0 and [r["record_id"] for r in recs] == ["<gz>"]
+
+
+def test_http_status_and_text_extraction() -> None:
+    body = "<html><script>ignored<div></script><body>A &amp; B</body></html>"
+    payload = b"HTTP/1.1 301 Moved\r\nLocation: x\r\n\r\n" + body.encode()
+    recs, bad = parse_warc_bytes(_rec("r", "response", payload))
+    assert bad == 0
+    assert recs[0]["http_status"] == 301
+    assert recs[0]["text"] == "A & B"
+
+
+def test_html_to_text_rules() -> None:
+    assert html_to_text("<style>.a{}</style><p>x</p>") == "x"
+    assert html_to_text("a<br>b") == "a b"
+    assert html_to_text("&lt;tag&gt; &amp; more") == "<tag> & more"
+    assert html_to_text("  already   plain  ") == "already plain"
+
+
+def test_import_warc_files_rows_and_quarantine_column(spark, tmp_path) -> None:
+    clean = _rec("a", "resource", b"one") + _rec("b", "resource", b"two")
+    dirty = _rec("c", "resource", b"three") + b"WARC/1.0\r\nbroken"
+    p1, p2 = str(tmp_path / "clean.warc"), str(tmp_path / "dirty.warc")
+    open(p1, "wb").write(clean)
+    open(p2, "wb").write(dirty)
+    out = import_warc_files(spark, [p1, p2]).toPandas()
+    assert len(out) == 3
+    by_file = out.groupby(out["source_file"].str.contains("dirty"))["quarantined"].max()
+    assert by_file[False] == 0 and by_file[True] == 1
