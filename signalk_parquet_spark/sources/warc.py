@@ -160,3 +160,66 @@ def import_warc_files(spark: SparkSession, paths: list[str]) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return bin_df.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+# --- URL policy filtering (the step a crawl pipeline runs right after parse) -----------
+def url_host(url):
+    """Registrable host of a URL Column (lowercased; port stripped) via
+    Spark's built-in parse_url — JVM-side, no UDF."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = url if isinstance(url, Column) else F.col(url)
+    return F.lower(F.split(F.parse_url(c, F.lit("HOST")), ":")[0])
+
+
+def apply_url_policy(
+    df: DataFrame,
+    url_col: str,
+    blocked_hosts: tuple[str, ...] = (),
+    blocked_suffixes: tuple[str, ...] = (),
+    max_per_host: int | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """RefinedWeb-style URL curation over parsed crawl rows: drop
+    blocklisted hosts (exact match or domain suffix, so `example.com`
+    blocks `www.example.com`), then optionally cap each host at
+    ``max_per_host`` rows (rank by ``order_col`` with the URL as
+    tie-break — deterministic across reruns, the same keep-policy
+    discipline as the dedup family). Returns the input plus (host, kept,
+    reason) so decisions are auditable/joinable rather than silently
+    applied — the contract every screen in this engine follows.
+
+    Scale: the blocklist is a literal expression (policy lists are
+    thousands of entries — far below broadcast scale; past ~100k entries
+    swap in a broadcast join on host). The host cap is one window keyed by
+    host; WHERE rank <= cap plans a WindowGroupLimit, so the exchange
+    carries at most cap rows per host per map task. Host skew (one domain
+    = half the crawl) is exactly what the cap EXISTS to cut, and the
+    group-limit truncates it before the shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    host = url_host(url_col)
+    blocked = F.lit(False)
+    if blocked_hosts:
+        blocked = blocked | F.col("host").isin(*[h.lower() for h in blocked_hosts])
+    for suf in blocked_suffixes:
+        s = suf.lower().lstrip(".")
+        blocked = blocked | (F.col("host") == s) | F.col("host").endswith("." + s)
+    out = df.withColumn("host", host).withColumn(
+        "reason", F.when(blocked, F.lit("blocklist"))
+    )
+    if max_per_host is not None:
+        order = F.col(order_col) if order_col else F.col(url_col)
+        w = Window.partitionBy("host").orderBy(order, F.col(url_col))
+        out = out.withColumn(
+            "reason",
+            F.coalesce(
+                F.col("reason"),
+                F.when(
+                    F.row_number().over(w) > max_per_host, F.lit("host_cap")
+                ),
+            ),
+        )
+    return out.withColumn("kept", F.col("reason").isNull())

@@ -85,3 +85,33 @@ def test_import_warc_files_rows_and_quarantine_column(spark, tmp_path) -> None:
     assert len(out) == 3
     by_file = out.groupby(out["source_file"].str.contains("dirty"))["quarantined"].max()
     assert by_file[False] == 0 and by_file[True] == 1
+
+
+def test_url_policy_blocklist_and_host_cap(spark) -> None:
+    from signalk_parquet_spark.sources.warc import apply_url_policy
+
+    rows = [
+        (1, "http://spam.example.com/a", 5),
+        (2, "https://EXAMPLE.com/b", 1),       # suffix root, case-folded
+        (3, "http://ok.org:8080/x", 9),        # port stripped
+        (4, "http://ok.org/y", 2),
+        (5, "http://ok.org/z", 7),
+        (6, "http://fine.net/only", 3),
+        (7, "http://notexample.com/c", 4),     # NOT a suffix match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality long")
+    out = apply_url_policy(
+        df, "url",
+        blocked_suffixes=("example.com",),
+        max_per_host=2,
+        order_col="quality",
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "reason"] == "blocklist" and not out.loc[1, "kept"]
+    assert out.loc[2, "reason"] == "blocklist"
+    assert out.loc[7, "kept"]  # notexample.com must survive a suffix rule
+    # ok.org capped at 2 by quality asc (docs 4 then 1? -> quality 2,7,9)
+    ok = out[out.host == "ok.org"]
+    assert set(ok[ok.kept].index) == {4, 5} and ok.loc[3, "reason"] == "host_cap"
+    assert out.loc[6, "kept"]
+    # audit contract: every input row survives with a decision
+    assert len(out) == len(rows)
