@@ -93,9 +93,15 @@ def cluster_quota_sample(
     from .similarity import _cell_dist_structs, bounded_collect
     from ..functions.vectors import as_double
 
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
     cent_rows = bounded_collect(
         centroids.select("cid", "cemb"), "cluster_quota_sample centroids"
     )
+    if not cent_rows:
+        # array_min over a ZERO-struct array is NULL — every row would land
+        # in a silent NULL cell instead of failing; make it loud
+        raise ValueError("cluster_quota_sample: empty centroid set")
     best = F.array_min(
         _cell_dist_structs(cent_rows, as_double(F.col(vec_col)), dim)
     )

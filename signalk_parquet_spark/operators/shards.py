@@ -40,6 +40,8 @@ def shard_id(id_col: str | Column, n_shards: int) -> Column:
     CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 12)) AS BIGINT)
     % n) and uniform to ~2^-24 per shard, so shard sizes concentrate
     tightly around N/n_shards with no skew mitigation needed."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
     return (h % n_shards).alias("shard")

@@ -54,6 +54,8 @@ def mg_sketch(stream: Iterable[str], m: int) -> dict[str, int]:
     is guaranteed present on return. Decrement-all costs O(m) but only
     fires when the dict is full AND the item is new — amortized O(1) per
     input over any stream (each decrement cancels one prior increment)."""
+    if m < 1:
+        raise ValueError(f"Misra–Gries capacity m must be >= 1, got {m}")
     c: dict[str, int] = {}
     for tok in stream:
         if tok in c:
@@ -127,6 +129,8 @@ def frequent_tokens_exact(
     num_partitions × m rows) → broadcast semi-join recount (pass 2) →
     integer threshold against the scalar total. Returns (token, cnt),
     cnt BIGINT — engine-exact, no floats anywhere."""
+    if m < 1:
+        raise ValueError(f"Misra–Gries capacity m must be >= 1, got {m}")
     sketch_rows = partition_sketches(df, text_col, m, sep).collect()
     merged = mg_merge(_group_rows(sketch_rows), m)
     spark = df.sparkSession

@@ -196,3 +196,26 @@ def test_empty_string_token_counts_like_jvm(spark) -> None:
     out = {r["token"]: r["cnt"] for r in frequent_tokens_exact(df, "text", 5).collect()}
     # N = 10*1 + 2 = 12; '' has 10 -> 10*6 > 12 qualifies; a/b have 1 each (6 < 12)
     assert out == {"": 10}, out
+
+
+def test_degenerate_parameter_guards(spark) -> None:
+    import pytest
+
+    from signalk_parquet_spark.operators.sampling import cluster_quota_sample
+    from signalk_parquet_spark.operators.shards import shard_id
+
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        mg_sketch(["a"], 0)
+    df = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        frequent_tokens_exact(df, "text", 0)
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_id("doc_id", 0)
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    no_cents = spark.createDataFrame([], "cid long, cemb array<double>")
+    with pytest.raises(ValueError, match="empty centroid"):
+        cluster_quota_sample(vecs, no_cents, "vec_id", "embedding", 5)
+    with pytest.raises(ValueError, match="quota"):
+        cluster_quota_sample(vecs, no_cents, "vec_id", "embedding", 0)
