@@ -375,3 +375,35 @@ def intersect_buyers_clickers(spark: SparkSession, sf: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select("user_id")
     buys = e.filter(F.col("event_type") == "purchase").select("user_id")
     return clicks.intersect(buys)
+
+
+# --- distributed exact selection (global quantiles without a global sort) --------------
+@register(
+    "global_kth_values",
+    """
+    WITH n AS (SELECT count(*) AS total FROM lineitem),
+    r AS (
+      SELECT l_extendedprice AS value,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    )
+    SELECT rn AS k, value FROM r, n
+    WHERE rn IN (1, total // 4, total // 2, (9 * total) // 10, total)
+    """,
+)
+def global_kth_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact global order statistics (min / p25 / p50 / p90 / max as fixed
+    RANKS, so the contract is unambiguous across engines) via distributed
+    bucket-count selection (operators/selection.py) — log_B(n) histogram
+    passes over an UN-shuffled scan plus one band-bounded finish, where
+    the oracle's formulation (row_number over a global ORDER BY) is
+    exactly the full range-exchange sort the operator exists to avoid at
+    100 TB. Returned values are input doubles verbatim — no arithmetic,
+    so the rank pick matches bit-for-bit, ties included (the value at a
+    fixed rank of the multiset order is permutation-invariant)."""
+    from .operators.selection import kth_smallest_values
+
+    li = load(spark, sf, "lineitem")
+    n = li.count()
+    ks = sorted({1, n // 4, n // 2, (9 * n) // 10, n})
+    return kth_smallest_values(li, "l_extendedprice", ks)

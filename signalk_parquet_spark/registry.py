@@ -303,12 +303,13 @@ def oracle_sql() -> dict[str, str]:
 #: r06-green and unchanged.
 _WINDOW_FIRST: tuple[str, ...] = (
     # --- new this round (second batch: LLM-pipeline capabilities; these
-    # took the window's last five slots — tpch_q7/q10/q14/q18 and
-    # text_top_tokens cede to r10, all r06-green and unchanged). Note
+    # took the window's last six slots — order_gaps, tpch_q7/q10/q14/q18
+    # and text_top_tokens cede to r10, all r06-green and unchanged). Note
     # ngram_novelty is the window's FIRST shingle-memo consumer, so bench
     # charges it the dedup family's shared shingle build. ---
     "heavy_hitters_2pass",
     "warc_import_records",
+    "global_kth_values",
     "cluster_balanced_sample",
     "shard_plan",
     "ngram_novelty",
@@ -361,7 +362,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q6",
     "semi_join_orders",
     "rank_orders_per_customer",
-    "order_gaps",
 )
 
 

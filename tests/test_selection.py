@@ -1,0 +1,60 @@
+"""Distributed bucket-count selection vs sorted() ground truth — randomized,
+duplicate-heavy, all-equal, and multi-round (tiny buckets/band_limit force
+the recursion depth a 100 TB run would see)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from signalk_parquet_spark.operators.selection import kth_smallest_values
+
+
+def _truth(vals: list[float], ks: list[int]) -> dict[int, float]:
+    s = sorted(vals)
+    return {k: s[k - 1] for k in ks}
+
+
+def _run(spark, vals, ks, **kw):
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    out = kth_smallest_values(df, "x", ks, **kw)
+    return {r["k"]: r["value"] for r in out.collect()}
+
+
+def test_randomized_differential(spark) -> None:
+    rng = random.Random(4)
+    for trial in range(3):
+        vals = [round(rng.uniform(-100, 100), 3) for _ in range(2000)]
+        ks = sorted({1, 7, 500, 1000, 1777, 2000})
+        assert _run(spark, vals, ks) == _truth(vals, ks)
+
+
+def test_duplicate_heavy_and_multi_round(spark) -> None:
+    rng = random.Random(9)
+    # 90% of mass on 5 distinct values -> buckets overflow band_limit and
+    # the vmin==vmax short-circuit must fire inside recursion
+    vals = [float(rng.choice([1.0, 1.0, 2.5, 2.5, 2.5, 7.0, 7.0, 9.0, 11.0]))
+            for _ in range(3000)] + [rng.uniform(0, 12) for _ in range(300)]
+    ks = [1, 1650, 3300]
+    got = _run(spark, vals, ks, buckets=4, band_limit=50)
+    assert got == _truth(vals, ks)
+
+
+def test_all_equal(spark) -> None:
+    vals = [3.25] * 500
+    assert _run(spark, vals, [1, 250, 500], band_limit=10) == {
+        1: 3.25, 250: 3.25, 500: 3.25
+    }
+
+
+def test_nulls_excluded_and_rank_validation(spark) -> None:
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "x double"
+    )
+    out = {r["k"]: r["value"] for r in kth_smallest_values(df, "x", [1, 3]).collect()}
+    assert out == {1: 1.0, 3: 3.0}
+    with pytest.raises(ValueError, match="outside"):
+        kth_smallest_values(df, "x", [4])
+    with pytest.raises(ValueError, match="non-empty"):
+        kth_smallest_values(df, "x", [])
