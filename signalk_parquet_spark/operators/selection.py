@@ -10,10 +10,10 @@ over an un-shuffled scan plus one band-bounded finish:
            into B buckets (a (n_ks × B)-row aggregate — metadata-sized);
            cumulative counts locate each rank's bucket, which becomes its
            next band;
-  finish:  when a rank's band holds ≤ band_limit rows, sort ONLY the band
-           and take the rank's row (sort → limit(rank) → max: the k-th
-           smallest is the max of the k smallest — one tiny job, no
-           driver collect of data rows).
+  finish:  when a rank's band holds ≤ band_limit rows, rank ONLY the
+           band (one window job shared by every finishing rank, keyed by
+           rank id) and pick each band's target row — bands are
+           band_limit-bounded by construction, so the window is tiny.
 
 Band membership is re-derived each round from the SAME deterministic
 bucket expression (floor((v − lo)/width) chained as equality conditions),
@@ -53,8 +53,9 @@ def kth_smallest_values(
 ) -> DataFrame:
     """Exact (k, value) for each 1-based rank in ``ks`` over ``df[col]``
     (nulls excluded, multiset order). Returns a DataFrame (k BIGINT,
-    value DOUBLE) assembled from per-rank scalar jobs — no global sort,
-    no data-sized shuffle, no driver collect beyond scalars."""
+    value DOUBLE). No global sort, no data-sized shuffle, no driver
+    collect beyond scalars — and round-trips scale with ROUNDS (≤3 jobs
+    each: stats, finishes, histogram), not with len(ks)."""
     if not ks:
         raise ValueError("ks must be non-empty")
     spark = df.sparkSession
@@ -68,52 +69,88 @@ def kth_smallest_values(
     state: dict[int, tuple[Column, int]] = {k: (F.lit(True), k) for k in ks}
     results: dict[int, float] = {}
 
+    def _tagged_union(parts: list[DataFrame]) -> DataFrame:
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
     for _ in range(max_rounds):
         active = [k for k in ks if k not in results]
         if not active:
             break
-        # per band: ONE scalar agg (count + ACTUAL value bounds — actual
-        # bounds both converge faster and resolve all-equal bands at once,
-        # where midpoint arithmetic would loop until width underflows)
-        widths: dict[int, tuple[float, float]] = {}
-        hist_parts = []
-        for k in active:
-            cond, rank = state[k]
-            row = base.filter(cond).agg(
+        # ROUND-TRIPS SCALE WITH ROUNDS, NOT RANKS: every per-band probe of
+        # this round is ONE job — a k-tagged union aggregated by k. (The
+        # first cut ran a separate agg + finish job per rank per round:
+        # 5 ranks cost ~12 tiny jobs whose latency dominated the gate wall.)
+        stats = {
+            r["k"]: r
+            for r in _tagged_union(
+                [
+                    base.filter(state[k][0]).select(F.lit(k).alias("k"), "v")
+                    for k in active
+                ]
+            )
+            .groupBy("k")
+            .agg(
                 F.count("v").alias("cnt"),
                 F.min("v").alias("vmin"),
                 F.max("v").alias("vmax"),
-            ).collect()[0]
-            cnt, vmin, vmax = row["cnt"], row["vmin"], row["vmax"]
-            if vmin == vmax:
-                results[k] = float(vmin)
-                continue
-            if cnt <= band_limit:
-                v = (
-                    base.filter(cond)
-                    .sort("v")
-                    .limit(rank)
-                    .agg(F.max("v").alias("v"))
-                    .collect()[0]["v"]
-                )
-                results[k] = float(v)
-                continue
-            lo, width = float(vmin), (float(vmax) - float(vmin)) / buckets
-            widths[k] = (lo, width)
-            hist_parts.append(
-                base.filter(cond).select(
-                    F.lit(k).alias("k"),
-                    _bucket_expr(F.col("v"), lo, width, buckets).alias("b"),
-                )
             )
-        if not hist_parts:
+            .collect()
+        }
+        widths: dict[int, tuple[float, float]] = {}
+        finish_ks = []
+        for k in active:
+            cnt, vmin, vmax = stats[k]["cnt"], stats[k]["vmin"], stats[k]["vmax"]
+            if vmin == vmax:
+                results[k] = float(vmin)  # all-equal band IS the answer
+            elif cnt <= band_limit:
+                finish_ks.append(k)
+            else:
+                widths[k] = (float(vmin), (float(vmax) - float(vmin)) / buckets)
+        if finish_ks:
+            # all small bands finish in ONE window job: rank within band,
+            # pick each band's own target rank via a literal CASE
+            rank_of = None
+            for k in finish_ks:
+                w = F.when(F.col("k") == k, F.lit(state[k][1]))
+                rank_of = w if rank_of is None else rank_of.when(
+                    F.col("k") == k, F.lit(state[k][1])
+                )
+            from pyspark.sql import Window
+
+            win = Window.partitionBy("k").orderBy("v")
+            picked = (
+                _tagged_union(
+                    [
+                        base.filter(state[k][0]).select(F.lit(k).alias("k"), "v")
+                        for k in finish_ks
+                    ]
+                )
+                .withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == rank_of)
+                .select("k", "v")
+                .collect()
+            )
+            for r in picked:
+                results[r["k"]] = float(r["v"])
+        if not widths:
             continue
-        hist = hist_parts[0]
-        for p in hist_parts[1:]:
-            hist = hist.unionByName(p)
         counts = {
             (r["k"], r["b"]): r["cnt"]
-            for r in hist.groupBy("k", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            for r in _tagged_union(
+                [
+                    base.filter(state[k][0]).select(
+                        F.lit(k).alias("k"),
+                        _bucket_expr(F.col("v"), *widths[k], buckets).alias("b"),
+                    )
+                    for k in widths
+                ]
+            )
+            .groupBy("k", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
         }
         for k in list(widths):
             cond, rank = state[k]
