@@ -43,13 +43,50 @@ def _bucket_expr(col: Column, lo: float, width: float, buckets: int) -> Column:
     return F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
 
 
+def _geo_bucket_expr(
+    col: Column, lo: float, hi: float, buckets: int, negative: bool = False
+) -> Column:
+    """Log-domain bucket index for a single-sign band whose LINEAR histogram
+    stalled (heavy-tailed values spanning many binades concentrate in
+    linear bucket 0, removing only ~log2(buckets) binades per round —
+    doubles span ~2100 binades, so linear alone can exhaust any sane round
+    budget). Equal-RATIO buckets cover the whole binade span in one round.
+    Ascending in value for both signs (negative bands reverse the index so
+    cumulative rank arithmetic stays valid). Deterministic: same expression
+    re-evaluated each round, like _bucket_expr."""
+    import math
+
+    if negative:
+        a, b = -hi, -lo  # both > 0; ln(-v) DEcreases as v increases
+        step = (math.log(b) - math.log(a)) / buckets
+        if step <= 0.0:  # adjacent-double band: log span underflowed
+            return _bucket_expr(col, lo, (hi - lo) / buckets, buckets)
+        raw = F.floor((F.log(-col) - F.lit(math.log(a))) / F.lit(step)).cast("long")
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+        return F.lit(buckets - 1) - clamped
+    step = (math.log(hi) - math.log(lo)) / buckets
+    if step <= 0.0:
+        return _bucket_expr(col, lo, (hi - lo) / buckets, buckets)
+    raw = F.floor((F.log(col) - F.lit(math.log(lo))) / F.lit(step)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+
+
+def _sign_split_expr(col: Column) -> Column:
+    """3-way split at zero for a stalled band that straddles (or touches)
+    zero: after one round the surviving band is single-sign or all-zero,
+    unlocking the geometric path. Ascending in value by construction."""
+    return (
+        F.when(col < 0, F.lit(0)).when(col == 0, F.lit(1)).otherwise(F.lit(2))
+    ).cast("long")
+
+
 def kth_smallest_values(
     df: DataFrame,
     col: str,
     ks: list[int],
     buckets: int = 1024,
     band_limit: int = 65536,
-    max_rounds: int = 16,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Exact (k, value) for each 1-based rank in ``ks`` over ``df[col]``
     (nulls excluded, multiset order). Returns a DataFrame (k BIGINT,
@@ -68,6 +105,10 @@ def kth_smallest_values(
     # state per rank: (condition chain, rank within band)
     state: dict[int, tuple[Column, int]] = {k: (F.lit(True), k) for k in ks}
     results: dict[int, float] = {}
+    # band size after the previous round — a band that failed to shrink
+    # below 90% marks its next histogram STALLED and escapes to the
+    # log-domain / sign-split bucketing (heavy-tailed bands, ADVICE r9)
+    prev_cnt: dict[int, int] = {}
 
     def _tagged_union(parts: list[DataFrame]) -> DataFrame:
         u = parts[0]
@@ -99,7 +140,8 @@ def kth_smallest_values(
             )
             .collect()
         }
-        widths: dict[int, tuple[float, float]] = {}
+        # per-rank bucket expression for this round + its bucket count
+        bexprs: dict[int, tuple[Column, int]] = {}
         finish_ks = []
         for k in active:
             cnt, vmin, vmax = stats[k]["cnt"], stats[k]["vmin"], stats[k]["vmax"]
@@ -108,7 +150,23 @@ def kth_smallest_values(
             elif cnt <= band_limit:
                 finish_ks.append(k)
             else:
-                widths[k] = (float(vmin), (float(vmax) - float(vmin)) / buckets)
+                lo, hi = float(vmin), float(vmax)
+                stalled = k in prev_cnt and cnt * 10 > prev_cnt[k] * 9
+                prev_cnt[k] = cnt
+                if not stalled:
+                    bexprs[k] = (
+                        _bucket_expr(F.col("v"), lo, (hi - lo) / buckets, buckets),
+                        buckets,
+                    )
+                elif lo > 0:
+                    bexprs[k] = (_geo_bucket_expr(F.col("v"), lo, hi, buckets), buckets)
+                elif hi < 0:
+                    bexprs[k] = (
+                        _geo_bucket_expr(F.col("v"), lo, hi, buckets, negative=True),
+                        buckets,
+                    )
+                else:  # band straddles/touches zero: split signs first
+                    bexprs[k] = (_sign_split_expr(F.col("v")), 3)
         if finish_ks:
             # all small bands finish in ONE window job: rank within band,
             # pick each band's own target rank via a literal CASE
@@ -135,41 +193,42 @@ def kth_smallest_values(
             )
             for r in picked:
                 results[r["k"]] = float(r["v"])
-        if not widths:
+        if not bexprs:
             continue
         counts = {
             (r["k"], r["b"]): r["cnt"]
             for r in _tagged_union(
                 [
                     base.filter(state[k][0]).select(
-                        F.lit(k).alias("k"),
-                        _bucket_expr(F.col("v"), *widths[k], buckets).alias("b"),
+                        F.lit(k).alias("k"), bexprs[k][0].alias("b")
                     )
-                    for k in widths
+                    for k in bexprs
                 ]
             )
             .groupBy("k", "b")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
-        for k in list(widths):
+        for k in list(bexprs):
             cond, rank = state[k]
-            lo, width = widths[k]
+            bexpr, n_buckets = bexprs[k]
             below = 0
-            for b in range(buckets):
+            for b in range(n_buckets):
                 cb = counts.get((k, b), 0)
                 if below + cb >= rank:
-                    state[k] = (
-                        cond & (_bucket_expr(F.col("v"), lo, width, buckets) == b),
-                        rank - below,
-                    )
+                    state[k] = (cond & (bexpr == b), rank - below)
                     break
                 below += cb
             else:  # pragma: no cover - rank validated against n above
                 raise AssertionError("rank not reachable from bucket counts")
     missing = [k for k in ks if k not in results]
     if missing:
-        raise RuntimeError(f"selection did not converge for ranks {missing}")
+        raise RuntimeError(
+            f"selection did not converge for ranks {missing} within "
+            f"{max_rounds} rounds (buckets={buckets}, band_limit={band_limit}) — "
+            "raise max_rounds, or widen buckets/band_limit so each round "
+            "shrinks the band further"
+        )
     return spark.createDataFrame(
         [(int(k), float(results[k])) for k in sorted(ks)], "k long, value double"
     )

@@ -85,6 +85,15 @@ def write_shards(
     the bytes on disk, not about what the writer intended."""
     import pyarrow.parquet as pq
 
+    # md5(NULL) is NULL, so a NULL id would land in the Hive default
+    # partition — mis-sharded data AND a manifest crash AFTER the write.
+    # Make it loud up front instead (engine-wide policy).
+    n_null = df.filter(F.col(id_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"write_shards: {n_null} row(s) have NULL {id_col!r} — a content-"
+            "hash shard id requires a non-null stable id for every row"
+        )
     sharded = df.withColumn("shard", shard_id(id_col, n_shards))
     (
         sharded.repartition(n_shards, "shard")

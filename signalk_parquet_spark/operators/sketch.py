@@ -48,6 +48,27 @@ _SKETCH_SCHEMA = StructType(
     [StructField("token", StringType()), StructField("wt", LongType())]
 )
 
+#: Java regex metacharacters — the chars where a literal separator and a
+#: regex pattern diverge. Pass 1 tokenizes with Python str.split (LITERAL);
+#: pass 2 tokenizes with F.split (Java REGEX). A separator like '.' or '|'
+#: would silently tokenize differently across passes, breaking the MG
+#: superset guarantee the recount depends on — so the JVM side always gets
+#: the escaped form. Regex-safe separators pass through byte-identical
+#: (no plan churn for the common ' ' case).
+_JAVA_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def literal_split_pattern(sep: str) -> str:
+    """Escape ``sep`` so Java-regex F.split treats it as a LITERAL string,
+    matching Python str.split semantics. Backslash before a non-alphabetic
+    char is always a literal in java.util.regex, so this is safe for every
+    separator; alphanumeric separators are returned unchanged."""
+    if not sep:
+        raise ValueError("separator must be non-empty")
+    if any(ch in _JAVA_REGEX_META for ch in sep):
+        return "".join("\\" + ch if ch in _JAVA_REGEX_META else ch for ch in sep)
+    return sep
+
 
 def mg_sketch(stream: Iterable[str], m: int) -> dict[str, int]:
     """One Misra–Gries pass: ≤ m counters; any item with count > N/(m+1)
@@ -91,7 +112,12 @@ def partition_sketches(df: DataFrame, text_col: str, m: int, sep: str = " ") -> 
     """Pass 1: one MG sketch per partition, emitted as ≤ m (token, wt) rows.
     Arrow-batched; the sketch lives across batches of the SAME partition
     (mapInPandas hands one generator per partition). Tokens are iterated
-    from .tolist() columns, never iterrows (CLAUDE.md lesson)."""
+    from .tolist() columns, never iterrows (CLAUDE.md lesson).
+
+    Tokenization contract: ``sep`` is a LITERAL separator (Python
+    str.split). Any JVM-side retokenization of the same corpus must use
+    literal_split_pattern(sep) so regex metacharacters in the separator
+    can't make the passes disagree (frequent_tokens_exact does)."""
 
     def sketch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c: dict[str, int] = {}
@@ -121,25 +147,65 @@ def partition_sketches(df: DataFrame, text_col: str, m: int, sep: str = " ") -> 
     return df.select(text_col).mapInPandas(sketch_partition, _SKETCH_SCHEMA)
 
 
+def tree_merge_sketches(sketch_df: DataFrame, m: int, n_groups: int) -> DataFrame:
+    """Distributed MG-merge rung: collapse partitions×m sketch rows to
+    ≤ n_groups×m BEFORE the driver sees them. One small repartition of
+    metadata-sized rows → mapInPandas MG-merge per group. The N/(m+1)
+    guarantee COMPOSES under merging (Agarwal et al. PODS'12 — each group
+    merge is itself a valid MG summary of its inputs, and the final driver
+    merge of group summaries is a valid summary of the whole), so inserting
+    this rung never loses a true heavy hitter. Removes the only driver-side
+    O(partitions) step in the family: at P partitions the driver collect
+    drops from P×m rows to √P×m with n_groups=√P."""
+
+    def merge_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total: dict[str, int] = {}
+        for pdf in batches:
+            for tok, wt in zip(pdf["token"].tolist(), pdf["wt"].tolist()):
+                total[tok] = total.get(tok, 0) + wt
+        if len(total) > m:
+            cut = sorted(total.values(), reverse=True)[m]
+            total = {k: v - cut for k, v in total.items() if v > cut}
+        yield pd.DataFrame(
+            {"token": list(total), "wt": list(total.values())},
+            columns=["token", "wt"],
+        )
+
+    return sketch_df.repartition(n_groups).mapInPandas(merge_group, _SKETCH_SCHEMA)
+
+
+#: driver-collect budget for sketch rows; above this the tree-merge rung
+#: kicks in automatically (partitions×m rows → √partitions×m)
+_DRIVER_MERGE_MAX_ROWS = 1 << 20
+
+
 def frequent_tokens_exact(
     df: DataFrame, text_col: str, m: int, sep: str = " "
 ) -> DataFrame:
     """EXACT frequent tokens (count·(m+1) > N) without ever shuffling the
-    token stream: MG candidates (pass 1 + driver merge, bounded at
-    num_partitions × m rows) → broadcast semi-join recount (pass 2) →
-    integer threshold against the scalar total. Returns (token, cnt),
-    cnt BIGINT — engine-exact, no floats anywhere."""
+    token stream: MG candidates (pass 1 + bounded merge) → broadcast
+    semi-join recount (pass 2) → integer threshold against the scalar
+    total. Returns (token, cnt), cnt BIGINT — engine-exact, no floats
+    anywhere. The candidate merge is driver-side while partitions×m stays
+    under ~1M rows; past that a distributed tree-merge rung
+    (tree_merge_sketches) collapses to √partitions×m first, so the driver
+    collect is bounded at any partition count."""
     if m < 1:
         raise ValueError(f"Misra–Gries capacity m must be >= 1, got {m}")
-    sketch_rows = partition_sketches(df, text_col, m, sep).collect()
+    jvm_sep = literal_split_pattern(sep)
+    sketch_df = partition_sketches(df, text_col, m, sep)
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts * m > _DRIVER_MERGE_MAX_ROWS:
+        sketch_df = tree_merge_sketches(sketch_df, m, max(1, int(n_parts**0.5)))
+    sketch_rows = sketch_df.collect()
     merged = mg_merge(_group_rows(sketch_rows), m)
     spark = df.sparkSession
     cand = spark.createDataFrame(
         [(t,) for t in sorted(merged)] or [(None,)], "token string"
     ).filter(F.col("token").isNotNull())
-    toks = df.select(F.explode(F.split(F.col(text_col), sep)).alias("token"))
+    toks = df.select(F.explode(F.split(F.col(text_col), jvm_sep)).alias("token"))
     total = df.select(
-        F.sum(F.size(F.split(F.col(text_col), sep))).cast("long").alias("total")
+        F.sum(F.size(F.split(F.col(text_col), jvm_sep))).cast("long").alias("total")
     )
     counts = (
         toks.join(F.broadcast(cand), "token", "left_semi")

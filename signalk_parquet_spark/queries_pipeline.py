@@ -381,11 +381,15 @@ def intersect_buyers_clickers(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "global_kth_values",
     """
-    WITH n AS (SELECT count(*) AS total FROM lineitem),
+    WITH n AS (
+      SELECT count(*) AS total FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
     r AS (
       SELECT l_extendedprice AS value,
              row_number() OVER (ORDER BY l_extendedprice) AS rn
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     )
     SELECT rn AS k, value FROM r, n
     WHERE rn IN (1, total // 4, total // 2, (9 * total) // 10, total)
@@ -404,6 +408,9 @@ def global_kth_values(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.selection import kth_smallest_values
 
     li = load(spark, sf, "lineitem")
-    n = li.count()
+    # ranks over the NULLS-EXCLUDED multiset, matching both the operator's
+    # null-exclusion and the oracle's explicit IS NOT NULL — the contract
+    # must not depend on the column's incidental null-freeness (ADVICE r9)
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
     ks = sorted({1, n // 4, n // 2, (9 * n) // 10, n})
     return kth_smallest_values(li, "l_extendedprice", ks)

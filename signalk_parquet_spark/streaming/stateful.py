@@ -1009,8 +1009,10 @@ def streaming_heavy_hitters(
     streaming needs the route so a token's counts meet in one place). A
     downstream exact recount (the 2-pass contract) stays a batch job over
     the landed data, filtered to the emitted candidates."""
+    from ..operators.sketch import literal_split_pattern
+
     toks = stream.select(
-        F.explode(F.split(F.col(text_col), sep)).alias("token")
+        F.explode(F.split(F.col(text_col), literal_split_pattern(sep))).alias("token")
     ).withColumn(
         "grp",
         (

@@ -58,3 +58,28 @@ def test_nulls_excluded_and_rank_validation(spark) -> None:
         kth_smallest_values(df, "x", [4])
     with pytest.raises(ValueError, match="non-empty"):
         kth_smallest_values(df, "x", [])
+
+
+def test_heavy_tailed_binade_span_converges(spark) -> None:
+    """>band_limit rows spanning ~600 binades (values 2^-i) stall a linear
+    histogram — each round removed only ~log2(buckets) binades and 16
+    rounds could exhaust (ADVICE r9). The stall-detected log-domain escape
+    covers the whole binade span in one geometric round."""
+    vals = [2.0 ** -(i % 600) for i in range(6000)]
+    ks = [1, 3000, 6000]
+    got = _run(spark, vals, ks, buckets=8, band_limit=40)
+    assert got == _truth(vals, ks)
+
+
+def test_heavy_tailed_mixed_sign_and_zero(spark) -> None:
+    """Mixed-sign heavy tail: a stalled band straddling zero takes the
+    3-way sign split, then each single-sign band takes the geometric path
+    (negative bands reverse the bucket index). Zeros exercise the ==0
+    bucket and the all-equal short-circuit inside the recursion."""
+    vals = [((-1.0) ** i) * 2.0 ** -(i % 500) for i in range(5000)]
+    vals += [0.0] * 30 + [-100.0, 100.0]
+    ks = [1, 1000, 2516, 4000, len(vals)]
+    # buckets=5 puts a linear boundary pair at -20/20 -> the middle bucket
+    # genuinely straddles zero and stalls
+    got = _run(spark, vals, ks, buckets=5, band_limit=40)
+    assert got == _truth(vals, ks)

@@ -99,3 +99,22 @@ def test_verify_catches_byte_truncation(spark, sf_smoke, tmp_path) -> None:
     audit = verify_shards(out)
     assert not audit["ok"], audit
     assert any("bytes" in e or "unreadable footer" in e for e in audit["errors"]), audit
+
+
+def test_null_id_raises_before_write(spark, tmp_path) -> None:
+    """md5(NULL) is NULL -> the row would land in the Hive default partition
+    and the manifest build would crash AFTER the data write (ADVICE r9).
+    The guard fires before any bytes move."""
+    import os
+
+    import pytest
+
+    from signalk_parquet_spark.operators.shards import write_shards
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "sharded")
+    with pytest.raises(ValueError, match="2 row\\(s\\) have NULL 'doc_id'"):
+        write_shards(df, out, "doc_id", 4)
+    assert not os.path.exists(out)

@@ -219,3 +219,58 @@ def test_degenerate_parameter_guards(spark) -> None:
         cluster_quota_sample(vecs, no_cents, "vec_id", "embedding", 5)
     with pytest.raises(ValueError, match="quota"):
         cluster_quota_sample(vecs, no_cents, "vec_id", "embedding", 0)
+
+
+def test_regex_metachar_separator_consistent_across_passes(spark) -> None:
+    """sep is LITERAL in pass 1 (str.split) but was fed raw to Java-regex
+    F.split in pass 2 — a metachar separator like '|' tokenized differently
+    across passes and could silently drop true heavy hitters (ADVICE r9).
+    literal_split_pattern closes it: both passes must see identical tokens."""
+    docs = ["x|x|x|y", "x|z|x|x", "x|x|y|z"]  # x: 8 of 12 tokens
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = {r["token"]: r["cnt"] for r in frequent_tokens_exact(df, "text", 3, sep="|").collect()}
+    stream = [t for d in docs for t in d.split("|")]
+    truth = {t: c for t, c in Counter(stream).items() if c * 4 > len(stream)}
+    assert out == truth, (out, truth)
+    # '.' — matches EVERYTHING as a raw regex, the worst-case divergence
+    docs2 = ["a.a.b", "a.a.a", "b.a.a"]
+    df2 = spark.createDataFrame([(d,) for d in docs2], "text string")
+    out2 = {r["token"]: r["cnt"] for r in frequent_tokens_exact(df2, "text", 2, sep=".").collect()}
+    stream2 = [t for d in docs2 for t in d.split(".")]
+    truth2 = {t: c for t, c in Counter(stream2).items() if c * 3 > len(stream2)}
+    assert out2 == truth2, (out2, truth2)
+
+
+def test_literal_split_pattern_guards_and_passthrough() -> None:
+    import pytest
+
+    from signalk_parquet_spark.operators.sketch import literal_split_pattern
+
+    assert literal_split_pattern(" ") == " "  # no plan churn for the default
+    assert literal_split_pattern("\t") == "\t"
+    assert literal_split_pattern(".") == "\\."
+    assert literal_split_pattern("||") == "\\|\\|"
+    with pytest.raises(ValueError, match="non-empty"):
+        literal_split_pattern("")
+
+
+def test_tree_merge_rung_preserves_exactness(spark) -> None:
+    """The distributed MG-merge rung (PODS'12 composition) must yield the
+    same final exact output as the direct driver merge. Forced on by
+    dropping the driver budget to 0 via monkeypatched threshold."""
+    from signalk_parquet_spark.operators import sketch as sk
+
+    rng = random.Random(11)
+    stream = _zipf_stream(rng, 4000, 50)
+    docs = [" ".join(stream[i : i + 8]) for i in range(0, len(stream), 8)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string").repartition(16)
+    direct = {r["token"]: r["cnt"] for r in frequent_tokens_exact(df, "text", 12).collect()}
+    old = sk._DRIVER_MERGE_MAX_ROWS
+    sk._DRIVER_MERGE_MAX_ROWS = 0
+    try:
+        treed = {r["token"]: r["cnt"] for r in frequent_tokens_exact(df, "text", 12).collect()}
+    finally:
+        sk._DRIVER_MERGE_MAX_ROWS = old
+    assert treed == direct == {
+        t: c for t, c in Counter(stream).items() if c * 13 > len(stream)
+    }
