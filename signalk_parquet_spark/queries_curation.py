@@ -1225,7 +1225,8 @@ _WARC_PAGES = [
         200,
         '<html><head><script>var a = "<p>hi</p>";</script><title>Alpha</title>'
         "</head><body>Hello &amp; <b>world</b>!</body></html>",
-        "Alpha Hello & world !",
+        # </title> and </head> are block boundaries -> Alpha is its own line
+        "Alpha\nHello & world !",
     ),
     (
         "http://example.com/missing",
@@ -1244,6 +1245,20 @@ _WARC_PAGES = [
         200,
         "<html><style>.x{color:red}</style><body>Gzipped &lt;member&gt;</body></html>",
         "Gzipped <member>",
+    ),
+    (
+        # multi-paragraph page: each block element becomes a LINE, the
+        # structure C4's line-level keep rules consume (r9 composition fix)
+        "http://example.com/story",
+        200,
+        "<html><body><h1>Story Time</h1>"
+        "<p>This is a good sentence with many words.</p>"
+        "<p>Another fine sentence follows here naturally.</p>"
+        "<p>Reading every word here is quite rewarding indeed.</p>"
+        "<div>short bit</div></body></html>",
+        "Story Time\nThis is a good sentence with many words.\n"
+        "Another fine sentence follows here naturally.\n"
+        "Reading every word here is quite rewarding indeed.\nshort bit",
     ),
 ]
 
@@ -1305,7 +1320,9 @@ def _write_warc_fixture() -> list[str]:
         {**date_h, "WARC-Target-URI": "http://example.com/alpha"},
         b"GET /alpha HTTP/1.1\r\nHost: example.com\r\n\r\n",
     )
-    for i, (uri, status, html_body, _) in enumerate(_WARC_PAGES[:3]):
+    for i, (uri, status, html_body, _) in enumerate(_WARC_PAGES):
+        if i == 3:  # page 3 ships in the split-gzip-member file below
+            continue
         plain += _warc_record(
             f"urn:test:resp{i}", "response",
             {**date_h, "WARC-Target-URI": uri, "Content-Type": "application/http"},
@@ -1360,8 +1377,9 @@ def warc_import_records(spark: SparkSession, sf: str) -> DataFrame:
     \\r\\n\\r\\n), per-record-gzip-member .warc.gz (the Common Crawl
     layout, read through GzipFile's multi-member pass), warcinfo/request
     records carried with NULL text, HTTP status extraction, and the
-    documented regex text extraction (script/style subtree drop, tag
-    strip, entity decode, whitespace squeeze — expected strings are
+    documented regex text extraction (script/style subtree drop,
+    block-boundary line breaks so C4's line rules compose, tag strip,
+    entity decode, per-line whitespace squeeze — expected strings are
     hand-derived, so a silent extractor change goes red). sf-independent
     by nature (an import source has no scale knob); record_id strips the
     <> envelope per the WARC spec's uri form."""

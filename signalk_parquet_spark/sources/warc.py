@@ -56,16 +56,32 @@ WARC_SCHEMA = T.StructType(
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _TAG_RE = re.compile(r"(?s)<[^>]*>")
 _WS_RE = re.compile(r"\s+")
+#: tags whose END marks a rendered line boundary — the extractor emits \n
+#: there so C4's LINE-level keep rules (queries_curation.c4_metrics) see
+#: real lines on crawl-extracted text instead of one squeezed page
+#: (the r9 verdict's composition finding). <br> is the self-line-break.
+_BLOCK_BOUNDARY_RE = re.compile(
+    r"(?i)<br\s*/?>"
+    r"|</(?:p|div|li|h[1-6]|tr|title|head|body|blockquote|ul|ol|table)\s*>"
+)
 
 
 def html_to_text(body: str) -> str:
-    """Regex text extraction: drop script/style subtrees, strip tags, decode
-    entities, squeeze whitespace. Deterministic and engine-free, so the gate
-    oracle can carry the expected literals."""
+    """Regex text extraction: drop script/style subtrees, mark block-element
+    boundaries (</p>, <br>, </div>, </li>, </h1-6>, </tr>, ...) as line
+    breaks, strip tags, decode entities, squeeze whitespace PER LINE and
+    drop empty lines. Raw newlines in the HTML source are insignificant
+    whitespace (HTML semantics) — only block structure makes lines, so the
+    output's line structure is the page's rendered paragraph structure and
+    composes with C4's line-based keep rules. Deterministic and
+    engine-free, so the gate oracle can carry the expected literals."""
     s = _SCRIPT_RE.sub(" ", body)
+    s = _WS_RE.sub(" ", s)  # source newlines are just whitespace
+    s = _BLOCK_BOUNDARY_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     s = _html.unescape(s)
-    return _WS_RE.sub(" ", s).strip()
+    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
 
 
 def _maybe_gunzip(data: bytes) -> bytes:

@@ -70,9 +70,12 @@ def test_http_status_and_text_extraction() -> None:
 
 def test_html_to_text_rules() -> None:
     assert html_to_text("<style>.a{}</style><p>x</p>") == "x"
-    assert html_to_text("a<br>b") == "a b"
+    assert html_to_text("a<br>b") == "a\nb"  # block boundary -> real line
     assert html_to_text("&lt;tag&gt; &amp; more") == "<tag> & more"
     assert html_to_text("  already   plain  ") == "already plain"
+    # block elements make lines; raw source newlines are just whitespace
+    assert html_to_text("<p>one para.</p><p>two\npara.</p>") == "one para.\ntwo para."
+    assert html_to_text("<h2>T</h2><div>a</div><div></div>") == "T\na"
 
 
 def test_import_warc_files_rows_and_quarantine_column(spark, tmp_path) -> None:
@@ -115,3 +118,34 @@ def test_url_policy_blocklist_and_host_cap(spark) -> None:
     assert out.loc[6, "kept"]
     # audit contract: every input row survives with a decision
     assert len(out) == len(rows)
+
+
+def test_warc_to_c4_composition(spark) -> None:
+    """The real-user pipeline: Common Crawl WARC -> text extraction -> C4
+    line-level quality rules. The r9 verdict found the old extractor
+    squeezed every page to ONE line, degenerating C4's per-line keep rule
+    to a whole-page check. Expectations are hand-computed from the fixture
+    pages' rendered line structure, independent of both components."""
+    from signalk_parquet_spark.queries_curation import (
+        _write_warc_fixture,
+        c4_metrics,
+    )
+
+    pages = (
+        import_warc_files(spark, _write_warc_fixture())
+        .filter("warc_type = 'response' AND http_status = 200")
+        .selectExpr("target_uri AS doc_id", "text")
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept_lines"], r["n_sentences"], r["keep"])
+        for r in c4_metrics(pages).collect()
+    }
+    assert got == {
+        # title + body line; 'Hello & world !' ends in ! but has 4 words
+        "http://example.com/alpha": (2, 0, 0, 0),
+        "http://example.com/framing": (1, 0, 0, 0),
+        "http://example.org/gz": (1, 0, 0, 0),
+        # h1 + 3 sentence paragraphs + short div: 5 lines, 3 kept, 3
+        # sentences -> the only page that PASSES the C4 keep bar
+        "http://example.com/story": (5, 3, 3, 1),
+    }, got
