@@ -23,20 +23,26 @@ from signalk_parquet_spark import registry  # noqa: E402
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 
-#: `--smoke`: the 20 heaviest gates of the official r9 158-gate full run
-#: (38% of total wall in ~1/8 of the queries) — the dev-loop perf tier so
-#: iteration doesn't pay a 125 s full session. Record official numbers
-#: from FULL runs only; refresh this list from BENCH_local.json when the
-#: heavy set shifts (it shifts with every window rotation: family-shared
-#: memo builds are charged to the first consumer in the current order).
-SMOKE_TIER = (
-    "ann_ivf_kmeans,video_dedup_decisions,heavy_hitters_2pass,"
-    "audio_dedup_decisions,dedup_jaccard_prefix,bpe_train_merges,"
-    "image_dedup_decisions,cluster_balanced_sample,proximity_pairs,"
-    "cobucketed_revenue,image_dedup_decisions_phash,dedup_keep_longest,"
-    "quality_c4,ngram_novelty,decontaminate_bloom,dsir_weights,"
-    "pq_recall,bloom_fp_rate,scrub_duplicate_spans,position_rollup_1h"
-).split(",")
+def smoke_tier(n: int = 20) -> list[str]:
+    """`--smoke`: the n heaviest gates of the LAST COMMITTED official full
+    run (BENCH_local.json) — the dev-loop perf tier so iteration doesn't
+    pay a full ~128 s session. GENERATED from the record, never
+    hand-copied: the hand-maintained list missed the #1 heaviest gate
+    after the r9 window rotation (same stale-list failure class
+    window_check mechanized in r7). The heavy set shifts with every
+    rotation because family-shared memo builds are charged to the first
+    consumer in the current registration order. Record official numbers
+    from FULL runs only."""
+    rec_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(rec_path) as fh:
+        rec = json.load(fh)["queries"]
+    registered = set(registry.queries())
+    ranked = sorted(
+        (k for k in rec if k in registered), key=lambda k: -rec[k]
+    )
+    return ranked[:n]
 
 
 def main() -> None:
@@ -46,7 +52,7 @@ def main() -> None:
     qs = registry.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if "--smoke" in sys.argv and not only:
-        only = ",".join(SMOKE_TIER)
+        only = ",".join(smoke_tier())
     if only:  # dev loop: time a comma-separated subset
         subset = set(only.split(","))
         qs = {k: v for k, v in qs.items() if k in subset}
