@@ -92,6 +92,7 @@ def rollup_incremental(
     tier: str,
     kind: str = "scalar",
     ts_col: str = "signalk_timestamp",
+    roll_kwargs: dict | None = None,
 ) -> int:
     """Lake-level incremental maintenance for one rollup tier. Pre-condition:
     the late rows are already exported to raw (buffer.export_day — the
@@ -101,7 +102,14 @@ def rollup_incremental(
     day): dynamic partition overwrite replaces whole directories, so each
     touched directory must be rebuilt from all of its raw rows — still
     bounded by the late data's (series, day) spread, never by history.
-    Returns the number of touched partitions (0 = nothing to do, no write)."""
+    Returns the number of touched partitions (0 = nothing to do, no write).
+
+    ``roll_kwargs`` forwards to the tier's rollup operator — pass
+    {'exact_avg': True} (scalar) / {'exact_partials': True} (angular) to
+    make incremental == full-recompute exact BY CONSTRUCTION (integer
+    partials are summation-order-independent, so the rebuilt partitions
+    are bit-identical to what a from-scratch run writes; the float default
+    matches only up to partial-aggregation order)."""
     from ..sources.lake import _sanitize_context_col, _sanitize_path_col
     from .rollup import rollup_angular, rollup_position, rollup_scalar
 
@@ -125,7 +133,10 @@ def rollup_incremental(
     scoped = raw.join(
         F.broadcast(touched), ["context", "path", "year", "day"], "left_semi"
     ).drop("tier", "year", "day")
-    lake.write_rollup(roll(scoped, tier, ts_col=ts_col), tier, mode="overwrite")
+    lake.write_rollup(
+        roll(scoped, tier, ts_col=ts_col, **(roll_kwargs or {})), tier,
+        mode="overwrite",
+    )
     touched.unpersist()
     return n
 

@@ -904,6 +904,68 @@ def rollup_incremental_1h(spark: SparkSession, sf: str) -> DataFrame:
     return merged.withColumn("value_avg", F.round("value_avg", 6))
 
 
+@register(
+    "rollup_incremental_angular",
+    f"""
+    WITH g AS (
+      SELECT event_type, {dd_bucket(H)} AS bucket_ts,
+             {dd_nano_avg("sin(radians(value))")} AS qs,
+             {dd_nano_avg("cos(radians(value))")} AS qc,
+             count(value) AS sample_count
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_ts,
+           {dd_micro_grid("atan2(qs, qc)")} AS value_avg,
+           sample_count,
+           {dd_micro_grid("qs")} AS sin_avg,
+           {dd_micro_grid("qc")} AS cos_avg
+    FROM g
+    """,
+)
+def rollup_incremental_angular(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of the ANGULAR tier (r9 verdict Next #4):
+    rollup_incremental's kind='angular' path stated as the same contract
+    as the scalar gate — incremental-after-late-data == full recompute
+    (the oracle IS the plain full recompute). exact_partials makes the
+    equivalence exact BY CONSTRUCTION: touched buckets re-aggregate
+    per-row nano-integer sin/cos partials whose BIGINT sums are
+    summation-order-independent, and untouched buckets contain no late
+    rows so their base-only aggregate is the full aggregate verbatim.
+    Same deterministic 10% late slice as rollup_incremental_1h."""
+    from .operators.incremental import merge_tier, scope_to_touched, touched_buckets
+    from .operators.rollup import rollup_angular
+
+    e = load(spark, sf, "events").select(
+        F.col("event_type").alias("context"),
+        F.lit("navigation.headingTrue").alias("path"),
+        F.col("ts").alias("signalk_timestamp"),
+        F.radians("value").alias("value"),
+        "event_id",
+    )
+    is_late = F.pmod(F.col("event_id"), 10) == 7
+    late, base = e.filter(is_late), e.filter(~is_late)
+    initial = rollup_angular(base.drop("event_id"), "1h", exact_partials=True)
+    touched = touched_buckets(
+        late, H, ["context", "path"], "signalk_timestamp", iso=False
+    )
+    scoped = scope_to_touched(
+        e.drop("event_id"), touched, H, ["context", "path"], "signalk_timestamp",
+        iso=False,
+    )
+    recomputed = rollup_angular(scoped, "1h", exact_partials=True)
+    merged = merge_tier(
+        initial, recomputed, touched, ["context", "path", "bucket_time"]
+    )
+    return merged.select(
+        F.col("context").alias("event_type"),
+        F.date_format("bucket_time", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("bucket_ts"),
+        micro_grid("value_avg").alias("value_avg"),
+        "sample_count",
+        micro_grid("value_sin_avg").alias("sin_avg"),
+        micro_grid("value_cos_avg").alias("cos_avg"),
+    )
+
+
 # --- beyond-reference source format: JSON-lines feed ------------------------------
 def _jsonl_fixture_rows() -> list[tuple]:
     """(ts_iso, context, path, value, value_text) literals — the single

@@ -225,3 +225,45 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     assert full_equals_incremental(
         spark, lake, "1h", again.drop("tier", "year", "day")
     )
+
+
+def test_incremental_angular_equals_full_recompute(spark, tmp_path):
+    """kind='angular' through the same lake path (r9 verdict Next #4):
+    touched-partition rebuild with exact_partials must equal a
+    from-scratch rollup_angular BIT-FOR-BIT — nano-integer sin/cos sums
+    are summation-order-independent, so exceptAll equality is exact, not
+    a float-margin accident."""
+    from signalk_parquet_spark.operators.rollup import rollup_angular
+
+    lake = Lake(spark, str(tmp_path / "alake"))
+    on_time = (
+        _mk_rows("vessels.a", 0, 40, 0.5)
+        + _mk_rows("vessels.a", 1, 40, 1.5)
+        + _mk_rows("vessels.b", 0, 40, 2.5)
+    )
+    late = [
+        make_record(
+            T0 + timedelta(hours=3, minutes=7 * i), PATH, 3.0 + 0.1 * i,
+            context="vessels.a",
+        )
+        for i in range(5)
+    ]
+    lake.write_records(records_df(spark, on_time), tier="raw")
+    lake.write_rollup(
+        rollup_angular(
+            lake.read(tier="raw").drop("tier", "year", "day"), "1h",
+            exact_partials=True,
+        ),
+        "1h",
+    )
+    late_df = records_df(spark, late)
+    lake.write_records(late_df, tier="raw", mode="append")
+    n = rollup_incremental(
+        lake, late_df, "1h", kind="angular",
+        roll_kwargs={"exact_partials": True},
+    )
+    assert n == 1  # vessel a day 0 only
+    all_raw = lake.read(tier="raw").drop("tier", "year", "day")
+    want = rollup_angular(all_raw, "1h", exact_partials=True)
+    got = lake.read(tier="1h").select(*want.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
