@@ -27,7 +27,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from signalk_parquet_spark import registry
 from signalk_parquet_spark.operators.audio import audio_neardup_pairs
-from signalk_parquet_spark.operators.bpe import apply_bpe, train_bpe, word_freq
+from signalk_parquet_spark.operators.bpe import apply_bpe, train_bpe
+from signalk_parquet_spark.operators.tokenizer import word_freq
 from signalk_parquet_spark.operators.dedup import (
     dedup_corpus,
     exact_dedup,

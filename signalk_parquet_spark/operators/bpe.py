@@ -43,52 +43,13 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingles
+from .tokenizer import merge_pair  # the shared merge fold (tokenizer.py)
 
-__all__ = ["word_freq", "merge_pair", "train_bpe", "apply_bpe"]
-
-
-def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus word-frequency table — the one corpus-sized shuffle."""
-    return (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-
-
-def merge_pair(syms: Column, a: str, b: str, merged: str | None = None) -> Column:
-    """Replace each left-to-right non-overlapping adjacent (a, b) in a
-    symbol array with the merged symbol — entirely JVM-side via an
-    aggregate fold carrying {out, pend} (pend = '' means no symbol is
-    pending; symbols are never empty strings). The lambda touches only
-    its accumulator, its element, and literals (CLAUDE.md rule 7).
-    ``merged`` defaults to a+b (BPE); WordPiece passes a + strip_##(b)."""
-    if merged is None:
-        merged = a + b
-    init = F.struct(
-        F.array().cast("array<string>").alias("out"), F.lit("").alias("pend")
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        take = (acc["pend"] == a) & (x == b)
-        return F.struct(
-            F.when(take, F.concat(acc["out"], F.array(F.lit(merged))))
-            .when(acc["pend"] == "", acc["out"])
-            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
-            .alias("out"),
-            F.when(take, F.lit("")).otherwise(x).alias("pend"),
-        )
-
-    def finish(acc: Column) -> Column:
-        return F.when(acc["pend"] == "", acc["out"]).otherwise(
-            F.concat(acc["out"], F.array(acc["pend"]))
-        )
-
-    return F.aggregate(syms, init, step, finish)
+__all__ = ["train_bpe", "apply_bpe"]
 
 
 def train_bpe(

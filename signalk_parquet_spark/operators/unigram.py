@@ -14,7 +14,7 @@ charter as operators/bpe.py.
 Spark-first shape (identical cost skeleton to train_bpe):
 
 1. The only corpus-sized operation is the (word, freq) rollup —
-   operators/bpe.word_freq, one shuffle. Everything after runs on the
+   operators/tokenizer.word_freq, one shuffle. Everything after runs on the
    DISTINCT-WORD table (|V| rows ≪ corpus; Zipf makes this the
    production-scale trick too).
 2. Seeding and each E-step are ONE Arrow-batched mapInPandas over the

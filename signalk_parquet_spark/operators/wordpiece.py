@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
-from .bpe import merge_pair, word_freq
+from .tokenizer import merge_pair  # the shared merge fold (tokenizer.py)
 
 __all__ = [
     "wordpiece_symbols",

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import shingles
-from .operators.bpe import train_bpe, word_freq
+from .operators.bpe import train_bpe
+from .operators.tokenizer import word_freq
 from .registry import load, register
 
 #: merge budget for the gates: enough to cross from char pairs into

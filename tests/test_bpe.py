@@ -12,13 +12,8 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from signalk_parquet_spark.operators.bpe import (
-    _encode_word,
-    apply_bpe,
-    merge_pair,
-    train_bpe,
-    word_freq,
-)
+from signalk_parquet_spark.operators.bpe import _encode_word, apply_bpe, train_bpe
+from signalk_parquet_spark.operators.tokenizer import merge_pair, word_freq
 from signalk_parquet_spark.registry import load
 
 

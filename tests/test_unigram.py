@@ -114,7 +114,7 @@ def test_viterbi_matches_enumeration_exhaustively():
 def test_train_unigram_matches_reference(spark):
     """Full trainer differential: identical (piece, count, logp) table —
     logp compared exactly (both sides compute ln(int)-ln(int))."""
-    from signalk_parquet_spark.operators.bpe import word_freq
+    from signalk_parquet_spark.operators.tokenizer import word_freq
     from signalk_parquet_spark.operators.unigram import train_unigram
 
     docs = spark.createDataFrame([(t,) for t in _CORPUS], "text string")
@@ -134,7 +134,7 @@ def test_apply_unigram_roundtrip_and_fallback(spark):
     """Tokenization concatenates back to the input for trained text AND for
     words with characters the vocab has never seen (the verbatim-char
     fallback), and segmentation prefers learned multi-char pieces."""
-    from signalk_parquet_spark.operators.bpe import word_freq
+    from signalk_parquet_spark.operators.tokenizer import word_freq
     from signalk_parquet_spark.operators.unigram import apply_unigram, train_unigram
 
     docs = spark.createDataFrame([(t,) for t in _CORPUS], "text string")
