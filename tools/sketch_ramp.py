@@ -121,6 +121,54 @@ def main() -> None:
         finally:
             df.unpersist()
 
+    # --- tree-merge rung at high partition counts (r9 verdict Next #6) ---
+    # The driver merge collects partitions x m sketch rows — the family's
+    # only O(P) driver-side step. The rung (forced on here via a zero
+    # driver budget) collapses to sqrt(P) x m BEFORE the collect; the
+    # PODS'12 merge guarantee composes, so the exact output is unchanged.
+    from signalk_parquet_spark.operators import sketch as sk
+
+    print("\ntree-merge rung (forced): driver-collect rows, P*m vs sqrt(P)*m")
+    print(
+        f"{'parts':>6} {'direct_rows':>12} {'tree_rows':>10} "
+        f"{'direct_s':>9} {'tree_s':>7} {'match':>6}"
+    )
+    base = corpus(spark, 100_000)
+    try:
+        for parts in (128, 512):
+            df = base.repartition(parts)
+            direct_rows = partition_sketches(df, "text", M).count()
+            t0 = time.time()
+            direct = {
+                r["token"]: r["cnt"]
+                for r in frequent_tokens_exact(df, "text", M).collect()
+            }
+            t_direct = time.time() - t0
+            groups = max(1, int(parts**0.5))
+            tree_rows = sk.tree_merge_sketches(
+                partition_sketches(df, "text", M), M, groups
+            ).count()
+            old = sk._DRIVER_MERGE_MAX_ROWS
+            sk._DRIVER_MERGE_MAX_ROWS = 0
+            try:
+                t0 = time.time()
+                treed = {
+                    r["token"]: r["cnt"]
+                    for r in frequent_tokens_exact(df, "text", M).collect()
+                }
+                t_tree = time.time() - t0
+            finally:
+                sk._DRIVER_MERGE_MAX_ROWS = old
+            ok = direct == treed
+            print(
+                f"{parts:>6} {direct_rows:>12} {tree_rows:>10} "
+                f"{t_direct:>9.2f} {t_tree:>7.2f} {'OK' if ok else 'DIVERGED':>6}"
+            )
+            if not ok:
+                raise SystemExit(f"tree-merge differential failed at parts={parts}")
+    finally:
+        base.unpersist()
+
 
 if __name__ == "__main__":
     main()
