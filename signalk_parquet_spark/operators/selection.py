@@ -91,21 +91,35 @@ def kth_smallest_values(
     """Exact (k, value) for each 1-based rank in ``ks`` over ``df[col]``
     (nulls excluded, multiset order). Returns a DataFrame (k BIGINT,
     value DOUBLE). No global sort, no data-sized shuffle, no driver
-    collect beyond scalars — and round-trips scale with ROUNDS (≤3 jobs
-    each: stats, finishes, histogram), not with len(ks)."""
+    collect beyond scalars — and round-trips scale with ROUNDS, not with
+    len(ks): one seed aggregate, then ONE histogram job per round (bucket
+    counts carry min/max, so band stats never need their own scan) plus
+    one shared finish window when bands get small."""
     if not ks:
         raise ValueError("ks must be non-empty")
     spark = df.sparkSession
     c = F.col(col)
     base = df.filter(c.isNotNull()).select(c.alias("v"))
-    n = base.count()
+    # ONE fused scan seeds everything: every rank starts from the same
+    # (cond=True) band, so the global count/min/max is the whole round-0
+    # stats pass (the first cut ran a separate count() + per-round stats
+    # job; band stats now ride the histogram — see below — so the
+    # steady-state cost is ONE job per round plus one finish window)
+    g = base.agg(
+        F.count("v").alias("cnt"), F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    ).first()
+    n = g["cnt"]
     for k in ks:
         if not 1 <= k <= n:
             raise ValueError(f"rank {k} outside [1, {n}]")
-    # state per rank: (condition chain, rank within band)
-    state: dict[int, tuple[Column, int]] = {k: (F.lit(True), k) for k in ks}
+    # state per rank: (condition chain, rank within band, band count,
+    # band min, band max) — the band stats are carried forward from the
+    # histogram that created the band, never re-scanned
+    state: dict[int, tuple[Column, int, int, float, float]] = {
+        k: (F.lit(True), k, n, g["vmin"], g["vmax"]) for k in ks
+    }
     results: dict[int, float] = {}
-    # band size after the previous round — a band that failed to shrink
+    # band size at the previous histogram — a band that failed to shrink
     # below 90% marks its next histogram STALLED and escapes to the
     # log-domain / sign-split bucketing (heavy-tailed bands, ADVICE r9)
     prev_cnt: dict[int, int] = {}
@@ -121,30 +135,12 @@ def kth_smallest_values(
         if not active:
             break
         # ROUND-TRIPS SCALE WITH ROUNDS, NOT RANKS: every per-band probe of
-        # this round is ONE job — a k-tagged union aggregated by k. (The
-        # first cut ran a separate agg + finish job per rank per round:
-        # 5 ranks cost ~12 tiny jobs whose latency dominated the gate wall.)
-        stats = {
-            r["k"]: r
-            for r in _tagged_union(
-                [
-                    base.filter(state[k][0]).select(F.lit(k).alias("k"), "v")
-                    for k in active
-                ]
-            )
-            .groupBy("k")
-            .agg(
-                F.count("v").alias("cnt"),
-                F.min("v").alias("vmin"),
-                F.max("v").alias("vmax"),
-            )
-            .collect()
-        }
+        # this round is ONE job — a k-tagged union aggregated by k.
         # per-rank bucket expression for this round + its bucket count
         bexprs: dict[int, tuple[Column, int]] = {}
         finish_ks = []
         for k in active:
-            cnt, vmin, vmax = stats[k]["cnt"], stats[k]["vmin"], stats[k]["vmax"]
+            _cond, _rank, cnt, vmin, vmax = state[k]
             if vmin == vmax:
                 results[k] = float(vmin)  # all-equal band IS the answer
             elif cnt <= band_limit:
@@ -195,28 +191,37 @@ def kth_smallest_values(
                 results[r["k"]] = float(r["v"])
         if not bexprs:
             continue
+        # the histogram carries each bucket's count AND min/max — exactly
+        # the stats the next round needs for the selected bucket, so no
+        # separate stats job ever runs again
         counts = {
-            (r["k"], r["b"]): r["cnt"]
+            (r["k"], r["b"]): (r["cnt"], r["bmin"], r["bmax"])
             for r in _tagged_union(
                 [
                     base.filter(state[k][0]).select(
-                        F.lit(k).alias("k"), bexprs[k][0].alias("b")
+                        F.lit(k).alias("k"), bexprs[k][0].alias("b"), "v"
                     )
                     for k in bexprs
                 ]
             )
             .groupBy("k", "b")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
             .collect()
         }
         for k in list(bexprs):
-            cond, rank = state[k]
+            cond, rank = state[k][0], state[k][1]
             bexpr, n_buckets = bexprs[k]
             below = 0
             for b in range(n_buckets):
-                cb = counts.get((k, b), 0)
+                cb, bmin, bmax = counts.get((k, b), (0, None, None))
                 if below + cb >= rank:
-                    state[k] = (cond & (bexpr == b), rank - below)
+                    state[k] = (
+                        cond & (bexpr == b), rank - below, cb, bmin, bmax
+                    )
                     break
                 below += cb
             else:  # pragma: no cover - rank validated against n above
