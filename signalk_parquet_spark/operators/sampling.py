@@ -18,6 +18,58 @@ from pyspark.sql import functions as F
 _HASH_SPACE = 1 << 32
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row gets key u^(1/w) for a
+    uniform u — equivalently ln(u)/w, maximized — and the k largest keys
+    are the sample, which realizes exact sequential weighted sampling
+    probabilities. ``u`` is CONTENT-HASH randomness (48-bit md5 prefix of
+    id+salt mapped into (0,1)), not rand(): reruns, task retries and the
+    DuckDB oracle reproduce the identical sample, and varying ``salt``
+    draws independent replicates (the property Monte-Carlo ablations
+    need from a resumable pipeline).
+
+    Scale shape: map-only key computation + ORDER BY ... LIMIT k, which
+    Spark executes as TakeOrderedAndProject — per-partition top-k heaps
+    merged on one reducer (k rows per partition in flight), never the
+    full range-exchange sort a global ORDER BY would be
+    (tests/test_weighted_sample.py asserts the plan). Rows with NULL or
+    non-positive weight are excluded (A-ES is defined for w > 0).
+
+    Returns (id_col, weight_col) ordered by descending key with id ASC
+    as the total-order tie-break. Cross-engine note: the key ordering
+    compares ln outputs — a continuum threshold in CLAUDE.md rule-4
+    terms; adjacent hash-derived keys are separated by ~range/N^2, many
+    orders of magnitude above the ~1-ulp cross-libm ln disagreement, and
+    the emitted columns themselves carry no floats derived from ln."""
+    if k < 1:
+        raise ValueError(f"sample size k must be >= 1, got {k}")
+    w = F.col(weight_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float((1 << 48) + 1)  # (0, 1): never 0 (ln) and never 1 (ties at key 0)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(id_col, weight_col, (F.log(u) / w).alias("_key"))
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, weight_col)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

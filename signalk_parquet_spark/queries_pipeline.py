@@ -278,6 +278,42 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- weighted sampling without replacement (Efraimidis–Spirakis A-ES) -----------------
+_WSAMPLE_K = 200  # strict subset at every SF (documents >= 500 at sf0.001)
+
+
+@register(
+    "weighted_sample_aes",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'aes')), 1, 12))
+                      AS BIGINT) + 1.0) / {float((1 << 48) + 1)!r}) / n_chars AS k_
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY k_ DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES; operators/sampling.weighted_sample): sample
+    k=200 documents with probability proportional to length (n_chars)
+    via content-hash keys ln(u)/w, top-k — executed as
+    TakeOrderedAndProject (per-partition top-k heaps, k rows per
+    partition in flight), where the oracle's formulation is the full
+    ORDER BY the operator avoids at 100 TB. Emitted columns are integers;
+    the float key ordering has ~range/N^2 separation between adjacent
+    hash-derived keys, far above cross-libm ln ULP noise (rule 4)."""
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(
+        load(spark, sf, "documents"), "doc_id", "n_chars", _WSAMPLE_K
+    )
+
+
 # --- token-stream packing (GPT-style sequence chunking) --------------------------------
 _PACK_BUDGET = 512  # tokens per training chunk
 
