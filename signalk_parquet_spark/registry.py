@@ -282,86 +282,80 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r9 window (21 + 5 + 24 = 50), from `tools/window_check.py --suggest`
-#: over the CORRECTNESS_r01-r08 union plus the manual new/edited pull-in
-#: the policy requires. Front 16: the 3 NEW gates (gpx_import_records —
-#: S11 via a fixture-literal oracle, rollup_incremental_1h — incremental
-#: maintenance == full recompute, mjpeg_frame_features — container walk +
-#: JPEG decode with analytic integer truth), the 3 angular gates
-#: (mechanism change: nano-int partials + micro_grid, r9), and the 10
-#: gates whose exactness mechanism the micro_avg integer-space final
-#: round altered (every micro_avg/dd_micro_avg consumer). Then the 5
-#: r04-tail gates the late-r8 edits displaced, then 29 of the r06 cohort
-#: in suggestion order. The five late-r9 gates (WordPiece pair,
-#: jsonl_source_records, quality_c4, delta_ingest_records) took the last
-#: five r06 slots: the decontaminate_bloom + bloom_fp_rate pair ceded
-#: TOGETHER (its shared bloom build stays contiguous outside), then
-#: pii_scrub, unpivot_aligned and regex_extract_tokens. Still outside
-#: after r9 (lead r10): regex_extract_tokens, unpivot_aligned, pii_scrub,
-#: the bloom pair, quality_gopher, mixture_epochs, the bpe pair, ivfpq
-#: pair, scrub/redact pair and the four media decision gates — all
-#: r06-green and unchanged.
+#: r10 window (2 new + 2 edited + 24 r06 + 22 r07 = 50), generated
+#: VERBATIM from `tools/window_check.py --suggest` over the
+#: CORRECTNESS_r01-r09 union (the r9-verdict Next #1 rotation — the whole
+#: r06-stale cohort gets fresh driver evidence this round, so after r10
+#: no gate's evidence predates r7). NEW: weighted_sample_aes (A-ES
+#: weighted sampling vs a full-ORDER-BY oracle), rollup_incremental_
+#: angular (incremental == full recompute on nano-int partials). EDITED
+#: (fingerprint-detected): warc_import_records (line-preserving extractor,
+#: recomputed fixture literals), global_kth_values (nulls-excluded rank
+#: contract + fused-histogram plan). The r06 cohort keeps the
+#: decontaminate_bloom + bloom_fp_rate pair contiguous and the media/bpe/
+#: ivfpq families grouped (shared session memo builds). Still outside
+#: after r10 (lead r11): the r07 tail from spatial_radius onward —
+#: spatial_radius, spatial_semi_join, dist_traveled_km, glitch_speed_legs
+#: and the rest of the r07 cohort, all r07-green and unchanged.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- new this round (second batch: LLM-pipeline capabilities; these
-    # took the window's last six slots — order_gaps, tpch_q7/q10/q14/q18
-    # and text_top_tokens cede to r10, all r06-green and unchanged). Note
-    # ngram_novelty is the window's FIRST shingle-memo consumer, so bench
-    # charges it the dedup family's shared shingle build. ---
-    "heavy_hitters_2pass",
+    # --- new this round (r10): A-ES weighted sampling + angular incremental ---
+    "weighted_sample_aes",
+    "rollup_incremental_angular",
+    # --- edited r10: line-preserving WARC extraction (new fixture literals);
+    # global_kth_values: nulls-excluded rank contract + fused-histogram plan ---
     "warc_import_records",
     "global_kth_values",
-    "cluster_balanced_sample",
-    "shard_plan",
-    "ngram_novelty",
-    # --- new this round ---
-    "gpx_import_records",
-    "rollup_incremental_1h",
-    "mjpeg_frame_features",
-    "wordpiece_pair_scores",
-    "wordpiece_tokenize_stats",
-    "jsonl_source_records",
-    "quality_c4",
-    "delta_ingest_records",
-    # --- edited: angular exactness mechanism (nano partials + micro_grid) ---
-    "angular_avg",
-    "tier_rollup_angular_1h",
-    "angular_reagg_3h",
-    # --- edited: micro_avg integer-space final round (every consumer) ---
-    "bucket_avg_1h",
-    "weighted_reagg_1h",
-    "tier_rollup_stats_5m",
-    "priority_dedup_1h",
-    "history_v2_blend",
-    "align_pivot_1h",
-    "sma_1h_w5",
-    "ema_1h_a02",
-    "ema_pathspec_a05",
-    "rate_of_change",
-    # --- stalest: the r04 tail ---
-    "pq_recall",
-    "lm_bigram_score",
-    "source_divergence",
-    "quality_classifier",
-    "tpch_q11",
-    # --- stalest: r06 cohort (suggestion order; bloom pair kept adjacent) ---
-    "ann_ivf_kmeans",
-    "ivf_kmeans_recall",
-    "doc_embed_hashed",
-    "dsir_weights",
-    "perplexity_buckets",
-    "bucket_minmax_1h",
-    "bucket_first_last_1h",
-    "bucket_median_1h",
-    "bucket_middle_index_1h",
-    "episodes_error",
-    "union_by_name",
-    "anti_join_users",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "semi_join_orders",
-    "rank_orders_per_customer",
+    # --- stalest: the r06 cohort, suggestion order (bloom pair adjacent,
+    # media/bpe/ivfpq families grouped — they share session memo builds;
+    # order_gaps is the first consumer of whatever it shares: see bench) ---
+    "order_gaps",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "text_top_tokens",
+    "regex_extract_tokens",
+    "unpivot_aligned",
+    "pii_scrub",
+    "quality_gopher",
+    "decontaminate_bloom",
+    "bloom_fp_rate",
+    "mixture_epochs",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "ivfpq_recall",
+    "ann_ivfpq",
+    "scrub_duplicate_spans",
+    "decontaminate_redact",
+    "image_dedup_decisions",
+    "audio_dedup_decisions",
+    "video_dedup_decisions",
+    "image_dedup_decisions_phash",
+    "replay_schedule",
+    # --- fill to 50: the r07 cohort in suggestion order (dedup family first
+    # — dedup_exact now carries the shared shingle-memo build charge) ---
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_hamming1",
+    "dedup_levenshtein",
+    "knn_bruteforce",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "cobucketed_revenue",
+    "spatial_bbox_meridian",
 )
 
 
