@@ -267,3 +267,52 @@ def test_incremental_angular_equals_full_recompute(spark, tmp_path):
     want = rollup_angular(all_raw, "1h", exact_partials=True)
     got = lake.read(tier="1h").select(*want.columns)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_incremental_position_equals_full_recompute(spark, tmp_path):
+    """kind='position' through the lake path — the third dispatch arm.
+    The representative-point pick is a deterministic function of each
+    bucket's row set (row_number over a total order; emitted lat/lon are
+    input doubles verbatim, stats are counts/timestamps), so rebuilding
+    only the touched partition must reproduce the full recompute exactly."""
+    from signalk_parquet_spark.operators.rollup import rollup_position
+
+    lake = Lake(spark, str(tmp_path / "plake"))
+
+    def pos_rows(ctx, day_offset, n, lat0):
+        start = T0 + timedelta(days=day_offset)
+        return [
+            make_record(
+                start + timedelta(minutes=17 * i), "navigation.position",
+                {"latitude": lat0 + 0.001 * i, "longitude": -70.0 + 0.002 * i},
+                context=ctx,
+            )
+            for i in range(n)
+        ]
+
+    on_time = (
+        pos_rows("vessels.a", 0, 40, 41.0)
+        + pos_rows("vessels.a", 1, 40, 42.0)
+        + pos_rows("vessels.b", 0, 40, 43.0)
+    )
+    late = [
+        make_record(
+            T0 + timedelta(hours=3, minutes=7 * i), "navigation.position",
+            {"latitude": 41.5 + 0.001 * i, "longitude": -70.5},
+            context="vessels.a",
+        )
+        for i in range(5)
+    ]
+    lake.write_records(records_df(spark, on_time), tier="raw")
+    lake.write_rollup(
+        rollup_position(lake.read(tier="raw").drop("tier", "year", "day"), "1h"),
+        "1h",
+    )
+    late_df = records_df(spark, late)
+    lake.write_records(late_df, tier="raw", mode="append")
+    n = rollup_incremental(lake, late_df, "1h", kind="position")
+    assert n == 1  # vessel a day 0 only
+    all_raw = lake.read(tier="raw").drop("tier", "year", "day")
+    want = rollup_position(all_raw, "1h")
+    got = lake.read(tier="1h").select(*want.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
