@@ -51,6 +51,22 @@ def weighted_sample(
     if k < 1:
         raise ValueError(f"sample size k must be >= 1, got {k}")
     w = F.col(weight_col)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(id_col, weight_col, aes_key_col(id_col, weight_col, salt).alias("_key"))
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, weight_col)
+    )
+
+
+def aes_key_col(id_col: str, weight_col: str, salt: str = "aes"):
+    """The A-ES sampling key ln(u)/w as a Column — u is the 48-bit md5
+    prefix of id+salt mapped into (0, 1) (never 0: ln; never 1: key-0
+    ties). Shared by :func:`weighted_sample` and the streaming twin
+    (streaming/stateful.streaming_weighted_sample) so both rank on
+    BIT-IDENTICAL keys (both evaluate this same JVM expression — a
+    Python math.log twin could differ by an ulp at the k boundary)."""
     u = (
         F.conv(
             F.substring(
@@ -60,14 +76,8 @@ def weighted_sample(
             10,
         ).cast("double")
         + 1.0
-    ) / float((1 << 48) + 1)  # (0, 1): never 0 (ln) and never 1 (ties at key 0)
-    return (
-        df.filter(w.isNotNull() & (w > 0))
-        .select(id_col, weight_col, (F.log(u) / w).alias("_key"))
-        .orderBy(F.desc("_key"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, weight_col)
-    )
+    ) / float((1 << 48) + 1)
+    return F.log(u) / F.col(weight_col)
 
 
 def stratified_sample(

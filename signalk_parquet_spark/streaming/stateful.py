@@ -1029,3 +1029,140 @@ def streaming_heavy_hitters(
         if ttl_s is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming weighted sampling (A-ES top-k over continuous ingest) -------------------
+WSAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("wt", T.LongType()),
+        T.StructField("skey", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+#: per-group state: the group's current top-k (key-sorted) + arrival count
+_WSAMPLE_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("wts", T.ArrayType(T.LongType())),
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def make_weighted_sample_fn(k: int, ttl_s: float | None = None):
+    """applyInPandasWithState function for one id-hash group: the group's
+    current A-ES top-k persists across micro-batches; after folding a batch
+    in, the group re-emits its CURRENT top-k (append stream — consumers
+    keep each group's latest emission, the heavy-hitters read pattern).
+    Replayed rows (at-least-once delivery) deduplicate by id: the key is a
+    pure function of (id, salt), so a replay carries the identical key and
+    set-dedup makes the state exactly-once by construction."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in WSAMPLE_SCHEMA.fields])
+            return
+        ids, wts, keys, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        entries = list(zip(list(keys), list(ids), list(wts)))
+        seen = set(ids)
+        n_seen = int(n_seen)
+        got = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            got = True
+            # zip over .tolist() columns, never iterrows (CLAUDE.md lesson)
+            for i, w, kk in zip(
+                pdf["id"].tolist(), pdf["wt"].tolist(), pdf["skey"].tolist()
+            ):
+                n_seen += 1
+                if i in seen:
+                    continue
+                seen.add(i)
+                entries.append((kk, i, w))
+        # total order: key DESC, id ASC — the batch operator's ordering
+        entries.sort(key=lambda t: (-t[0], t[1]))
+        entries = entries[:k]
+        state.update(
+            (
+                [e[1] for e in entries],
+                [e[2] for e in entries],
+                [e[0] for e in entries],
+                n_seen,
+            )
+        )
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
+        if got and entries:
+            yield pd.DataFrame(
+                {
+                    "grp": int(key[0]),
+                    "id": [e[1] for e in entries],
+                    "wt": [e[2] for e in entries],
+                    "skey": [e[0] for e in entries],
+                    "n_seen": n_seen,
+                },
+                columns=[f.name for f in WSAMPLE_SCHEMA.fields],
+            )
+        else:
+            yield pd.DataFrame(columns=[f.name for f in WSAMPLE_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_weighted_sample(
+    stream: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    n_groups: int = 8,
+    salt: str = "aes",
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming A-ES weighted sampling — the continuous-ingest twin of
+    operators/sampling.weighted_sample. Rows route to a stateful group by
+    id hash; each group maintains ITS OWN top-k across micro-batches.
+    Superset contract (the heavy-hitters argument): every member of the
+    global top-k lives in some group and outranks that group's k-th key
+    a fortiori, so the union of the groups' latest snapshots always
+    contains the global sample — the exact final merge (key DESC, id ASC,
+    take k) is a metadata-sized batch step over ≤ n_groups × k rows.
+
+    The sampling key is the SAME JVM expression the batch operator ranks
+    on (sampling.aes_key_col), computed before routing — so the streaming
+    and batch samples agree bit-for-bit on identical input sets, and
+    at-least-once replays deduplicate by id inside the state (the key is
+    content-derived, a replay cannot change it). State is k entries per
+    group — constant-size, hash-partitioned across the state store."""
+    from ..operators.sampling import aes_key_col
+
+    if k < 1:
+        raise ValueError(f"sample size k must be >= 1, got {k}")
+    w = F.col(weight_col)
+    keyed = stream.filter(w.isNotNull() & (w > 0)).select(
+        F.col(id_col).cast("long").alias("id"),
+        w.cast("long").alias("wt"),
+        aes_key_col(id_col, weight_col, salt).alias("skey"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % n_groups
+        ).cast("int").alias("grp"),
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        make_weighted_sample_fn(k, ttl_s),
+        WSAMPLE_SCHEMA,
+        _WSAMPLE_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
+    )

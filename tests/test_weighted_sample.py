@@ -80,3 +80,44 @@ def test_plan_is_take_ordered_not_global_sort(spark) -> None:
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path) -> None:
+    """Replay the corpus as two micro-batches: the union of the groups'
+    latest top-k snapshots must contain the batch sample (the superset
+    contract), and the exact merge of those snapshots (key DESC, id ASC,
+    take k) must equal the batch operator's output — both rank on the
+    same JVM key expression, so agreement is bit-for-bit."""
+    from signalk_parquet_spark.streaming.stateful import streaming_weighted_sample
+
+    rows = [(i, (i * 13) % 29 + 1) for i in range(400)]
+    schema = "doc_id long, wt long"
+    src = str(tmp_path / "ws_src")
+    spark.createDataFrame(rows[:200], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[200:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_weighted_sample(stream, "doc_id", "wt", k=25, n_groups=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ws_out")
+        .option("checkpointLocation", str(tmp_path / "ws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from ws_out").toPandas()
+    assert len(emitted), "stream emitted nothing"
+    latest = emitted[
+        emitted.groupby("grp")["n_seen"].transform("max") == emitted["n_seen"]
+    ]
+    assert latest.groupby("grp").size().max() <= 25
+    merged = latest.sort_values(["skey", "id"], ascending=[False, True]).head(25)
+    batch = [
+        (r["doc_id"], r["wt"])
+        for r in weighted_sample(_df(spark, rows), "doc_id", "wt", 25).collect()
+    ]
+    assert list(zip(merged["id"].tolist(), merged["wt"].tolist())) == batch
