@@ -16,11 +16,18 @@ parse is a single forward pass; records that violate framing are counted
 into a quarantine column set, not raised — one rotten record must not kill
 a segment task (same policy as sources/formats.py's PERMISSIVE quarantine).
 
-HTML -> text here is an honest REGEX approximation (drop script/style
-blocks, strip tags, decode entities, squeeze whitespace) — the same
-documented-stub class as the media decoders: a production pipeline swaps
-in a DOM extractor (trafilatura/jusText) behind the same column contract;
-everything Spark-side (framing, partitioning, schema, quarantine) is real.
+HTML -> text ships in two modes behind one column contract
+(``extractor=`` on import_warc_files): "regex" — drop script/style
+blocks, mark block boundaries, strip tags, decode entities, squeeze
+per line; engine-free, so the gate oracle carries hand-computed
+literals — and "dom" (html_to_text_dom) — a real tree-walking extractor
+on stdlib html.parser: tolerant tag-stack tracking with implicit closes,
+script/style/template/noscript subtree drops that survive tag soup the
+regexes cannot (attributes containing '>', comments wrapping markup),
+hidden-element drops (hidden attr, display:none/visibility:hidden),
+<pre> newline preservation, and the same block-boundary line semantics
+C4's line rules consume. Boilerplate REMOVAL (trafilatura/jusText-style
+main-content scoring) remains out of scope; extraction itself is real.
 
 No reference parity claim: the reference has no web-corpus surface; this
 is a beyond-reference LLM-pipeline source (BASELINE extension set).
@@ -33,6 +40,7 @@ import html as _html
 import io
 import re
 from collections.abc import Iterator
+from html.parser import HTMLParser as _HTMLParser
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +74,14 @@ _BLOCK_BOUNDARY_RE = re.compile(
 )
 
 
+def _normalize_lines(s: str) -> str:
+    """Shared final step of both extractors: squeeze whitespace PER LINE,
+    strip, drop empty lines — so line structure is exactly the block
+    structure the extractor emitted."""
+    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
+
+
 def html_to_text(body: str) -> str:
     """Regex text extraction: drop script/style subtrees, mark block-element
     boundaries (</p>, <br>, </div>, </li>, </h1-6>, </tr>, ...) as line
@@ -74,14 +90,120 @@ def html_to_text(body: str) -> str:
     whitespace (HTML semantics) — only block structure makes lines, so the
     output's line structure is the page's rendered paragraph structure and
     composes with C4's line-based keep rules. Deterministic and
-    engine-free, so the gate oracle can carry the expected literals."""
+    engine-free, so the gate oracle can carry the expected literals.
+    Known limits vs html_to_text_dom (tested): attribute values containing
+    '>' truncate the tag match; comments wrapping markup leave residue."""
     s = _SCRIPT_RE.sub(" ", body)
     s = _WS_RE.sub(" ", s)  # source newlines are just whitespace
     s = _BLOCK_BOUNDARY_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     s = _html.unescape(s)
-    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
-    return "\n".join(ln for ln in lines if ln)
+    return _normalize_lines(s)
+
+
+#: subtrees whose content never renders
+_DOM_SKIP_TAGS = frozenset({"script", "style", "template", "noscript"})
+#: elements whose start AND end mark rendered line boundaries
+_DOM_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr", "title",
+        "head", "body", "blockquote", "ul", "ol", "table", "section",
+        "article", "header", "footer", "pre", "dd", "dt", "figcaption",
+        "nav", "aside", "form", "fieldset",
+    }
+)
+#: void elements — no end tag ever comes, so they must not enter the stack
+_DOM_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+_STYLE_HIDDEN_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden")
+
+
+class _DomTextExtractor(_HTMLParser):
+    """Tolerant tree-walking text extractor. Maintains an open-tag stack
+    with browser-style implicit closes (an end tag pops back to its
+    nearest open match; unmatched end tags are ignored), suppressing data
+    inside skip subtrees and hidden elements (hidden attribute,
+    style display:none / visibility:hidden). <pre> content keeps its raw
+    newlines as line boundaries; everywhere else source newlines are
+    insignificant whitespace. convert_charrefs decodes entities in-stream
+    — including inside attribute values, which is where the regex
+    extractor's tag pattern breaks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        #: (tag, suppresses: bool) open-element stack
+        self._stack: list[tuple[str, bool]] = []
+        self._suppress = 0
+        self._pre = 0
+
+    @staticmethod
+    def _hidden(attrs: list[tuple[str, str | None]]) -> bool:
+        for k, v in attrs:
+            if k == "hidden":
+                return True
+            if k == "style" and v and _STYLE_HIDDEN_RE.search(v.lower()):
+                return True
+        return False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DOM_BLOCK_TAGS or tag == "br":
+            self.parts.append("\n")
+        if tag in _DOM_VOID_TAGS:
+            return
+        suppresses = tag in _DOM_SKIP_TAGS or self._hidden(attrs)
+        self._stack.append((tag, suppresses))
+        if suppresses:
+            self._suppress += 1
+        if tag == "pre":
+            self._pre += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DOM_VOID_TAGS:
+            return
+        # pop to the nearest matching open tag (implicit closes); an
+        # unmatched end tag pops nothing — the browser-tolerant behavior
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for popped, suppresses in self._stack[i:]:
+                    if suppresses:
+                        self._suppress -= 1
+                    if popped == "pre":
+                        self._pre -= 1
+                del self._stack[i:]
+                break
+        if tag in _DOM_BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data: str) -> None:
+        if self._suppress:
+            return
+        if self._pre:
+            self.parts.append(data)  # raw newlines are real line breaks
+        else:
+            self.parts.append(data.replace("\r", " ").replace("\n", " "))
+
+
+def html_to_text_dom(body: str) -> str:
+    """DOM-grade text extraction on stdlib html.parser — the real-parser
+    upgrade of the regex path (same line semantics, same normalization,
+    same column contract). Handles the tag-soup cases regexes cannot:
+    attribute values containing '>', comments wrapping markup, sloppy
+    nesting with implicit closes, hidden subtrees, <pre> preformatting.
+    Inline elements contribute NO whitespace (
+    "<b>world</b>!" -> "world!"), matching rendered text where the regex
+    path inserts a space per stripped tag."""
+    p = _DomTextExtractor()
+    try:
+        p.feed(body)
+        p.close()
+    except Exception:
+        # html.parser is already tolerant; a pathological page falls back
+        # to the regex path rather than killing a segment task
+        return html_to_text(body)
+    return _normalize_lines("".join(p.parts))
 
 
 def _maybe_gunzip(data: bytes) -> bytes:
@@ -92,12 +214,25 @@ def _maybe_gunzip(data: bytes) -> bytes:
     return data
 
 
-def parse_warc_bytes(data: bytes) -> tuple[list[dict[str, Any]], int]:
+#: text-extraction modes accepted by parse_warc_bytes / import_warc_files
+_EXTRACTORS = {"regex": html_to_text, "dom": html_to_text_dom}
+
+
+def parse_warc_bytes(
+    data: bytes, extractor: str = "regex"
+) -> tuple[list[dict[str, Any]], int]:
     """One forward pass over a (possibly gzipped) WARC byte string.
     Returns (records, quarantined_count). Framing is strictly
     Content-Length-driven; a record with an unparsable header block or a
     length overrunning the buffer quarantines the REMAINDER of the file
-    (framing is lost beyond it — resync heuristics hide corruption)."""
+    (framing is lost beyond it — resync heuristics hide corruption).
+    ``extractor``: "regex" (engine-free, oracle-literal-friendly) or
+    "dom" (html_to_text_dom, the real-parser upgrade)."""
+    to_text = _EXTRACTORS.get(extractor)
+    if to_text is None:
+        raise ValueError(
+            f"unknown extractor {extractor!r}; choose from {sorted(_EXTRACTORS)}"
+        )
     data = _maybe_gunzip(data)
     out: list[dict[str, Any]] = []
     bad = 0
@@ -150,19 +285,26 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict[str, Any]], int]:
                 if len(parts) >= 2 and parts[1].isdigit():
                     rec["http_status"] = int(parts[1])
                 body = payload[http_head_end + 4 :].decode("utf-8", "replace")
-                rec["text"] = html_to_text(body)
+                rec["text"] = to_text(body)
         out.append(rec)
     return out, bad
 
 
-def import_warc_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+def import_warc_files(
+    spark: SparkSession, paths: list[str], extractor: str = "regex"
+) -> DataFrame:
     """Distributed WARC import: binaryFile scan (one task per file — the
     Common Crawl per-segment unit of work), executor-side single-pass parse,
     one output row per record. The per-file quarantine count rides on every
     row of its file so downstream quality accounting can aggregate it
-    without a second pass."""
+    without a second pass. ``extractor`` picks the HTML->text mode
+    ("regex" | "dom") — validated up front, not per task."""
     import pandas as pd
 
+    if extractor not in _EXTRACTORS:
+        raise ValueError(
+            f"unknown extractor {extractor!r}; choose from {sorted(_EXTRACTORS)}"
+        )
     bin_df = spark.read.format("binaryFile").load(paths)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,7 +312,7 @@ def import_warc_files(spark: SparkSession, paths: list[str]) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"].tolist(), pdf["content"].tolist()):
-                recs, bad = parse_warc_bytes(bytes(content))
+                recs, bad = parse_warc_bytes(bytes(content), extractor)
                 for r in recs:
                     rows.append({"source_file": path, **r, "quarantined": bad})
             yield pd.DataFrame(rows, columns=cols)

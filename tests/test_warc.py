@@ -149,3 +149,74 @@ def test_warc_to_c4_composition(spark) -> None:
         # sentences -> the only page that PASSES the C4 keep bar
         "http://example.com/story": (5, 3, 3, 1),
     }, got
+
+
+def test_dom_extractor_on_fixture_pages() -> None:
+    """The DOM extractor's own hand-computed truth on every gate fixture
+    page: identical line structure to the regex path, except inline
+    elements contribute no whitespace (rendered-text semantics:
+    '<b>world</b>!' -> 'world!')."""
+    from signalk_parquet_spark.queries_curation import _WARC_PAGES
+    from signalk_parquet_spark.sources.warc import html_to_text_dom
+
+    expected = {
+        "http://example.com/alpha": "Alpha\nHello & world!",  # no '<b>' space
+        "http://example.com/missing": "Not Found",
+        "http://example.com/framing": "line1 line2 tricky",
+        "http://example.org/gz": "Gzipped <member>",
+        "http://example.com/story": (
+            "Story Time\nThis is a good sentence with many words.\n"
+            "Another fine sentence follows here naturally.\n"
+            "Reading every word here is quite rewarding indeed.\nshort bit"
+        ),
+    }
+    for uri, _status, body, _regex_text in _WARC_PAGES:
+        assert html_to_text_dom(body) == expected[uri], uri
+
+
+def test_dom_extractor_tag_soup_wins() -> None:
+    """The cases a tag regex cannot handle — each asserted against the
+    DOM extractor's correct output (and shown to break the regex path
+    where the divergence is the point)."""
+    from signalk_parquet_spark.sources.warc import html_to_text, html_to_text_dom
+
+    # attribute value containing '>': regex truncates the tag match
+    soup = '<img alt="a > b">text'
+    assert html_to_text_dom(soup) == "text"
+    assert html_to_text(soup) != "text"  # documented regex limitation
+    # comment wrapping markup: regex leaves residue
+    assert html_to_text_dom("x<!-- <p>gone</p> -->y") == "xy"
+    # hidden subtrees
+    assert html_to_text_dom(
+        '<div style="display:none">secret<p>deep</p></div><div>shown</div>'
+    ) == "shown"
+    assert html_to_text_dom("<span hidden>no</span>yes") == "yes"
+    assert html_to_text_dom('<p style="visibility: hidden">no</p><p>yes</p>') == "yes"
+    # sloppy nesting: implicit close of the first <p>
+    assert html_to_text_dom("<p>a<p>b") == "a\nb"
+    # <pre> keeps raw newlines as line boundaries
+    assert html_to_text_dom("<pre>line1\n   line2</pre>after") == "line1\nline2\nafter"
+    # script containing markup-like strings (CDATA content model)
+    assert html_to_text_dom('<script>if(a<b){x="</div>"}</script>ok') == "ok"
+    # entity INSIDE attribute + in text
+    assert html_to_text_dom('<a href="?a=1&amp;b=2">A &amp; B</a>') == "A & B"
+    # unmatched end tags are ignored, not crashes
+    assert html_to_text_dom("</div></p>text</span>") == "text"
+
+
+def test_import_warc_files_dom_mode(spark, tmp_path) -> None:
+    from signalk_parquet_spark.queries_curation import _write_warc_fixture
+    from signalk_parquet_spark.sources.warc import import_warc_files
+
+    import pytest
+
+    out = (
+        import_warc_files(spark, _write_warc_fixture(), extractor="dom")
+        .filter("target_uri = 'http://example.com/alpha'")
+        .select("text")
+        .collect()
+    )
+    texts = {r["text"] for r in out if r["text"] is not None}
+    assert texts == {"Alpha\nHello & world!"}
+    with pytest.raises(ValueError, match="unknown extractor"):
+        import_warc_files(spark, _write_warc_fixture(), extractor="bs4")
