@@ -220,3 +220,49 @@ def test_import_warc_files_dom_mode(spark, tmp_path) -> None:
     assert texts == {"Alpha\nHello & world!"}
     with pytest.raises(ValueError, match="unknown extractor"):
         import_warc_files(spark, _write_warc_fixture(), extractor="bs4")
+
+
+def test_extractor_fuzz_differential() -> None:
+    """Regex and DOM extractors must agree EXACTLY on the well-formed
+    subset of HTML where their documented semantics coincide: properly
+    closed block elements containing space-separated inline content
+    (inline wraps whole words; entities allowed). Divergences outside
+    this subset (tag soup, implicit closes, inline spacing) are the DOM
+    mode's documented wins, covered by the targeted tests above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from signalk_parquet_spark.sources.warc import html_to_text, html_to_text_dom
+
+    word = st.one_of(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6),
+        st.just("&amp;"),
+        st.just("x&lt;y"),
+    )
+
+    @st.composite
+    def inline(draw):
+        parts = []
+        for w in draw(st.lists(word, min_size=1, max_size=6)):
+            tag = draw(st.sampled_from([None, "b", "i", "em", "span", "a"]))
+            parts.append(w if tag is None else f"<{tag}>{w}</{tag}>")
+        return " ".join(parts)
+
+    @st.composite
+    def block(draw, depth=0):
+        tag = draw(st.sampled_from(["p", "div", "h2", "li", "blockquote"]))
+        if depth < 1 and draw(st.booleans()):
+            inner = "".join(
+                draw(st.lists(block(depth=depth + 1), min_size=1, max_size=3))
+            )
+        else:
+            inner = draw(inline())
+        return f"<{tag}>{inner}</{tag}>"
+
+    @given(st.lists(block(), min_size=1, max_size=5))
+    @settings(max_examples=150, deadline=None)
+    def check(blocks):
+        doc = "<html><body>" + "".join(blocks) + "</body></html>"
+        assert html_to_text(doc) == html_to_text_dom(doc)
+
+    check()
