@@ -94,35 +94,104 @@ def kth_smallest_values(
     collect beyond scalars — and round-trips scale with ROUNDS, not with
     len(ks): one seed aggregate, then ONE histogram job per round (bucket
     counts carry min/max, so band stats never need their own scan) plus
-    one shared finish window when bands get small."""
+    one shared finish window when bands get small. Thin wrapper over the
+    tag-generic core shared with :func:`grouped_kth_smallest`."""
     if not ks:
         raise ValueError("ks must be non-empty")
-    spark = df.sparkSession
     c = F.col(col)
-    base = df.filter(c.isNotNull()).select(c.alias("v"))
-    # ONE fused scan seeds everything: every rank starts from the same
-    # (cond=True) band, so the global count/min/max is the whole round-0
-    # stats pass (the first cut ran a separate count() + per-round stats
-    # job; band stats now ride the histogram — see below — so the
-    # steady-state cost is ONE job per round plus one finish window)
-    g = base.agg(
-        F.count("v").alias("cnt"), F.min("v").alias("vmin"), F.max("v").alias("vmax")
-    ).first()
-    n = g["cnt"]
-    for k in ks:
-        if not 1 <= k <= n:
-            raise ValueError(f"rank {k} outside [1, {n}]")
-    # state per rank: (condition chain, rank within band, band count,
-    # band min, band max) — the band stats are carried forward from the
-    # histogram that created the band, never re-scanned
-    state: dict[int, tuple[Column, int, int, float, float]] = {
-        k: (F.lit(True), k, n, g["vmin"], g["vmax"]) for k in ks
+    base = df.filter(c.isNotNull()).select(F.lit(0).alias("g"), c.alias("v"))
+    results = _selection_core(base, {0: list(ks)}, buckets, band_limit, max_rounds)
+    return df.sparkSession.createDataFrame(
+        [(int(k), float(results[(0, k)])) for k in sorted(set(ks))],
+        "k long, value double",
+    )
+
+
+def grouped_kth_smallest(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    ks_by_group: dict,
+    buckets: int = 1024,
+    band_limit: int = 65536,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact PER-GROUP order statistics without per-group sorts: for each
+    group g, the values at ranks ``ks_by_group[g]`` of that group's
+    nulls-excluded multiset. The tag space is (group, rank) — every
+    active tag rides the SAME seed aggregate, the SAME one histogram job
+    per round and the SAME shared finish window, so round-trips scale
+    with recursion depth, never with group count x rank count. The
+    oracle formulation (row_number over PARTITION BY group ORDER BY col)
+    is a per-group sort whose exchange the operator never pays at scale.
+
+    Returns (group_col, k BIGINT, value DOUBLE); group values round-trip
+    through the driver (str/int/bool group keys). Groups named in
+    ``ks_by_group`` but absent from the data raise (rank validation),
+    matching the ungrouped operator's loud contract."""
+    if not ks_by_group:
+        raise ValueError("ks_by_group must be non-empty")
+    c = F.col(col)
+    base = df.filter(c.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), c.alias("v")
+    )
+    results = _selection_core(base, ks_by_group, buckets, band_limit, max_rounds)
+    rows = [
+        (g, int(k), float(v))
+        for (g, k), v in sorted(results.items(), key=lambda t: (str(t[0][0]), t[0][1]))
+    ]
+    return df.sparkSession.createDataFrame(rows, [group_col, "k", "value"])
+
+
+def _selection_core(
+    base: DataFrame,
+    ks_by_group: dict,
+    buckets: int,
+    band_limit: int,
+    max_rounds: int,
+) -> dict:
+    """Bucket-count selection over a (g, v) frame for tags (group, rank).
+    ONE fused seed aggregate (per-group count/min/max — every tag starts
+    from its group's full band), then per round: one histogram job whose
+    buckets carry count AND min/max (so the selected bucket's band stats
+    are known without a stats job) plus one shared finish window. Returns
+    {(group, rank): value}."""
+    seed = {
+        r["g"]: r
+        for r in base.groupBy("g")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
     }
-    results: dict[int, float] = {}
+    for g, ks in ks_by_group.items():
+        if not ks:
+            raise ValueError(f"empty rank list for group {g!r}")
+        n = seed[g]["cnt"] if g in seed else 0
+        for k in ks:
+            if not 1 <= k <= n:
+                raise ValueError(f"group {g!r}: rank {k} outside [1, {n}]")
+    # state per tag: (condition chain, rank within band, band count,
+    # band min, band max) — band stats carried from the histogram that
+    # created the band, never re-scanned
+    state: dict[tuple, tuple[Column, int, int, float, float]] = {}
+    for g, ks in ks_by_group.items():
+        s = seed[g]
+        for k in set(ks):
+            state[(g, k)] = (F.col("g") == F.lit(g), k, s["cnt"], s["vmin"], s["vmax"])
+    results: dict[tuple, float] = {}
     # band size at the previous histogram — a band that failed to shrink
     # below 90% marks its next histogram STALLED and escapes to the
     # log-domain / sign-split bucketing (heavy-tailed bands, ADVICE r9)
-    prev_cnt: dict[int, int] = {}
+    prev_cnt: dict[tuple, int] = {}
+
+    def _tagged(tag: tuple, extra: list[Column]) -> DataFrame:
+        g, k = tag
+        return base.filter(state[tag][0]).select(
+            F.lit(g).alias("g_"), F.lit(k).alias("k_"), *extra
+        )
 
     def _tagged_union(parts: list[DataFrame]) -> DataFrame:
         u = parts[0]
@@ -131,80 +200,73 @@ def kth_smallest_values(
         return u
 
     for _ in range(max_rounds):
-        active = [k for k in ks if k not in results]
+        active = [t for t in state if t not in results]
         if not active:
             break
-        # ROUND-TRIPS SCALE WITH ROUNDS, NOT RANKS: every per-band probe of
-        # this round is ONE job — a k-tagged union aggregated by k.
-        # per-rank bucket expression for this round + its bucket count
-        bexprs: dict[int, tuple[Column, int]] = {}
-        finish_ks = []
-        for k in active:
-            _cond, _rank, cnt, vmin, vmax = state[k]
+        # ROUND-TRIPS SCALE WITH ROUNDS, NOT TAGS: every per-band probe of
+        # this round is ONE job — a tag-tagged union aggregated by tag.
+        # per-tag bucket expression for this round + its bucket count
+        bexprs: dict[tuple, tuple[Column, int]] = {}
+        finish_tags = []
+        for t in active:
+            _cond, _rank, cnt, vmin, vmax = state[t]
             if vmin == vmax:
-                results[k] = float(vmin)  # all-equal band IS the answer
+                results[t] = float(vmin)  # all-equal band IS the answer
             elif cnt <= band_limit:
-                finish_ks.append(k)
+                finish_tags.append(t)
             else:
                 lo, hi = float(vmin), float(vmax)
-                stalled = k in prev_cnt and cnt * 10 > prev_cnt[k] * 9
-                prev_cnt[k] = cnt
+                stalled = t in prev_cnt and cnt * 10 > prev_cnt[t] * 9
+                prev_cnt[t] = cnt
                 if not stalled:
-                    bexprs[k] = (
+                    bexprs[t] = (
                         _bucket_expr(F.col("v"), lo, (hi - lo) / buckets, buckets),
                         buckets,
                     )
                 elif lo > 0:
-                    bexprs[k] = (_geo_bucket_expr(F.col("v"), lo, hi, buckets), buckets)
+                    bexprs[t] = (_geo_bucket_expr(F.col("v"), lo, hi, buckets), buckets)
                 elif hi < 0:
-                    bexprs[k] = (
+                    bexprs[t] = (
                         _geo_bucket_expr(F.col("v"), lo, hi, buckets, negative=True),
                         buckets,
                     )
                 else:  # band straddles/touches zero: split signs first
-                    bexprs[k] = (_sign_split_expr(F.col("v")), 3)
-        if finish_ks:
+                    bexprs[t] = (_sign_split_expr(F.col("v")), 3)
+        if finish_tags:
             # all small bands finish in ONE window job: rank within band,
             # pick each band's own target rank via a literal CASE
             rank_of = None
-            for k in finish_ks:
-                w = F.when(F.col("k") == k, F.lit(state[k][1]))
-                rank_of = w if rank_of is None else rank_of.when(
-                    F.col("k") == k, F.lit(state[k][1])
+            for t in finish_tags:
+                cond = (F.col("g_") == F.lit(t[0])) & (F.col("k_") == t[1])
+                w = (
+                    F.when(cond, F.lit(state[t][1]))
+                    if rank_of is None
+                    else rank_of.when(cond, F.lit(state[t][1]))
                 )
+                rank_of = w
             from pyspark.sql import Window
 
-            win = Window.partitionBy("k").orderBy("v")
+            win = Window.partitionBy("g_", "k_").orderBy("v")
             picked = (
-                _tagged_union(
-                    [
-                        base.filter(state[k][0]).select(F.lit(k).alias("k"), "v")
-                        for k in finish_ks
-                    ]
-                )
+                _tagged_union([_tagged(t, [F.col("v")]) for t in finish_tags])
                 .withColumn("rn", F.row_number().over(win))
                 .filter(F.col("rn") == rank_of)
-                .select("k", "v")
+                .select("g_", "k_", "v")
                 .collect()
             )
             for r in picked:
-                results[r["k"]] = float(r["v"])
+                results[(r["g_"], r["k_"])] = float(r["v"])
         if not bexprs:
             continue
         # the histogram carries each bucket's count AND min/max — exactly
         # the stats the next round needs for the selected bucket, so no
-        # separate stats job ever runs again
+        # separate stats job ever runs
         counts = {
-            (r["k"], r["b"]): (r["cnt"], r["bmin"], r["bmax"])
+            (r["g_"], r["k_"], r["b"]): (r["cnt"], r["bmin"], r["bmax"])
             for r in _tagged_union(
-                [
-                    base.filter(state[k][0]).select(
-                        F.lit(k).alias("k"), bexprs[k][0].alias("b"), "v"
-                    )
-                    for k in bexprs
-                ]
+                [_tagged(t, [bexprs[t][0].alias("b"), F.col("v")]) for t in bexprs]
             )
-            .groupBy("k", "b")
+            .groupBy("g_", "k_", "b")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.min("v").alias("bmin"),
@@ -212,28 +274,24 @@ def kth_smallest_values(
             )
             .collect()
         }
-        for k in list(bexprs):
-            cond, rank = state[k][0], state[k][1]
-            bexpr, n_buckets = bexprs[k]
+        for t in list(bexprs):
+            cond, rank = state[t][0], state[t][1]
+            bexpr, n_buckets = bexprs[t]
             below = 0
             for b in range(n_buckets):
-                cb, bmin, bmax = counts.get((k, b), (0, None, None))
+                cb, bmin, bmax = counts.get((t[0], t[1], b), (0, None, None))
                 if below + cb >= rank:
-                    state[k] = (
-                        cond & (bexpr == b), rank - below, cb, bmin, bmax
-                    )
+                    state[t] = (cond & (bexpr == b), rank - below, cb, bmin, bmax)
                     break
                 below += cb
-            else:  # pragma: no cover - rank validated against n above
+            else:  # pragma: no cover - rank validated against seed counts
                 raise AssertionError("rank not reachable from bucket counts")
-    missing = [k for k in ks if k not in results]
+    missing = [t for t in state if t not in results]
     if missing:
         raise RuntimeError(
-            f"selection did not converge for ranks {missing} within "
+            f"selection did not converge for (group, rank) tags {missing} within "
             f"{max_rounds} rounds (buckets={buckets}, band_limit={band_limit}) — "
             "raise max_rounds, or widen buckets/band_limit so each round "
             "shrinks the band further"
         )
-    return spark.createDataFrame(
-        [(int(k), float(results[k])) for k in sorted(ks)], "k long, value double"
-    )
+    return results

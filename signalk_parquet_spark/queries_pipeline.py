@@ -278,6 +278,59 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- per-group distributed exact selection ---------------------------------------------
+@register(
+    "group_kth_values",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_chars AS value,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT r.lang, rn AS k, CAST(value AS DOUBLE) AS value
+    FROM r JOIN c USING (lang)
+    WHERE rn IN (1, GREATEST(1, n // 2), GREATEST(1, (9 * n) // 10), n)
+    """,
+)
+def group_kth_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact PER-GROUP order statistics (min / median / p90 / max as fixed
+    per-group RANKS) via the tag-generic bucket-count selection
+    (operators/selection.grouped_kth_smallest): every (language, rank)
+    tag shares each round's single histogram job, so round-trips scale
+    with recursion depth — never with group count — where the oracle's
+    row_number over PARTITION BY is exactly the per-group sort exchange
+    the operator avoids at 100 TB. Values are input integers carried as
+    doubles verbatim (rank picks — permutation-invariant, ties included);
+    ranks derive from per-group nulls-excluded counts, mirroring the
+    oracle's integer arithmetic."""
+    from .operators.selection import grouped_kth_smallest
+
+    d = load(spark, sf, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.filter(F.col("n_chars").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # GREATEST(1, ·) on both sides so a 1-row group can't produce rank 0
+    # (the contract must not depend on incidental group sizes — ADVICE r9)
+    ks = {
+        g: sorted({1, max(1, n // 2), max(1, (9 * n) // 10), n})
+        for g, n in counts.items()
+    }
+    return grouped_kth_smallest(
+        d.select("lang", F.col("n_chars").cast("double").alias("n_chars")),
+        "n_chars",
+        "lang",
+        ks,
+    )
+
+
 # --- weighted sampling without replacement (Efraimidis–Spirakis A-ES) -----------------
 _WSAMPLE_K = 200  # strict subset at every SF (documents >= 500 at sf0.001)
 

@@ -301,6 +301,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # --- new this round (r10): A-ES weighted sampling + angular incremental ---
     "weighted_sample_aes",
     "rollup_incremental_angular",
+    "group_kth_values",
     # --- edited r10: line-preserving WARC extraction (new fixture literals);
     # global_kth_values: nulls-excluded rank contract + fused-histogram plan ---
     "warc_import_records",
@@ -355,7 +356,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "cobucketed_revenue",
-    "spatial_bbox_meridian",
 )
 
 

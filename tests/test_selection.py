@@ -83,3 +83,54 @@ def test_heavy_tailed_mixed_sign_and_zero(spark) -> None:
     # genuinely straddles zero and stalls
     got = _run(spark, vals, ks, buckets=5, band_limit=40)
     assert got == _truth(vals, ks)
+
+
+def test_grouped_matches_per_group_truth(spark) -> None:
+    """grouped_kth_smallest vs sorted() per group — including a group
+    whose ranks collide (n=1) and duplicate-heavy groups."""
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest
+
+    rng = random.Random(21)
+    rows = []
+    for g, n in (("en", 700), ("zh", 300), ("de", 1)):
+        rows += [(g, round(rng.uniform(-50, 50), 3)) for _ in range(n)]
+    rows += [("en", None)]  # nulls excluded per group
+    df = spark.createDataFrame(rows, "lang string, x double").repartition(8)
+    ks = {"en": [1, 350, 700], "zh": [1, 150, 300], "de": [1, 1]}
+    got = {
+        (r["lang"], r["k"]): r["value"]
+        for r in grouped_kth_smallest(df, "x", "lang", ks).collect()
+    }
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    want = {
+        (g, k): sorted(by_g[g])[k - 1] for g, kl in ks.items() for k in kl
+    }
+    assert got == want
+    # multi-round under tiny buckets: every group still converges in the
+    # same shared jobs
+    got2 = {
+        (r["lang"], r["k"]): r["value"]
+        for r in grouped_kth_smallest(
+            df, "x", "lang", ks, buckets=4, band_limit=20
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_grouped_validation(spark) -> None:
+    import pytest
+
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_kth_smallest(df, "x", "g", {})
+    with pytest.raises(ValueError, match="outside"):
+        grouped_kth_smallest(df, "x", "g", {"a": [2]})
+    with pytest.raises(ValueError, match="outside"):
+        grouped_kth_smallest(df, "x", "g", {"missing": [1]})
+    with pytest.raises(ValueError, match="empty rank list"):
+        grouped_kth_smallest(df, "x", "g", {"a": []})
