@@ -111,7 +111,7 @@ def grouped_kth_smallest(
     df: DataFrame,
     col: str,
     group_col: str,
-    ks_by_group: dict,
+    ks_by_group,  # dict[group, list[int]] | callable n -> list[int]
     buckets: int = 1024,
     band_limit: int = 65536,
     max_rounds: int = 64,
@@ -128,7 +128,12 @@ def grouped_kth_smallest(
     Returns (group_col, k BIGINT, value DOUBLE); group values round-trip
     through the driver (str/int/bool group keys). Groups named in
     ``ks_by_group`` but absent from the data raise (rank validation),
-    matching the ungrouped operator's loud contract."""
+    matching the ungrouped operator's loud contract.
+
+    ``ks_by_group`` may instead be a CALLABLE ``n -> list[ranks]``: ranks
+    derive per group from the core's own seed counts (one job saved — a
+    caller would otherwise run the identical per-group count aggregate
+    just to compute its rank lists), applied to every group present."""
     if not ks_by_group:
         raise ValueError("ks_by_group must be non-empty")
     c = F.col(col)
@@ -150,12 +155,18 @@ def _selection_core(
     band_limit: int,
     max_rounds: int,
 ) -> dict:
-    """Bucket-count selection over a (g, v) frame for tags (group, rank).
-    ONE fused seed aggregate (per-group count/min/max — every tag starts
-    from its group's full band), then per round: one histogram job whose
-    buckets carry count AND min/max (so the selected bucket's band stats
-    are known without a stats job) plus one shared finish window. Returns
-    {(group, rank): value}."""
+    """Bucket-count selection over a (g, v) frame for tags (group, rank),
+    organized around BANDS — the distinct row subsets the recursion is
+    currently narrowing. Tags that share a band (every rank of a group at
+    round 0; ranks whose chosen buckets keep coinciding later) share its
+    scan: each round's histogram and finish union ONE branch per band,
+    never one per tag — so a 5-rank global query histograms the base
+    ONCE, and a G-group x K-rank query costs O(distinct bands) <= G
+    branch scans, not G x K. ONE fused seed aggregate (per-group
+    count/min/max), then per round: one histogram job whose buckets
+    carry count AND min/max (the child band's stats are known the moment
+    its bucket is chosen — no stats job exists) plus one shared finish
+    window. Returns {(group, rank): value}."""
     seed = {
         r["g"]: r
         for r in base.groupBy("g")
@@ -166,6 +177,8 @@ def _selection_core(
         )
         .collect()
     }
+    if callable(ks_by_group):
+        ks_by_group = {g: ks_by_group(seed[g]["cnt"]) for g in seed}
     for g, ks in ks_by_group.items():
         if not ks:
             raise ValueError(f"empty rank list for group {g!r}")
@@ -173,100 +186,113 @@ def _selection_core(
         for k in ks:
             if not 1 <= k <= n:
                 raise ValueError(f"group {g!r}: rank {k} outside [1, {n}]")
-    # state per tag: (condition chain, rank within band, band count,
-    # band min, band max) — band stats carried from the histogram that
-    # created the band, never re-scanned
-    state: dict[tuple, tuple[Column, int, int, float, float]] = {}
+    # band: {cond, cnt, vmin, vmax, stalled, tags: {rank_in_band: tag}}
+    bands: list[dict] = []
     for g, ks in ks_by_group.items():
         s = seed[g]
-        for k in set(ks):
-            state[(g, k)] = (F.col("g") == F.lit(g), k, s["cnt"], s["vmin"], s["vmax"])
-    results: dict[tuple, float] = {}
-    # band size at the previous histogram — a band that failed to shrink
-    # below 90% marks its next histogram STALLED and escapes to the
-    # log-domain / sign-split bucketing (heavy-tailed bands, ADVICE r9)
-    prev_cnt: dict[tuple, int] = {}
-
-    def _tagged(tag: tuple, extra: list[Column]) -> DataFrame:
-        g, k = tag
-        return base.filter(state[tag][0]).select(
-            F.lit(g).alias("g_"), F.lit(k).alias("k_"), *extra
+        bands.append(
+            {
+                "cond": F.col("g") == F.lit(g),
+                "cnt": s["cnt"],
+                "vmin": s["vmin"],
+                "vmax": s["vmax"],
+                "stalled": False,
+                "tags": {k: (g, k) for k in set(ks)},
+            }
         )
+    results: dict[tuple, float] = {}
 
-    def _tagged_union(parts: list[DataFrame]) -> DataFrame:
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return u
+    def _banded(band_list: list[dict]) -> DataFrame:
+        """ONE scan covering every listed band: bands are mutually DISJOINT
+        by construction (distinct groups, or distinct buckets of one
+        parent), so a chained-CASE band id replaces a per-band union —
+        each round's job reads the base exactly once no matter how many
+        bands are active."""
+        bid = None
+        for i, band in enumerate(band_list):
+            bid = (
+                F.when(band["cond"], F.lit(i))
+                if bid is None
+                else bid.when(band["cond"], F.lit(i))
+            )
+        return base.select(bid.alias("bid"), "v").filter(F.col("bid").isNotNull())
 
     for _ in range(max_rounds):
-        active = [t for t in state if t not in results]
-        if not active:
+        if not bands:
             break
-        # ROUND-TRIPS SCALE WITH ROUNDS, NOT TAGS: every per-band probe of
-        # this round is ONE job — a tag-tagged union aggregated by tag.
-        # per-tag bucket expression for this round + its bucket count
-        bexprs: dict[tuple, tuple[Column, int]] = {}
-        finish_tags = []
-        for t in active:
-            _cond, _rank, cnt, vmin, vmax = state[t]
+        # ROUND-TRIPS SCALE WITH ROUNDS, NOT TAGS OR BANDS: each round is
+        # one histogram job + (when bands got small) one finish window.
+        finish: list[dict] = []
+        hist: list[tuple[dict, Column, int]] = []  # (band, bexpr, n_buckets)
+        for band in bands:
+            cnt, vmin, vmax = band["cnt"], band["vmin"], band["vmax"]
             if vmin == vmax:
-                results[t] = float(vmin)  # all-equal band IS the answer
+                for tag in band["tags"].values():
+                    results[tag] = float(vmin)  # all-equal band IS the answer
             elif cnt <= band_limit:
-                finish_tags.append(t)
+                finish.append(band)
             else:
                 lo, hi = float(vmin), float(vmax)
-                stalled = t in prev_cnt and cnt * 10 > prev_cnt[t] * 9
-                prev_cnt[t] = cnt
-                if not stalled:
-                    bexprs[t] = (
-                        _bucket_expr(F.col("v"), lo, (hi - lo) / buckets, buckets),
-                        buckets,
+                if not band["stalled"]:
+                    hist.append(
+                        (
+                            band,
+                            _bucket_expr(F.col("v"), lo, (hi - lo) / buckets, buckets),
+                            buckets,
+                        )
                     )
                 elif lo > 0:
-                    bexprs[t] = (_geo_bucket_expr(F.col("v"), lo, hi, buckets), buckets)
+                    hist.append(
+                        (band, _geo_bucket_expr(F.col("v"), lo, hi, buckets), buckets)
+                    )
                 elif hi < 0:
-                    bexprs[t] = (
-                        _geo_bucket_expr(F.col("v"), lo, hi, buckets, negative=True),
-                        buckets,
+                    hist.append(
+                        (
+                            band,
+                            _geo_bucket_expr(F.col("v"), lo, hi, buckets, negative=True),
+                            buckets,
+                        )
                     )
                 else:  # band straddles/touches zero: split signs first
-                    bexprs[t] = (_sign_split_expr(F.col("v")), 3)
-        if finish_tags:
-            # all small bands finish in ONE window job: rank within band,
-            # pick each band's own target rank via a literal CASE
-            rank_of = None
-            for t in finish_tags:
-                cond = (F.col("g_") == F.lit(t[0])) & (F.col("k_") == t[1])
-                w = (
-                    F.when(cond, F.lit(state[t][1]))
-                    if rank_of is None
-                    else rank_of.when(cond, F.lit(state[t][1]))
+                    hist.append((band, _sign_split_expr(F.col("v")), 3))
+        if finish:
+            # every small band finishes in ONE window job: rank within
+            # band, each band keeping its own rank SET via a bid-keyed CASE
+            keep = None
+            for i, band in enumerate(finish):
+                c = (F.col("bid") == i) & F.col("rn").isin(
+                    [int(r) for r in band["tags"]]
                 )
-                rank_of = w
+                keep = c if keep is None else keep | c
             from pyspark.sql import Window
 
-            win = Window.partitionBy("g_", "k_").orderBy("v")
+            win = Window.partitionBy("bid").orderBy("v")
             picked = (
-                _tagged_union([_tagged(t, [F.col("v")]) for t in finish_tags])
+                _banded(finish)
                 .withColumn("rn", F.row_number().over(win))
-                .filter(F.col("rn") == rank_of)
-                .select("g_", "k_", "v")
+                .filter(keep)
+                .select("bid", "rn", "v")
                 .collect()
             )
             for r in picked:
-                results[(r["g_"], r["k_"])] = float(r["v"])
-        if not bexprs:
+                results[finish[r["bid"]]["tags"][r["rn"]]] = float(r["v"])
+        if not hist:
+            bands = []
             continue
         # the histogram carries each bucket's count AND min/max — exactly
-        # the stats the next round needs for the selected bucket, so no
-        # separate stats job ever runs
-        counts = {
-            (r["g_"], r["k_"], r["b"]): (r["cnt"], r["bmin"], r["bmax"])
-            for r in _tagged_union(
-                [_tagged(t, [bexprs[t][0].alias("b"), F.col("v")]) for t in bexprs]
+        # the stats a child band needs, so no separate stats job ever runs
+        bexpr_of = None
+        for i, (_band, bexpr, _nb) in enumerate(hist):
+            bexpr_of = (
+                F.when(F.col("bid") == i, bexpr)
+                if bexpr_of is None
+                else bexpr_of.when(F.col("bid") == i, bexpr)
             )
-            .groupBy("g_", "k_", "b")
+        counts = {
+            (r["bid"], r["b"]): (r["cnt"], r["bmin"], r["bmax"])
+            for r in _banded([band for band, _be, _nb in hist])
+            .select("bid", bexpr_of.alias("b"), "v")
+            .groupBy("bid", "b")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.min("v").alias("bmin"),
@@ -274,19 +300,43 @@ def _selection_core(
             )
             .collect()
         }
-        for t in list(bexprs):
-            cond, rank = state[t][0], state[t][1]
-            bexpr, n_buckets = bexprs[t]
+        next_bands: list[dict] = []
+        for i, (band, bexpr, n_buckets) in enumerate(hist):
+            # walk buckets in value order once, assigning every tag of the
+            # band to its bucket; tags landing in the same bucket form ONE
+            # child band (they keep sharing scans)
+            children: dict[int, dict] = {}
             below = 0
+            ranks = sorted(band["tags"])
+            ri = 0
             for b in range(n_buckets):
-                cb, bmin, bmax = counts.get((t[0], t[1], b), (0, None, None))
-                if below + cb >= rank:
-                    state[t] = (cond & (bexpr == b), rank - below, cb, bmin, bmax)
-                    break
+                cb, bmin, bmax = counts.get((i, b), (0, None, None))
+                while ri < len(ranks) and below + cb >= ranks[ri]:
+                    rank = ranks[ri]
+                    child = children.get(b)
+                    if child is None:
+                        child = children[b] = {
+                            "cond": band["cond"] & (bexpr == b),
+                            "cnt": cb,
+                            "vmin": bmin,
+                            "vmax": bmax,
+                            # a child that failed to shrink below 90% of its
+                            # parent escapes linear bucketing next round
+                            # (heavy-tailed bands, ADVICE r9)
+                            "stalled": cb * 10 > band["cnt"] * 9,
+                            "tags": {},
+                        }
+                    child["tags"][rank - below] = band["tags"][rank]
+                    ri += 1
                 below += cb
-            else:  # pragma: no cover - rank validated against seed counts
+                if ri == len(ranks):
+                    break
+            else:  # pragma: no cover - ranks validated against seed counts
                 raise AssertionError("rank not reachable from bucket counts")
-    missing = [t for t in state if t not in results]
+            next_bands.extend(children.values())
+        bands = next_bands
+    unresolved = [t for band in bands for t in band["tags"].values()]
+    missing = [t for t in unresolved if t not in results]
     if missing:
         raise RuntimeError(
             f"selection did not converge for (group, rank) tags {missing} within "

@@ -310,24 +310,15 @@ def group_kth_values(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.selection import grouped_kth_smallest
 
     d = load(spark, sf, "documents")
-    counts = {
-        r["lang"]: r["n"]
-        for r in d.filter(F.col("n_chars").isNotNull())
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    # GREATEST(1, ·) on both sides so a 1-row group can't produce rank 0
-    # (the contract must not depend on incidental group sizes — ADVICE r9)
-    ks = {
-        g: sorted({1, max(1, n // 2), max(1, (9 * n) // 10), n})
-        for g, n in counts.items()
-    }
+    # ranks derive from the core's own per-group seed counts (no separate
+    # counts job); GREATEST(1, ·) on both sides so a 1-row group can't
+    # produce rank 0 (the contract must not depend on incidental group
+    # sizes — ADVICE r9)
     return grouped_kth_smallest(
         d.select("lang", F.col("n_chars").cast("double").alias("n_chars")),
         "n_chars",
         "lang",
-        ks,
+        lambda n: sorted({1, max(1, n // 2), max(1, (9 * n) // 10), n}),
     )
 
 

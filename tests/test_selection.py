@@ -134,3 +134,28 @@ def test_grouped_validation(spark) -> None:
         grouped_kth_smallest(df, "x", "g", {"missing": [1]})
     with pytest.raises(ValueError, match="empty rank list"):
         grouped_kth_smallest(df, "x", "g", {"a": []})
+
+
+def test_grouped_callable_ranks(spark) -> None:
+    """ks_by_group as a callable: ranks derive from the core's own seed
+    counts (no caller-side counts job) and must equal the dict form."""
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest
+
+    rows = [("a", float(i)) for i in range(10)] + [("b", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    via_fn = {
+        (r["g"], r["k"]): r["value"]
+        for r in grouped_kth_smallest(
+            df, "x", "g", lambda n: sorted({1, n // 2, n})
+        ).collect()
+    }
+    via_dict = {
+        (r["g"], r["k"]): r["value"]
+        for r in grouped_kth_smallest(
+            df, "x", "g", {"a": [1, 5, 10], "b": [1, 2, 5]}
+        ).collect()
+    }
+    assert via_fn == via_dict == {
+        ("a", 1): 0.0, ("a", 5): 4.0, ("a", 10): 9.0,
+        ("b", 1): 0.0, ("b", 2): 1.0, ("b", 5): 4.0,
+    }
