@@ -284,12 +284,12 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH c AS (
       SELECT lang, count(*) AS n FROM documents
-      WHERE n_chars IS NOT NULL GROUP BY lang
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY lang
     ),
     r AS (
       SELECT lang, n_chars AS value,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
-      FROM documents WHERE n_chars IS NOT NULL
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
     )
     SELECT r.lang, rn AS k, CAST(value AS DOUBLE) AS value
     FROM r JOIN c USING (lang)
@@ -306,7 +306,10 @@ def group_kth_values(spark: SparkSession, sf: str) -> DataFrame:
     the operator avoids at 100 TB. Values are input integers carried as
     doubles verbatim (rank picks — permutation-invariant, ties included);
     ranks derive from per-group nulls-excluded counts, mirroring the
-    oracle's integer arithmetic."""
+    oracle's integer arithmetic. Both sides state the nulls-excluded
+    contract explicitly: NULL values AND NULL groups are out (the
+    operator filters group_col.isNotNull(); the oracle says
+    lang IS NOT NULL — ADVICE r10's 'incidental null-freeness' class)."""
     from .operators.selection import grouped_kth_smallest
 
     d = load(spark, sf, "documents")

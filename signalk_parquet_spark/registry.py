@@ -282,21 +282,32 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r10 window (2 new + 2 edited + 24 r06 + 22 r07 = 50), generated
+#: r10 window (3 new + 2 edited + 24 r06 + 21 r07 = 50), generated
 #: VERBATIM from `tools/window_check.py --suggest` over the
 #: CORRECTNESS_r01-r09 union (the r9-verdict Next #1 rotation — the whole
 #: r06-stale cohort gets fresh driver evidence this round, so after r10
 #: no gate's evidence predates r7). NEW: weighted_sample_aes (A-ES
 #: weighted sampling vs a full-ORDER-BY oracle), rollup_incremental_
-#: angular (incremental == full recompute on nano-int partials). EDITED
+#: angular (incremental == full recompute on nano-int partials), and the
+#: late group_kth_values (per-group selection) — which displaced the last
+#: r07 fill slot, so spatial_bbox_meridian ceded to r11. EDITED
 #: (fingerprint-detected): warc_import_records (line-preserving extractor,
 #: recomputed fixture literals), global_kth_values (nulls-excluded rank
 #: contract + fused-histogram plan). The r06 cohort keeps the
 #: decontaminate_bloom + bloom_fp_rate pair contiguous and the media/bpe/
 #: ivfpq families grouped (shared session memo builds). Still outside
-#: after r10 (lead r11): the r07 tail from spatial_radius onward —
-#: spatial_radius, spatial_semi_join, dist_traveled_km, glitch_speed_legs
-#: and the rest of the r07 cohort, all r07-green and unchanged.
+#: after r10 (lead r11): spatial_bbox_meridian (ceded its slot), then the
+#: r07 tail — spatial_radius, spatial_semi_join, dist_traveled_km,
+#: glitch_speed_legs and the rest of the r07 cohort, all r07-green and
+#: unchanged.
+#:
+#: bpe_train_merges deliberately SPENDS a window slot despite having no
+#: oracle (its driver row is the weaker rows-only check; exactness
+#: evidence is tests/test_bpe.py's three-way differential): it keeps the
+#: bpe memo family contiguous — bpe_pair_counts shares the session's
+#: corpus→word-table memo, so splitting them would re-charge that build
+#: to whichever gate runs first and skew per-query bench attribution
+#: (ADVICE r10 asked for this to be documented or excluded; documented).
 _WINDOW_FIRST: tuple[str, ...] = (
     # --- new this round (r10): A-ES weighted sampling + angular incremental ---
     "weighted_sample_aes",

@@ -26,8 +26,12 @@ script/style/template/noscript subtree drops that survive tag soup the
 regexes cannot (attributes containing '>', comments wrapping markup),
 hidden-element drops (hidden attr, display:none/visibility:hidden),
 <pre> newline preservation, and the same block-boundary line semantics
-C4's line rules consume. Boilerplate REMOVAL (trafilatura/jusText-style
-main-content scoring) remains out of scope; extraction itself is real.
+C4's line rules consume. On top of extraction, boilerplate REMOVAL is
+implemented jusText-style (Pomikálek 2011 thresholds): classify_block /
+extract_content_blocks score each DOM block by link density, length and
+stopword density, a context pass rescues short blocks adjacent to good
+prose, and extract_main_content re-joins the kept blocks into page-level
+main content (tests/test_boilerplate.py).
 
 No reference parity claim: the reference has no web-corpus surface; this
 is a beyond-reference LLM-pipeline source (BASELINE extension set).
@@ -394,7 +398,8 @@ def html_content_blocks(
     (map-only, rides the ingest scan — zero exchange like the quality
     filters), one output row per block with features + the jusText-style
     keep decision. ``id_col`` must be integral (the block row's join key
-    back to the page)."""
+    back to the page) and is emitted under its OWN name — a caller's
+    custom id column survives into the block rows."""
     import pandas as pd
 
     from ..functions.text import EN_STOPWORDS
@@ -410,9 +415,12 @@ def html_content_blocks(
                     rows.append({"doc_id": i, **blk})
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(
+    out = df.select(
         F.col(id_col).cast("long").alias(id_col), html_col
     ).mapInPandas(fn, _BLOCK_SCHEMA)
+    # _BLOCK_SCHEMA names the id field 'doc_id'; hand the caller's name back
+    # so downstream groupBy(id_col)/joins resolve for custom id columns
+    return out.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else out
 
 
 def extract_main_content(

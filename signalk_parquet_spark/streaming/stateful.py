@@ -1141,14 +1141,40 @@ def streaming_weighted_sample(
     and batch samples agree bit-for-bit on identical input sets, and
     at-least-once replays deduplicate by id inside the state (the key is
     content-derived, a replay cannot change it). State is k entries per
-    group — constant-size, hash-partitioned across the state store."""
+    group — constant-size, hash-partitioned across the state store.
+
+    Unlike the batch twin (which accepts any id type), the state schema
+    holds ids as BIGINT, so id_col must be an integral column — a silent
+    cast of a string id to NULL would collapse every row into seen={None}
+    and corrupt the sample without an error. Non-integral id columns are
+    rejected at plan time (pre-hash with F.xxhash64 if needed — note the
+    sampling key then ranks on the hashed id, diverging from a batch run
+    over the original column); NULL ids fail loudly per row."""
     from ..operators.sampling import aes_key_col
 
     if k < 1:
         raise ValueError(f"sample size k must be >= 1, got {k}")
+    id_type = stream.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"streaming_weighted_sample: id column {id_col!r} is "
+            f"{id_type.simpleString()}, but the state schema holds BIGINT ids — "
+            "a lossy cast would turn non-numeric ids into NULL and silently "
+            "corrupt the sample. Hash it to a long first (e.g. "
+            "F.xxhash64(col)) or use the batch operator weighted_sample."
+        )
     w = F.col(weight_col)
+    id_long = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"streaming_weighted_sample: NULL {id_col} — a content-hash "
+                "sampling key requires a non-null stable id for every row"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col).cast("long"))
     keyed = stream.filter(w.isNotNull() & (w > 0)).select(
-        F.col(id_col).cast("long").alias("id"),
+        id_long.alias("id"),
         w.cast("long").alias("wt"),
         aes_key_col(id_col, weight_col, salt).alias("skey"),
         (

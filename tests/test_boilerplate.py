@@ -91,3 +91,15 @@ def test_spark_operators_blocks_and_main_content(spark) -> None:
     assert main[1] == "\n".join(
         ["The Voyage", P1, P2, "Fig. 1: the ship"]
     )
+
+
+def test_custom_id_col_resolves(spark) -> None:
+    """A non-default id_col must survive into the block rows and resolve
+    in extract_main_content's groupBy (regression: the id used to come
+    back hardcoded as 'doc_id', leaving groupBy(id_col) unresolved)."""
+    df = spark.createDataFrame([(7, PAGE)], "page_id long, html string")
+    blocks = html_content_blocks(df, "html", id_col="page_id", stopwords=STOPS)
+    assert "page_id" in blocks.columns and "doc_id" not in blocks.columns
+    main = extract_main_content(df, "html", id_col="page_id", stopwords=STOPS).collect()
+    assert [r["page_id"] for r in main] == [7]
+    assert main[0]["text"].startswith("The Voyage")

@@ -10,6 +10,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from signalk_parquet_spark.operators.sampling import weighted_sample
 
@@ -121,3 +122,43 @@ def test_streaming_twin_matches_batch(spark, tmp_path) -> None:
         for r in weighted_sample(_df(spark, rows), "doc_id", "wt", 25).collect()
     ]
     assert list(zip(merged["id"].tolist(), merged["wt"].tolist())) == batch
+
+
+def test_streaming_twin_rejects_non_integral_id(spark) -> None:
+    """The state schema holds BIGINT ids; a string id would cast to NULL
+    and silently collapse the sample into seen={None} — the plan-time
+    guard refuses the column type before any data flows."""
+    from signalk_parquet_spark.streaming.stateful import streaming_weighted_sample
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(F.col("value").cast("string").alias("doc_id"),
+                (F.col("value") % 5 + 1).alias("wt"))
+    )
+    with pytest.raises(ValueError, match="BIGINT ids"):
+        streaming_weighted_sample(stream, "doc_id", "wt", k=5)
+
+
+def test_streaming_twin_null_id_fails_loudly(spark, tmp_path) -> None:
+    """A NULL id inside otherwise-integral data must raise, not be
+    deduplicated into the sample as None (mirrors write_shards' guard)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    from signalk_parquet_spark.streaming.stateful import streaming_weighted_sample
+
+    schema = "doc_id long, wt long"
+    src = str(tmp_path / "wsnull_src")
+    spark.createDataFrame([(1, 3), (None, 4), (2, 5)], schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_weighted_sample(stream, "doc_id", "wt", k=5, n_groups=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wsnull_out")
+        .option("checkpointLocation", str(tmp_path / "wsnull_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError), match="NULL doc_id"):
+        q.awaitTermination(120)
