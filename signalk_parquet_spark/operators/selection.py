@@ -115,6 +115,7 @@ def grouped_kth_smallest(
     buckets: int = 1024,
     band_limit: int = 65536,
     max_rounds: int = 64,
+    max_groups: int = 2_000,
 ) -> DataFrame:
     """Exact PER-GROUP order statistics without per-group sorts: for each
     group g, the values at ranks ``ks_by_group[g]`` of that group's
@@ -133,19 +134,81 @@ def grouped_kth_smallest(
     ``ks_by_group`` may instead be a CALLABLE ``n -> list[ranks]``: ranks
     derive per group from the core's own seed counts (one job saved — a
     caller would otherwise run the identical per-group count aggregate
-    just to compute its rank lists), applied to every group present."""
+    just to compute its rank lists), applied to every group present.
+
+    GROUP-CARDINALITY CONTRACT: the core's per-round driver traffic is
+    O(active_bands x buckets) histogram rows and the band-id expression
+    has one branch per band — both scale with GROUP COUNT, which is
+    exactly the right trade at language/domain/source cardinality (tens
+    to hundreds of groups narrowing huge groups without their sort
+    exchange) and exactly the wrong one at per-host/per-URL cardinality:
+    measured at G=1000/N=2M the width-G expression alone costs 33 s of
+    analysis+codegen against the sorted path's 1.6 s
+    (tools/selection_ramp.py --groups). Above ``max_groups`` (checked
+    against the seed aggregate's row count, before any per-round work)
+    the call fails loudly; use :func:`grouped_kth_smallest_sorted` there
+    — at high G each group is small enough that the hash-partitioned
+    per-group sort is the textbook plan and the driver stays out of it
+    entirely."""
     if not ks_by_group:
         raise ValueError("ks_by_group must be non-empty")
     c = F.col(col)
     base = df.filter(c.isNotNull() & F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("g"), c.alias("v")
     )
-    results = _selection_core(base, ks_by_group, buckets, band_limit, max_rounds)
+    results = _selection_core(
+        base, ks_by_group, buckets, band_limit, max_rounds, max_groups
+    )
     rows = [
         (g, int(k), float(v))
         for (g, k), v in sorted(results.items(), key=lambda t: (str(t[0][0]), t[0][1]))
     ]
     return df.sparkSession.createDataFrame(rows, [group_col, "k", "value"])
+
+
+def grouped_kth_smallest_sorted(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    ranks_sql: str,
+) -> DataFrame:
+    """Per-group order statistics for HIGH group cardinality (10^5-10^7
+    groups — per-host/per-domain curation asks): one hash exchange
+    partitioned by group + per-group sort, row_number pick. The
+    complement of :func:`grouped_kth_smallest`, which narrows FEW huge
+    groups without their sort exchange but pays O(bands x buckets) driver
+    histogram rows per round and a band-per-group CASE — linear in G.
+    Here NOTHING touches the driver: counts, ranks and picks all stay in
+    the frame, parallelism is the group count, and each task externally
+    sorts only its own groups' rows; the full-data exchange this pays is
+    the honest price, amortized over G-way parallelism (the banded path's
+    win is real only while G is small — tools/selection_ramp.py --groups
+    measures the crossover).
+
+    ``ranks_sql`` is a SQL expression over the BIGINT column ``n`` (the
+    group's nulls-excluded count) returning ARRAY<BIGINT> — e.g.
+    ``"array(1, greatest(1, n div 2), greatest(1, (9*n) div 10), n)"`` —
+    evaluated JVM-side per row (no per-group Python). Returns
+    (group_col, k BIGINT, value DOUBLE), the banded operator's schema, so
+    the two paths are drop-in interchangeable (differential-tested)."""
+    from pyspark.sql import Window
+
+    c = F.col(col)
+    base = df.filter(c.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col), c.alias("_v")
+    )
+    wr = Window.partitionBy(group_col).orderBy("_v")
+    wn = Window.partitionBy(group_col)
+    return (
+        base.withColumn("_rn", F.row_number().over(wr).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+        .filter(F.array_contains(F.expr(ranks_sql), F.col("_rn")))
+        .select(
+            group_col,
+            F.col("_rn").alias("k"),
+            F.col("_v").cast("double").alias("value"),
+        )
+    )
 
 
 def _selection_core(
@@ -154,6 +217,7 @@ def _selection_core(
     buckets: int,
     band_limit: int,
     max_rounds: int,
+    max_groups: int = 2_000,
 ) -> dict:
     """Bucket-count selection over a (g, v) frame for tags (group, rank),
     organized around BANDS — the distinct row subsets the recursion is
@@ -167,16 +231,31 @@ def _selection_core(
     carry count AND min/max (the child band's stats are known the moment
     its bucket is chosen — no stats job exists) plus one shared finish
     window. Returns {(group, rank): value}."""
-    seed = {
-        r["g"]: r
-        for r in base.groupBy("g")
+    # the guard trips BEFORE any per-round work (the band CASE and the
+    # histogram collects — the parts that scale with G); the seed collect
+    # itself is O(G) scalar rows, loud and bounded by the raise below
+    # (a .limit() would bound it tighter but CollectLimit's incremental
+    # partition probing adds 2-3 jobs to EVERY call — wrong trade for the
+    # in-contract small-G case)
+    seed_rows = (
+        base.groupBy("g")
         .agg(
             F.count("v").alias("cnt"),
             F.min("v").alias("vmin"),
             F.max("v").alias("vmax"),
         )
         .collect()
-    }
+    )
+    if len(seed_rows) > max_groups:
+        raise ValueError(
+            f"grouped selection saw more than max_groups={max_groups} groups — "
+            "per-round driver histogram traffic and the band-id CASE scale "
+            "with group count, so high-cardinality grouping belongs on "
+            "grouped_kth_smallest_sorted (hash-partitioned per-group sort, "
+            "zero driver traffic) instead; raise max_groups only if the "
+            "group count is genuinely bounded"
+        )
+    seed = {r["g"]: r for r in seed_rows}
     if callable(ks_by_group):
         ks_by_group = {g: ks_by_group(seed[g]["cnt"]) for g in seed}
     for g, ks in ks_by_group.items():
@@ -205,16 +284,16 @@ def _selection_core(
     def _banded(band_list: list[dict]) -> DataFrame:
         """ONE scan covering every listed band: bands are mutually DISJOINT
         by construction (distinct groups, or distinct buckets of one
-        parent), so a chained-CASE band id replaces a per-band union —
+        parent), so a single band-id expression replaces a per-band union —
         each round's job reads the base exactly once no matter how many
-        bands are active."""
-        bid = None
-        for i, band in enumerate(band_list):
-            bid = (
-                F.when(band["cond"], F.lit(i))
-                if bid is None
-                else bid.when(band["cond"], F.lit(i))
-            )
+        bands are active. The id is coalesce(when(cond_i, i), ...) — WIDTH
+        O(bands), depth O(1); a chained CASE is depth O(bands) and
+        overflows catalyst's stack near a thousand bands (measured at
+        G=1000 — this is what bounds the operator, not driver traffic
+        alone). Disjointness makes coalesce's first-match order-free."""
+        bid = F.coalesce(
+            *[F.when(band["cond"], F.lit(i)) for i, band in enumerate(band_list)]
+        )
         return base.select(bid.alias("bid"), "v").filter(F.col("bid").isNotNull())
 
     for _ in range(max_rounds):
@@ -257,13 +336,19 @@ def _selection_core(
                     hist.append((band, _sign_split_expr(F.col("v")), 3))
         if finish:
             # every small band finishes in ONE window job: rank within
-            # band, each band keeping its own rank SET via a bid-keyed CASE
-            keep = None
-            for i, band in enumerate(finish):
-                c = (F.col("bid") == i) & F.col("rn").isin(
-                    [int(r) for r in band["tags"]]
-                )
-                keep = c if keep is None else keep | c
+            # band, each band keeping its own rank SET — coalesce-of-whens
+            # (width O(bands)) for the same stack-depth reason as _banded;
+            # an unmatched row coalesces to NULL and the filter drops it
+            keep = F.coalesce(
+                *[
+                    F.when(
+                        (F.col("bid") == i)
+                        & F.col("rn").isin([int(r) for r in band["tags"]]),
+                        F.lit(True),
+                    )
+                    for i, band in enumerate(finish)
+                ]
+            )
             from pyspark.sql import Window
 
             win = Window.partitionBy("bid").orderBy("v")
@@ -281,13 +366,10 @@ def _selection_core(
             continue
         # the histogram carries each bucket's count AND min/max — exactly
         # the stats a child band needs, so no separate stats job ever runs
-        bexpr_of = None
-        for i, (_band, bexpr, _nb) in enumerate(hist):
-            bexpr_of = (
-                F.when(F.col("bid") == i, bexpr)
-                if bexpr_of is None
-                else bexpr_of.when(F.col("bid") == i, bexpr)
-            )
+        # (coalesce-of-whens on the disjoint bid, not a chained CASE)
+        bexpr_of = F.coalesce(
+            *[F.when(F.col("bid") == i, bexpr) for i, (_band, bexpr, _nb) in enumerate(hist)]
+        )
         counts = {
             (r["bid"], r["b"]): (r["cnt"], r["bmin"], r["bmax"])
             for r in _banded([band for band, _be, _nb in hist])

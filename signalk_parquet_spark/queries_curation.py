@@ -1395,3 +1395,105 @@ def warc_import_records(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         "quarantined",
     )
+
+
+#: (uri, html_body, expected html_to_text_dom output) — each page isolates a
+#: DOM-extractor capability the regex mode CANNOT reproduce (page 0's
+#: attribute '>' truncates the regex tag match; page 1's comment leaves
+#: residue), so a silent fallback to the regex path goes red, not just a
+#: formatting drift. Expected strings are hand-derived from the parser
+#: semantics (block tags break lines on start AND end; inline tags
+#: contribute no whitespace; <pre> keeps raw newlines; hidden subtrees and
+#: comments vanish; implicit closes pop the stack browser-style).
+_WARC_DOM_PAGES = [
+    (
+        "http://example.com/tagsoup",
+        '<html><body><p title="a>b">Alpha &amp; beta.</p></body></html>',
+        "Alpha & beta.",
+    ),
+    (
+        "http://example.com/comment",
+        "<html><body><!-- <div>never rendered</div> --><p>Visible text here.</p></body></html>",
+        "Visible text here.",
+    ),
+    (
+        "http://example.com/hidden",
+        '<html><body><p hidden>secret</p><div style="display:none"><p>also secret</p></div>'
+        "<p>Shown line.</p></body></html>",
+        "Shown line.",
+    ),
+    (
+        "http://example.com/pre",
+        "<html><body><pre>line one\nline two</pre><p>Hello <b>world</b>!</p></body></html>",
+        "line one\nline two\nHello world!",
+    ),
+    (
+        "http://example.com/soupnest",
+        "<html><body><p>First para<p>Second para</p></div></body></html>",
+        "First para\nSecond para",
+    ),
+]
+
+
+def _write_warc_dom_fixture() -> list[str]:
+    """One plain WARC file of response records whose HTML exercises the
+    DOM extractor's distinguishing cases (shares the warc_import_records
+    record/HTTP framing helpers — framing itself is that gate's subject)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_fixture")
+    os.makedirs(d, exist_ok=True)
+    data = b""
+    for i, (uri, html_body, _) in enumerate(_WARC_DOM_PAGES):
+        data += _warc_record(
+            f"urn:test:dom{i}", "response",
+            {
+                "WARC-Date": "2024-01-02T03:04:05Z",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http",
+            },
+            _warc_http(200, html_body),
+        )
+    p = os.path.join(d, "fixture_dom.warc")
+    with open(p, "wb") as fh:
+        fh.write(data)
+    return [p]
+
+
+def _warc_dom_oracle() -> str:
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n      ".join(
+        f"({lit(f'urn:test:dom{i}')}, {lit(uri)}, {lit(text)})"
+        for i, (uri, _, text) in enumerate(_WARC_DOM_PAGES)
+    )
+    return f"""
+    SELECT record_id, CAST(target_uri AS VARCHAR) AS target_uri,
+           CAST(text AS VARCHAR) AS text
+    FROM (VALUES
+      {vals}
+    ) t(record_id, target_uri, text)
+    """
+
+
+@register("warc_dom_extract", _warc_dom_oracle())
+def warc_dom_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """The DOM extraction mode (sources/warc.py html_to_text_dom — the
+    extractor a real crawl pipeline selects) driver-gated against
+    hand-computed literals, through the full WARC path
+    (import_warc_files(extractor="dom")): tag-soup attributes containing
+    '>' (truncates the regex mode's tag match — a silent fallback goes
+    red), comments wrapping markup, hidden subtrees (hidden attr +
+    display:none), <pre> raw-newline preservation next to
+    inline-tags-contribute-no-whitespace, and browser-style implicit
+    closes under sloppy nesting. sf-independent (import source)."""
+    from .sources.warc import import_warc_files
+
+    df = import_warc_files(spark, _write_warc_dom_fixture(), extractor="dom")
+    return df.select(
+        F.regexp_replace("record_id", "^<|>$", "").alias("record_id"),
+        "target_uri",
+        "text",
+    )

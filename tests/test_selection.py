@@ -159,3 +159,105 @@ def test_grouped_callable_ranks(spark) -> None:
         ("a", 1): 0.0, ("a", 5): 4.0, ("a", 10): 9.0,
         ("b", 1): 0.0, ("b", 2): 1.0, ("b", 5): 4.0,
     }
+
+
+def test_max_groups_guard(spark) -> None:
+    """Above max_groups the call must fail loudly (driver histogram
+    traffic and the band CASE scale with G), naming the sorted path."""
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest
+
+    rows = [(f"g{i}", float(j)) for i in range(5) for j in range(3)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    with pytest.raises(ValueError, match="grouped_kth_smallest_sorted"):
+        grouped_kth_smallest(df, "x", "g", lambda n: [1], max_groups=3)
+    # at the boundary it still runs
+    got = grouped_kth_smallest(df, "x", "g", lambda n: [1], max_groups=5)
+    assert got.count() == 5
+
+
+RANKS_SQL = "array(1, greatest(1, n div 2), greatest(1, (9*n) div 10), n)"
+
+
+def test_sorted_path_matches_banded(spark) -> None:
+    """grouped_kth_smallest_sorted (the high-G hash-sort path) must be a
+    drop-in twin of the banded operator: same schema, identical (group,
+    k, value) picks on duplicate-heavy data with nulls in both columns."""
+    from signalk_parquet_spark.operators.selection import (
+        grouped_kth_smallest,
+        grouped_kth_smallest_sorted,
+    )
+
+    rng = random.Random(33)
+    rows = []
+    for g, n in (("en", 400), ("zh", 37), ("de", 1)):
+        rows += [(g, float(rng.choice([1.0, 2.5, 2.5, 7.0, rng.uniform(0, 9)])))
+                 for _ in range(n)]
+    rows += [("en", None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "lang string, x double").repartition(8)
+
+    def per_group(n: int) -> list[int]:
+        return sorted({1, max(1, n // 2), max(1, (9 * n) // 10), n})
+
+    banded = {
+        (r["lang"], r["k"]): r["value"]
+        for r in grouped_kth_smallest(df, "x", "lang", per_group).collect()
+    }
+    srt = grouped_kth_smallest_sorted(df, "x", "lang", RANKS_SQL)
+    assert srt.columns == ["lang", "k", "value"]
+    assert {(r["lang"], r["k"]): r["value"] for r in srt.collect()} == banded
+
+
+def test_sorted_path_single_exchange_no_driver(spark) -> None:
+    """Plan shape: ONE hash exchange on the group key, no range exchange
+    (the global-sort shape), nothing collected — the property that lets
+    it scale to 10^5+ groups where the banded path's guard trips."""
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest_sorted
+
+    df = spark.createDataFrame(
+        [(f"g{i % 50}", float(i)) for i in range(500)], "g string, x double"
+    ).repartition(8)
+    plan = (
+        grouped_kth_smallest_sorted(df, "x", "g", RANKS_SQL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.lower().count("hashpartitioning(g") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_small_groups_skip_histogram_rounds(spark) -> None:
+    """Fast path: when every group's seed count is <= band_limit, the
+    operator runs ONLY the seed aggregate + the shared finish window — no
+    histogram round exists to charge. Pinned RELATIVELY: the same data
+    under a tiny band_limit (forcing histogram rounds) must use strictly
+    more jobs, and the small-group run at most the seed+finish pair
+    (a job per AQE stage materialization at worst)."""
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest
+
+    rows = [(f"g{i % 4}", float(i)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(8)
+    df.count()  # warm the frame so job counts below are the operator's own
+    sc = spark.sparkContext
+
+    def jobs(tag: str, **kw) -> tuple[int, dict]:
+        sc.setJobGroup(tag, "selection job count")
+        try:
+            out = {
+                (r["g"], r["k"]): r["value"]
+                for r in grouped_kth_smallest(
+                    df, "x", "g", lambda n: [1, n // 2, n], **kw
+                ).collect()
+            }
+        finally:
+            sc.setJobGroup("", "")
+        tracker = sc.statusTracker()
+        return len(tracker.getJobIdsForGroup(tag)), out
+
+    fast_jobs, fast_out = jobs("selfast", band_limit=65536)
+    slow_jobs, slow_out = jobs("selslow", band_limit=64, buckets=4)
+    assert fast_out == slow_out
+    assert fast_jobs < slow_jobs, (fast_jobs, slow_jobs)
+    # two logical round-trips (seed aggregate, finish window) + the result
+    # LocalTableScan collect; AQE materializes each shuffle stage as its
+    # own job, so the ceiling is 3 jobs per query + 1 — any histogram
+    # round would add >= 2 more (measured: fast 7 vs slow 13)
+    assert fast_jobs <= 7, fast_jobs

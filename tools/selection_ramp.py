@@ -26,6 +26,20 @@ grouped rows quantify is the full-data exchange the sort pays and the
 selection never does — the term a 1000-executor network bills for.
 
 Run: python tools/selection_ramp.py   (~2-4 min; prints one table)
+
+--groups mode (the r10-verdict scale corner): group-CARDINALITY ramp at
+fixed N=2M. The banded operator's driver traffic and band-id expression
+WIDTH scale with G (a chained CASE additionally scaled stack DEPTH with
+G and overflowed catalyst near a thousand bands — rewritten to
+coalesce-of-whens, which analyzes but costs ~MB task binaries at kilo-G),
+so above max_groups it refuses (demonstrated live at G=100k) and the
+hash-sort path grouped_kth_smallest_sorted takes over — zero driver
+traffic, one exchange, parallelism G. The two paths are
+differential-checked at G=1000 where both run. Measured (local[32],
+N=2M): G=1e3 banded 33.2 s vs sorted 1.6 s — banded is deep in its
+wrong regime at kilo-G (its win is FEW huge groups, where the sort's
+exchange dominates); G=1e5 banded raises the guard, sorted 2.7 s —
+flat in G, which is the whole point.
 """
 
 from __future__ import annotations
@@ -41,18 +55,20 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from signalk_parquet_spark.operators.selection import (  # noqa: E402
     grouped_kth_smallest,
+    grouped_kth_smallest_sorted,
     kth_smallest_values,
 )
 from signalk_parquet_spark.session import get_spark  # noqa: E402
 
 GROUPS = 8
+RANKS_SQL = "array(1, greatest(1, n div 2), greatest(1, (9*n) div 10), n)"
 
 
-def frame(spark, n: int):
+def frame(spark, n: int, groups: int = GROUPS):
     df = (
         spark.range(n, numPartitions=32)
         .select(
-            (F.col("id") % GROUPS).cast("string").alias("g"),
+            (F.col("id") % groups).cast("string").alias("g"),
             # hash-derived double in [0, 1): deterministic, no ties at these n
             (
                 F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
@@ -64,6 +80,48 @@ def frame(spark, n: int):
     )
     df.count()
     return df
+
+
+def per_group_ranks(m: int) -> list[int]:
+    return sorted({1, max(1, m // 2), max(1, (9 * m) // 10), m})
+
+
+def groups_ramp() -> None:
+    """Group-cardinality ramp: banded vs sorted at G=1e3 (differential),
+    guard trip + sorted-only wall at G=1e5."""
+    spark = get_spark("selection-ramp-groups")
+    n = 2_000_000
+    print(f"rows={n} per-group ranks=4 (group-cardinality ramp)")
+    print(f"{'groups':>8} {'banded_s':>9} {'sorted_s':>9} {'match':>8}")
+    for g in (1_000, 100_000):
+        df = frame(spark, n, groups=g)
+        try:
+            t0 = time.time()
+            try:
+                banded = {
+                    (r["g"], r["k"]): r["value"]
+                    for r in grouped_kth_smallest(
+                        df, "v", "g", per_group_ranks
+                    ).collect()
+                }
+                t_banded = f"{time.time() - t0:.2f}"
+            except ValueError as e:
+                assert "grouped_kth_smallest_sorted" in str(e)
+                banded, t_banded = None, "GUARD"
+            t0 = time.time()
+            srt = {
+                (r["g"], r["k"]): r["value"]
+                for r in grouped_kth_smallest_sorted(df, "v", "g", RANKS_SQL).collect()
+            }
+            t_sorted = time.time() - t0
+            ok = "OK" if banded is None or banded == srt else "DIVERGED"
+            print(f"{g:>8} {t_banded:>9} {t_sorted:>9.2f} {ok:>8}")
+            if ok == "DIVERGED":
+                raise SystemExit(f"differential failed at groups={g}")
+            # every group present with its 4 distinct ranks (n/g >= 20)
+            assert len(srt) == g * 4, (len(srt), g)
+        finally:
+            df.unpersist()
 
 
 def main() -> None:
@@ -130,4 +188,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--groups" in sys.argv:
+        groups_ramp()
+    else:
+        main()
