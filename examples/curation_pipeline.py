@@ -228,6 +228,25 @@ def main() -> None:
     quota = q["curation_quota"](spark, sf)
     n5 = quota.count()
 
+    # 5b. per-language p99 length clip (grouped_kth_smallest — a GLOBAL
+    # p99 would over-clip short-form languages): thresholds come from the
+    # banded per-group selection (no per-group sort exchange), applied
+    # via one broadcast join of the G-row threshold table
+    from signalk_parquet_spark.operators.selection import grouped_kth_smallest
+
+    clip_thr = grouped_kth_smallest(
+        kept.filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", F.col("n_chars").cast("double").alias("n_chars")),
+        "n_chars",
+        "lang",
+        lambda n: [max(1, (99 * n) // 100)],
+    ).select("lang", F.col("value").alias("p99"))
+    before_clip = kept.count()
+    kept = kept.join(F.broadcast(clip_thr), "lang").filter(
+        F.col("n_chars").cast("double") <= F.col("p99")
+    ).drop("p99")
+    n5b = kept.count()
+
     # 6. mix re-balancing: deterministically downsample the dominant
     # language, then pack the surviving train docs into 512-token chunks
     sample = stratified_sample(kept, "doc_id", "lang", {"en": 0.5})
@@ -259,6 +278,16 @@ def main() -> None:
     )
     n_chunks = packed.select("shard", "chunk_id").distinct().count()
     n7 = packed.count()
+    # 6c. reproducible epoch order: every train doc gets its exact global
+    # position under a content-hash permutation (hash exchange on the key
+    # prefix — never the range sort a global row_number plans); a new salt
+    # is a new epoch's independent order
+    from signalk_parquet_spark.operators.ordering import global_shuffle_rank
+
+    epoch_order = global_shuffle_rank(
+        kept.filter(F.col("split") == "train"), "doc_id", salt="epoch0"
+    )
+    first_docs = [r["doc_id"] for r in epoch_order.orderBy("pos").limit(3).collect()]
 
     # 6b. tokenizer: learn BPE merges from the CURATED train split (the
     # order real pipelines use — train the tokenizer after cleaning, or
@@ -372,10 +401,12 @@ def main() -> None:
           f"({w_removed} contaminated words removed)")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
     print(f"per-language quota sample: {n5}")
+    print(f"per-language p99 length clip: {before_clip} -> {n5b}")
     print(f"after mix re-balancing: {n6}")
     print(f"epoch mixture: raw source spread {served['raw_spread']:.2f}:1 "
           f"-> {served['mix_spread']:.2f}:1")
     print(f"packed train docs: {n7} into {n_chunks} x 512-token chunks")
+    print(f"epoch-0 training order: first 3 docs {first_docs}")
     print(f"tokenizer: {len(merges)} learned merges; train split = "
           f"{n_ws} whitespace tokens -> {n_bpe} BPE subword tokens")
     print(f"audio sidecar: {na0} clips -> {na1} after spectral screen "

@@ -325,6 +325,84 @@ def group_kth_values(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "group_length_clip",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    t AS (
+      SELECT r.lang, CAST(n_chars AS DOUBLE) AS p99
+      FROM r JOIN c USING (lang)
+      WHERE rn = GREATEST(1, (99 * n) // 100)
+    )
+    SELECT d.lang, t.p99 AS p99, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN t ON d.lang = t.lang AND d.n_chars <= t.p99
+    GROUP BY d.lang, t.p99
+    """,
+)
+def group_length_clip(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length clipping — the standard pretraining-mix step
+    "drop every document above its own language's p99 length" (a GLOBAL
+    p99 over-clips short-form languages and under-clips long-form ones),
+    as the first curation CONSUMER of grouped_kth_smallest: the p99
+    thresholds come from the banded per-group selection (2-3 un-shuffled
+    scans; the oracle pays a per-group sort exchange for the same ranks),
+    then one broadcast join applies them — the threshold table is
+    G rows, never data-sized. Threshold compares on a value continuum
+    (rule 4: safe) and counts are integers, so the gate is engine-exact
+    with no rounding anywhere."""
+    from .operators.selection import grouped_kth_smallest
+
+    d = load(spark, sf, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    thr = grouped_kth_smallest(
+        d.select("lang", F.col("n_chars").cast("double").alias("n_chars")),
+        "n_chars",
+        "lang",
+        lambda n: [max(1, (99 * n) // 100)],
+    ).select("lang", F.col("value").alias("p99"))
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_chars").cast("double") <= F.col("p99"))
+        .groupBy("lang", "p99")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "corpus_shuffle_rank",
+    """
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'shuffle')), doc_id
+           ) AS pos
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def corpus_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/ordering.
+    global_shuffle_rank): every document's exact 1-based position under
+    ORDER BY (md5(id||salt), id) — the training-order permutation before
+    sequence packing, reproducible across reruns/retries/engines because
+    the key is a content hash, not rand(). The oracle IS the global
+    window sort (a full range exchange at scale); the operator plans the
+    identical permutation as a hash exchange on the key's 16-bit-prefix
+    bucket + a buckets-row offset broadcast — no sampling, no range
+    partitioner, plan-asserted in tests/test_ordering.py. Integer
+    positions, no rounding anywhere."""
+    from .operators.ordering import global_shuffle_rank
+
+    return global_shuffle_rank(load(spark, sf, "documents"), "doc_id")
+
+
 # --- weighted sampling without replacement (Efraimidis–Spirakis A-ES) -----------------
 _WSAMPLE_K = 200  # strict subset at every SF (documents >= 500 at sf0.001)
 

@@ -282,91 +282,85 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r10 window (3 new + 2 edited + 24 r06 + 21 r07 = 50), generated
-#: VERBATIM from `tools/window_check.py --suggest` over the
-#: CORRECTNESS_r01-r09 union (the r9-verdict Next #1 rotation — the whole
-#: r06-stale cohort gets fresh driver evidence this round, so after r10
-#: no gate's evidence predates r7). NEW: weighted_sample_aes (A-ES
-#: weighted sampling vs a full-ORDER-BY oracle), rollup_incremental_
-#: angular (incremental == full recompute on nano-int partials), and the
-#: late group_kth_values (per-group selection) — which displaced the last
-#: r07 fill slot, so spatial_bbox_meridian ceded to r11. EDITED
-#: (fingerprint-detected): warc_import_records (line-preserving extractor,
-#: recomputed fixture literals), global_kth_values (nulls-excluded rank
-#: contract + fused-histogram plan). The r06 cohort keeps the
-#: decontaminate_bloom + bloom_fp_rate pair contiguous and the media/bpe/
-#: ivfpq families grouped (shared session memo builds). Still outside
-#: after r10 (lead r11): spatial_bbox_meridian (ceded its slot), then the
-#: r07 tail — spatial_radius, spatial_semi_join, dist_traveled_km,
-#: glitch_speed_legs and the rest of the r07 cohort, all r07-green and
-#: unchanged.
+#: r11 window (3 new + 1 edited + 25 r07 + 21 r08 = 50), generated from
+#: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r10 union
+#: (the late corpus_shuffle_rank displaced the last r08 fill slot —
+#: object_component_agg, r08-green and unchanged, leads the r12 fill).
+#: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
+#: path vs hand-computed literals — r10 verdict Next #3),
+#: group_length_clip (per-language p99 length clip, the first curation
+#: consumer of grouped_kth_smallest — Next #5), and corpus_shuffle_rank
+#: (exact global shuffle positions as a hash exchange vs the oracle's
+#: global window sort). EDITED (fingerprint-detected): group_kth_values
+#: — its oracle now states the nulls-excluded-GROUP contract explicitly
+#: (lang IS NOT NULL, ADVICE r10). Then the whole r07-stale cohort (led
+#: by spatial_bbox_meridian, which ceded its r10 slot) and the r08
+#: cohort with the dedup/ann families contiguous (shared session memo
+#: builds). After r11 no gate's evidence predates r8.
 #:
-#: bpe_train_merges deliberately SPENDS a window slot despite having no
-#: oracle (its driver row is the weaker rows-only check; exactness
-#: evidence is tests/test_bpe.py's three-way differential): it keeps the
-#: bpe memo family contiguous — bpe_pair_counts shares the session's
-#: corpus→word-table memo, so splitting them would re-charge that build
-#: to whichever gate runs first and skew per-query bench attribution
-#: (ADVICE r10 asked for this to be documented or excluded; documented).
+#: approx_stats deliberately SPENDS a window slot despite having no
+#: oracle (sketches are engine-specific; its driver row is the weaker
+#: rows-only check, exactness evidence is its pytest differential) —
+#: same documented policy as bpe_train_merges in r10: the rotation
+#: refreshes EVERY stale gate's driver evidence, including rows-only
+#: ones, rather than letting no-oracle gates age out of the record.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- new this round (r10): A-ES weighted sampling + angular incremental ---
-    "weighted_sample_aes",
-    "rollup_incremental_angular",
+    # --- new this round (r11): DOM extraction gate + per-language p99 clip ---
+    "group_length_clip",
+    "warc_dom_extract",
+    "corpus_shuffle_rank",
+    # --- edited r11: group_kth_values oracle nulls-excluded-group contract ---
     "group_kth_values",
-    # --- edited r10: line-preserving WARC extraction (new fixture literals);
-    # global_kth_values: nulls-excluded rank contract + fused-histogram plan ---
-    "warc_import_records",
-    "global_kth_values",
-    # --- stalest: the r06 cohort, suggestion order (bloom pair adjacent,
-    # media/bpe/ivfpq families grouped — they share session memo builds;
-    # order_gaps is the first consumer of whatever it shares: see bench) ---
-    "order_gaps",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "text_top_tokens",
-    "regex_extract_tokens",
-    "unpivot_aligned",
-    "pii_scrub",
-    "quality_gopher",
-    "decontaminate_bloom",
-    "bloom_fp_rate",
-    "mixture_epochs",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "ivfpq_recall",
-    "ann_ivfpq",
-    "scrub_duplicate_spans",
-    "decontaminate_redact",
-    "image_dedup_decisions",
-    "audio_dedup_decisions",
-    "video_dedup_decisions",
-    "image_dedup_decisions_phash",
-    "replay_schedule",
-    # --- fill to 50: the r07 cohort in suggestion order (dedup family first
-    # — dedup_exact now carries the shared shingle-memo build charge) ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_hamming1",
-    "dedup_levenshtein",
-    "knn_bruteforce",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "cobucketed_revenue",
+    # --- stalest: the r07 cohort in suggestion order ---
+    "spatial_bbox_meridian",
+    "spatial_radius",
+    "spatial_semi_join",
+    "dist_traveled_km",
+    "glitch_speed_legs",
+    "proximity_pairs",
+    "threshold_transitions_gt50",
+    "topk_values",
+    "distinct_users",
+    "count_by_type",
+    "curation_hash_split",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "json_extract_props",
+    "text_bpe_tokens",
+    "length_quantiles",
+    "approx_stats",
+    "curation_quota",
+    "decontaminate_ngram",
+    "repetition_score",
+    "curation_diverse",
+    "multimodal_meta",
+    "unigram_seed_counts",
+    # --- fill to 50: the r08 cohort (dedup family then ann family
+    # contiguous — they share session memo builds; dedup_jaccard_prefix is
+    # the window's first shingle-memo consumer this round: see bench) ---
+    "dedup_jaccard_prefix",
+    "minhash_estimate_error",
+    "dedup_keep_longest",
+    "dedup_keep_corpus",
+    "dedup_substring_spans",
+    "dedup_winnowing",
+    "dedup_semantic",
+    "semdedup_recall",
+    "dedup_cluster_cc",
+    "ann_lsh_bucketed",
+    "embedding_neardup",
+    "ann_lsh_multitable",
+    "ann_recall",
+    "ann_ivf",
+    "ivf_recall",
+    "ann_scalar_quant",
+    "asof_last_purchase",
+    "interval_join_pairs",
+    "sessionize_30m",
+    "cube_returnflag_status",
+    "distinct_and_stddev",
 )
 
 
