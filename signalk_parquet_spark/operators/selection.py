@@ -193,6 +193,11 @@ def grouped_kth_smallest_sorted(
     the two paths are drop-in interchangeable (differential-tested)."""
     from pyspark.sql import Window
 
+    if "n" in (col, group_col):
+        raise ValueError(
+            "grouped_kth_smallest_sorted reserves column name 'n' for the "
+            "per-group count ranks_sql reads — rename the input column"
+        )
     c = F.col(col)
     base = df.filter(c.isNotNull() & F.col(group_col).isNotNull()).select(
         F.col(group_col), c.alias("_v")

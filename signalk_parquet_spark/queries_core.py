@@ -332,6 +332,60 @@ def angular_reagg_3h(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- derived data: true wind (SignalK derived-data, beyond-reference) ---------
+#: deterministic synthetic instrument columns over events (both engines
+#: compute them from the same integer arithmetic): AWS 5-24 kn from
+#: event_id, STW 0-7.9 kn from user_id, AWA = value treated as degrees
+_DD_U = "(5 + (event_id % 20)) * cos(radians(value)) - (user_id % 80) / 10.0"
+_DD_V = "(5 + (event_id % 20)) * sin(radians(value))"
+
+
+@register(
+    "true_wind_avg",
+    f"""
+    WITH w AS (
+      SELECT event_type, {_DD_U} AS u, {_DD_V} AS v
+      FROM events
+    )
+    SELECT event_type,
+           {dd_micro_grid(f"atan2({dd_nano_avg('v')}, {dd_nano_avg('u')})")} AS twa_avg_rad,
+           {dd_micro_grid(
+               f"sqrt(({dd_nano_avg('u')}) * ({dd_nano_avg('u')})"
+               f" + ({dd_nano_avg('v')}) * ({dd_nano_avg('v')}))"
+           )} AS tws_vec,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY event_type
+    """,
+)
+def true_wind_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """True-wind derivation + mean-vector aggregation (functions/wind.py —
+    the SignalK derived-data computation the reference's users run
+    upstream of it; beyond-reference, public formula): per row, invert
+    the apparent-wind vector sum (u = AWS*cos(AWA) - STW, v =
+    AWS*sin(AWA); synthetic instruments derived from integer columns so
+    both engines start bit-identical), then per event_type the MEAN WIND
+    VECTOR: direction = atan2 of nano-int-averaged components, magnitude
+    = sqrt on the same two quotients — magnitude-weighted, the
+    meteorological convention. Exactness is the angular_avg machinery
+    verbatim: nano_avg kills summation-order dependence, micro_grid
+    rounds in integer space, and the per-row trig ulp gap is the
+    margin-bounded accepted risk of tests/test_angular_margin.py. The
+    multiplications in the oracle's sqrt are spelled (a)*(a), never
+    power(a, 2) — pow is a libm call with no cross-engine bit contract."""
+    from .functions.wind import true_wind_components
+
+    e = load(spark, sf, "events")
+    aws = (F.lit(5) + F.col("event_id") % 20).cast("double")
+    stw = (F.col("user_id") % 80) / 10.0
+    u, v = true_wind_components(aws, F.radians("value"), stw)
+    au, av = nano_avg("u"), nano_avg("v")
+    return e.select("event_type", u.alias("u"), v.alias("v")).groupBy("event_type").agg(
+        micro_grid(F.atan2(av, au)).alias("twa_avg_rad"),
+        micro_grid(F.sqrt(au * au + av * av)).alias("tws_vec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- §2.8: threshold automation (hysteresis transitions, batch twin) -----------
 @register(
     "threshold_transitions_gt50",

@@ -282,16 +282,19 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r11 window (3 new + 1 edited + 25 r07 + 21 r08 = 50), generated from
+#: r11 window (4 new + 1 edited + 25 r07 + 20 r08 = 50), generated from
 #: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r10 union
-#: (the late corpus_shuffle_rank displaced the last r08 fill slot —
-#: object_component_agg, r08-green and unchanged, leads the r12 fill).
+#: (the late corpus_shuffle_rank and true_wind_avg displaced the last two
+#: r08 fill slots — distinct_and_stddev and object_component_agg,
+#: r08-green and unchanged, lead the r12 fill).
 #: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
 #: path vs hand-computed literals — r10 verdict Next #3),
 #: group_length_clip (per-language p99 length clip, the first curation
 #: consumer of grouped_kth_smallest — Next #5), and corpus_shuffle_rank
 #: (exact global shuffle positions as a hash exchange vs the oracle's
-#: global window sort). EDITED (fingerprint-detected): group_kth_values
+#: global window sort), and true_wind_avg (the SignalK derived-data
+#: computation on the angular exactness machinery). EDITED
+#: (fingerprint-detected): group_kth_values
 #: — its oracle now states the nulls-excluded-GROUP contract explicitly
 #: (lang IS NOT NULL, ADVICE r10). Then the whole r07-stale cohort (led
 #: by spatial_bbox_meridian, which ceded its r10 slot) and the r08
@@ -309,6 +312,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "group_length_clip",
     "warc_dom_extract",
     "corpus_shuffle_rank",
+    "true_wind_avg",
     # --- edited r11: group_kth_values oracle nulls-excluded-group contract ---
     "group_kth_values",
     # --- stalest: the r07 cohort in suggestion order ---
@@ -360,7 +364,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "interval_join_pairs",
     "sessionize_30m",
     "cube_returnflag_status",
-    "distinct_and_stddev",
 )
 
 
