@@ -64,7 +64,6 @@ _POS_SPANS_DD = (
                i -> d.w[i]) AS kw
       FROM d LEFT JOIN covsets cs USING (doc_id)
     ) d
-    ORDER BY id
     """,
 )
 def scrub_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -78,7 +77,7 @@ def scrub_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
     return remove_duplicate_spans(
         load(spark, sf, "documents"), "doc_id", "text", _K
-    ).orderBy("id")
+    )
 
 
 @register(
@@ -117,7 +116,6 @@ def scrub_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
                i -> tr.w[i]) AS kw
       FROM tr LEFT JOIN covsets cs USING (doc_id)
     ) q
-    ORDER BY id
     """,
 )
 def decontaminate_redact(spark: SparkSession, sf: str) -> DataFrame:
@@ -147,4 +145,4 @@ def decontaminate_redact(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "text",
         _K,
-    ).orderBy("id")
+    )

@@ -282,11 +282,13 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r11 window (4 new + 1 edited + 25 r07 + 20 r08 = 50), generated from
+#: r11 window (4 new + 3 edited + 25 r07 + 18 r08 = 50), generated from
 #: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r10 union
 #: (the late corpus_shuffle_rank and true_wind_avg displaced the last two
-#: r08 fill slots — distinct_and_stddev and object_component_agg,
-#: r08-green and unchanged, lead the r12 fill).
+#: r08 fill slots, and the scrub/redact orderBy-removal edits two more —
+#: distinct_and_stddev, object_component_agg, sessionize_30m and
+#: cube_returnflag_status, all r08-green and unchanged, lead the r12
+#: fill).
 #: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
 #: path vs hand-computed literals — r10 verdict Next #3),
 #: group_length_clip (per-language p99 length clip, the first curation
@@ -294,7 +296,11 @@ def oracle_sql() -> dict[str, str]:
 #: (exact global shuffle positions as a hash exchange vs the oracle's
 #: global window sort), and true_wind_avg (the SignalK derived-data
 #: computation on the angular exactness machinery). EDITED
-#: (fingerprint-detected): group_kth_values
+#: (fingerprint-detected): scrub_duplicate_spans / decontaminate_redact
+#: (the final presentational orderBy(id) removed from gate AND oracle —
+#: a range exchange of doc-level results the order-insensitive hash
+#: compare never needed; plan_audit's RANGE allowlist trimmed to match)
+#: and group_kth_values
 #: — its oracle now states the nulls-excluded-GROUP contract explicitly
 #: (lang IS NOT NULL, ADVICE r10). Then the whole r07-stale cohort (led
 #: by spatial_bbox_meridian, which ceded its r10 slot) and the r08
@@ -315,6 +321,8 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "true_wind_avg",
     # --- edited r11: group_kth_values oracle nulls-excluded-group contract ---
     "group_kth_values",
+    "scrub_duplicate_spans",
+    "decontaminate_redact",
     # --- stalest: the r07 cohort in suggestion order ---
     "spatial_bbox_meridian",
     "spatial_radius",
@@ -362,8 +370,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_scalar_quant",
     "asof_last_purchase",
     "interval_join_pairs",
-    "sessionize_30m",
-    "cube_returnflag_status",
 )
 
 

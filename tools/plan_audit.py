@@ -50,10 +50,6 @@ ALLOW_RANGE = {
     # reference response contract: time-ordered aligned series — the sort
     # is over BUCKETED result rows, not input rows
     "align_pivot_1h",
-    # final presentational orderBy(id) on doc-level results (queued for
-    # removal in a future window rotation — the value-hash compare is
-    # order-insensitive, see CLAUDE.md TODO)
-    "scrub_duplicate_spans", "decontaminate_redact",
     # vocab-sized piece table ordering, bounded by MAX_SEED_ROWS
     "unigram_estep_counts",
 }
