@@ -585,3 +585,88 @@ def perplexity_buckets_approx(
             "bucket", "keep",
         )
     )
+
+
+# --- BM25 top-k retrieval ------------------------------------------------------
+#: fixed evaluation queries over the synthetic vocabulary (the gate's
+#: "eval set" — a real decontamination run feeds eval-benchmark queries)
+_BM25_QUERIES = [
+    ("q_joins", "join"),
+    ("q_joins", "merge"),
+    ("q_joins", "hash"),
+    ("q_stream", "stream"),
+    ("q_stream", "window"),
+    ("q_customer", "customer"),
+    ("q_customer", "query"),
+    ("q_customer", "data"),
+]
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({_TOKS_DD}) AS BIGINT) AS dl,
+             {_TOKS_DD} AS toks
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
+      FROM base
+    ), q(query_id, term) AS (
+      VALUES {_BM25_VALUES}
+    ), post AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+      WHERE term IN (SELECT term FROM q)
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1
+    ), contrib AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round((((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                           / (CAST(d.df AS DOUBLE) + 0.5))
+                         * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+                            / (CAST(p.tf AS DOUBLE)
+                               + 1.2 * ((1.0 - 0.75)
+                                        + 0.75 * (CAST(p.dl AS DOUBLE)
+                                                  / (CAST(s.total AS DOUBLE)
+                                                     / CAST(s.n AS DOUBLE)))))))
+                        * 1000000.0) AS BIGINT) AS c
+      FROM post p JOIN dfreq d USING (term) JOIN q USING (term)
+      CROSS JOIN stats s
+    ), scores AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM scores
+    )
+    SELECT query_id, rank, doc_id, score_micro,
+           score_micro / 1000000.0 AS score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 per eval query — retrieval-based decontamination/data
+    selection (pull the corpus docs most similar to each benchmark query).
+    Corpus-side cost is ONE scan: the token explode broadcast-joins the
+    8-term query table before anything aggregates, so only matched
+    occurrences shuffle; df/N/avgdl are metadata-sized aggregates riding
+    broadcast joins; top-k is the salted two-pass window (keys x salts
+    parallelism, then a k x salts-bounded final rank). Gate mode pins the
+    log-free rational idf with micro-int contributions so the integer
+    score sum is order-independent and both engines agree bit-for-bit
+    (CLAUDE.md rule 10; operators/retrieval.py module doc has the exact
+    argument). Ties break by ascending doc_id — a total order, so rank,
+    membership and scores are all deterministic."""
+    from .operators import retrieval
+
+    docs = load(spark, sf, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    res = retrieval.bm25_topk(docs, queries, k=10, rational_idf=True)
+    return res.select("query_id", "rank", "doc_id", "score_micro", "score")

@@ -31,6 +31,9 @@ SUBSET = [
     "knn_bruteforce",
     # selection + sampling + tpch join shape
     "group_kth_values", "weighted_sample_aes", "tpch_q3",
+    # retrieval: broadcast-everything BM25 + salted top-k (allowlisted
+    # one-row-stats BNLJ — must stay a single one)
+    "bm25_topk",
 ]
 
 

@@ -1,0 +1,161 @@
+"""BM25 retrieval + salted top-k: python-truth differentials, the
+salted-vs-direct top-k equivalence (the operator's exactness claim), edge
+contracts, and the plan shapes the 100 TB story rests on."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from signalk_parquet_spark.operators import retrieval
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75, rational=True):
+    """Pure-python BM25 truth: docs = [(id, text)], queries = [(qid, term)].
+    Mirrors the operator's fixed-order IEEE arithmetic exactly (same
+    association order, python floats ARE doubles)."""
+    toks = {d: t.split(" ") for d, t in docs}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = len(docs)
+    total = sum(dl.values())
+    terms = {t for _, t in queries}
+    tf = {}
+    for d, ts in toks.items():
+        for t in ts:
+            if t in terms:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    for qid, t in queries:
+        for (d, tt), f in tf.items():
+            if tt != t:
+                continue
+            idf = (float(n) - float(df[t]) + 0.5) / (float(df[t]) + 0.5)
+            if not rational:
+                idf = math.log(1.0 + idf)
+            denom = float(f) + k1 * ((1.0 - b) + b * (float(dl[d]) / (float(total) / float(n))))
+            c = idf * ((float(f) * (k1 + 1.0)) / denom)
+            if rational:
+                c = round(c * 1000000.0)  # ints: banker's-vs-half-up can't
+                # disagree off the .5 boundary; boundary hits are asserted
+                # absent below so python round() is a safe truth here
+                assert abs(c - (idf * ((float(f) * (k1 + 1.0)) / denom)) * 1e6) != 0.5
+            scores[(qid, d)] = scores.get((qid, d), 0) + c
+    return scores
+
+
+_DOCS = [
+    (1, "join merge hash join"),
+    (2, "stream window stream stream"),
+    (3, "customer data query data"),
+    (4, "join window data"),
+    (5, "the a of and"),
+    (6, "merge merge merge merge merge merge"),
+    (7, "join"),
+    (8, "data data data data window"),
+]
+_QUERIES = [
+    ("qa", "join"),
+    ("qa", "merge"),
+    ("qb", "window"),
+    ("qb", "data"),
+    ("qc", "zebra"),  # absent from every doc -> no rows for qc
+]
+
+
+def test_bm25_rational_matches_python_truth(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(_QUERIES, "query_id string, term string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in retrieval.bm25_scores(docs, qs, rational_idf=True).collect()
+    }
+    want = _py_bm25(_DOCS, _QUERIES, rational=True)
+    assert got == want
+    assert not any(q == "qc" for q, _ in got)
+
+
+def test_bm25_log_idf_matches_python_truth(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(_QUERIES, "query_id string, term string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_scores(docs, qs, rational_idf=False).collect()
+    }
+    want = _py_bm25(_DOCS, _QUERIES, rational=False)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], rel=1e-12)
+
+
+def test_bm25_topk_rank_and_ties(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(_QUERIES, "query_id string, term string")
+    top = retrieval.bm25_topk(docs, qs, k=3, rational_idf=True).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    truth = _py_bm25(_DOCS, _QUERIES, rational=True)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        want = sorted(
+            ((d, s) for (q, d), s in truth.items() if q == qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        assert [(r["doc_id"], r["score_micro"]) for r in rows] == want
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert "qc" not in by_q
+
+
+def test_topk_per_key_matches_direct_window(spark):
+    # adversarial: heavy ties (score collisions) + skewed key sizes; the
+    # salted two-pass must equal the direct single-window rank exactly
+    rows = [
+        (k, i, (i * 7919) % 13)  # many duplicate scores per key
+        for k in ("hot", "cold")
+        for i in range(1, 401 if k == "hot" else 6)
+    ]
+    df = spark.createDataFrame(rows, "key string, id long, score long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    for salts in (1, 7, 32):
+        got = retrieval.topk_per_key(
+            df, "key", order, 10, salt_of=F.col("id"), salts=salts
+        )
+        got_rows = {(r["key"], r["rank"], r["id"]) for r in got.collect()}
+        want = set()
+        for key in ("hot", "cold"):
+            sub = sorted(
+                (r for r in rows if r[0] == key), key=lambda r: (-r[2], r[1])
+            )[:10]
+            want |= {(key, i + 1, r[1]) for i, r in enumerate(sub)}
+        assert got_rows == want, f"salts={salts}"
+
+
+def test_topk_per_key_validates_params(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "key string, id long, score long")
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval.topk_per_key(df, "key", [F.col("score")], 0, F.col("id"))
+    with pytest.raises(ValueError, match="salts must be"):
+        retrieval.topk_per_key(df, "key", [F.col("score")], 1, F.col("id"), salts=0)
+
+
+def test_bm25_plan_shape(spark):
+    """The 100 TB invariants: query-term/dfreq/stats sides broadcast (the
+    only BNLJ is the one-row stats frame), no range exchange anywhere, no
+    row-at-a-time python eval."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(_QUERIES, "query_id string, term string")
+    plan = (
+        retrieval.bm25_topk(docs, qs, k=3, rational_idf=True)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "broadcasthashjoin" in plan
+    assert "rangepartitioning" not in plan
+    assert "cartesianproduct" not in plan
+    assert "batchevalpython" not in plan
+    # the stats cross-join is the single sanctioned one-row BNLJ
+    assert plan.count("broadcastnestedloopjoin") <= 1

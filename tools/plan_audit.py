@@ -39,7 +39,7 @@ ALLOW_BNLJ = {
     "ivf_recall", "ivfpq_recall", "knn_bruteforce", "pq_recall",
     "semdedup_recall", "curation_diverse", "decontaminate_semantic",
     # one-row scalar frames joined for normalization/thresholds
-    "dsir_weights", "heavy_hitters_2pass", "mixture_epochs",
+    "bm25_topk", "dsir_weights", "heavy_hitters_2pass", "mixture_epochs",
     "source_divergence",
     # TPC-H scalar subqueries (avg threshold / substring country set)
     "tpch_q11", "tpch_q22",
