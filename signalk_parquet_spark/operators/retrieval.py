@@ -16,9 +16,12 @@ Scale shape (the reason this is an operator and not "just a join"):
              postings (broadcast back); corpus size and average document
              length are one scalar aggregate riding a broadcast
              cross-join. No second scan of the corpus.
-  top-k:     per-query top-k via :func:`topk_per_key` — two bounded
-             window passes (salted then final), never one reducer
-             sorting a whole query's posting volume.
+  top-k:     per-query top-k via :func:`topk_per_key` — the direct
+             rank-filtered window, which Catalyst plans as a bounded
+             two-phase top-k (WindowGroupLimit Partial before the
+             exchange / Final after), so a hot query never ships or
+             sorts its whole posting volume through one task. The
+             bound is plan-asserted, not assumed.
 
 Scoring is Robertson/Sparck-Jones BM25 (Robertson & Zaragoza 2009, the
 public textbook form) with the Lucene-style non-negative idf
@@ -47,42 +50,30 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
-def topk_per_key(
-    df: DataFrame,
-    key: str,
-    order: list[Column],
-    k: int,
-    salt_of: Column,
-    salts: int = 32,
-) -> DataFrame:
+def topk_per_key(df: DataFrame, key: str, order: list[Column], k: int) -> DataFrame:
     """Exact top-k rows per key under ``order`` (a TOTAL order — include a
-    tiebreaker) without a single-reducer-per-key sort: pass 1 ranks within
-    (key, salt) partitions and keeps each partition's top k — a hash
-    exchange whose parallelism is keys × salts, so one hot key (a query
-    matching half the corpus) spreads over ``salts`` tasks instead of one;
-    pass 2 ranks the ≤ k·salts survivors per key — input bounded by
-    construction, the exchange is metadata-sized. A row in the global
-    top-k of its key is in the top-k of every subset containing it, so
-    the salted pass loses nothing (exactness differential-tested against
-    the direct window in tests/test_retrieval.py).
+    tiebreaker). Deliberately JUST the window + rank filter, because
+    Catalyst already plans this shape as a bounded two-phase top-k:
+    ``WindowGroupLimit(Partial)`` keeps each map task's top k per key
+    BEFORE the exchange (so at most k·partitions rows per key ever
+    shuffle — a hot key never ships its whole posting volume), then
+    ``WindowGroupLimit(Final)`` re-limits after the hash exchange and the
+    Window ranks only survivors. The first version of this operator
+    hand-built the same bound as a salted two-window pass; the ramp
+    measured it strictly LOSING to the built-in (extra exchange, same
+    bound — tools/retrieval_ramp.py table 2, SCALE.md r11), so the
+    operator's job is to pin the optimization, not re-implement it:
+    tests/test_retrieval.py plan-asserts both WindowGroupLimit phases, so
+    a refactor that breaks the rewrite (e.g. swapping row_number for a
+    non-rank-like expression) fails the suite instead of silently
+    shipping the unbounded window.
 
-    ``salt_of`` must be a deterministic expression over the row (hash a
-    stable id column, never rand() — reruns and retries must agree).
     Returns the surviving rows plus a 1-based ``rank`` BIGINT column."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if salts < 1:
-        raise ValueError(f"salts must be >= 1, got {salts}")
-    salt = F.pmod(F.xxhash64(salt_of), F.lit(salts))
-    w1 = Window.partitionBy(F.col(key), salt).orderBy(*order)
-    survivors = (
-        df.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= k)
-        .drop("_rn1")
-    )
-    w2 = Window.partitionBy(key).orderBy(*order)
+    w = Window.partitionBy(key).orderBy(*order)
     return (
-        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -163,22 +154,17 @@ def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    salts: int = 32,
     **kwargs,
 ) -> DataFrame:
-    """Top-k documents per query by BM25 — :func:`bm25_scores` then the
-    salted :func:`topk_per_key`, ties broken by ascending document id so
-    the result is a deterministic function of the corpus (rerun-, retry-
-    and engine-stable, like every selection surface in this engine)."""
+    """Top-k documents per query by BM25 — :func:`bm25_scores` then
+    :func:`topk_per_key` (WindowGroupLimit-bounded), ties broken by
+    ascending document id so the result is a deterministic function of
+    the corpus (rerun-, retry- and engine-stable, like every selection
+    surface in this engine)."""
     query_col = kwargs.get("query_col", "query_id")
     id_col = kwargs.get("id_col", "doc_id")
     scored = bm25_scores(docs, queries, **kwargs)
     score_col = "score_micro" if "score_micro" in scored.columns else "score"
     return topk_per_key(
-        scored,
-        query_col,
-        [F.col(score_col).desc(), F.col(id_col).asc()],
-        k,
-        salt_of=F.col(id_col),
-        salts=salts,
+        scored, query_col, [F.col(score_col).desc(), F.col(id_col).asc()], k
     )

@@ -229,3 +229,154 @@ def _group_rows(rows) -> list[dict[str, int]]:
     for r in rows:
         combined[r["token"]] = combined.get(r["token"], 0) + r["wt"]
     return [combined]
+
+
+# --- per-group heavy hitters ---------------------------------------------------
+_GROUPED_SKETCH_SCHEMA = StructType(
+    [
+        StructField("g", StringType()),
+        StructField("token", StringType()),
+        StructField("wt", LongType()),
+    ]
+)
+
+
+def grouped_partition_sketches(
+    df: DataFrame, text_col: str, group_col: str, m: int, sep: str = " "
+) -> DataFrame:
+    """Pass 1 of the GROUPED family: one MG sketch per (partition, group) —
+    the per-group substream of a partition is a valid MG input, so each
+    sketch carries the per-group N_pg/(m+1) guarantee and merging them BY
+    GROUP composes exactly like the global family (PODS'12 merge bound is
+    per-summary, groups never mix). Emits ≤ m (g, token, wt) rows per
+    group per partition, map-only. NULL groups are excluded (the gate
+    contract matches grouped selection's nulls-excluded-group rule)."""
+
+    def sketch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_g: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for g, text in zip(pdf[group_col].tolist(), pdf[text_col].tolist()):
+                if g is None or text is None:
+                    continue
+                c = per_g.setdefault(g, {})
+                for tok in text.split(sep):
+                    if tok in c:
+                        c[tok] += 1
+                    elif len(c) < m:
+                        c[tok] = 1
+                    else:
+                        dead = [k for k in c if c[k] == 1]
+                        for k in c:
+                            c[k] -= 1
+                        for k in dead:
+                            del c[k]
+        yield pd.DataFrame(
+            {
+                "g": [g for g, c in per_g.items() for _ in c],
+                "token": [t for c in per_g.values() for t in c],
+                "wt": [w for c in per_g.values() for w in c.values()],
+            },
+            columns=["g", "token", "wt"],
+        )
+
+    return df.select(
+        F.col(group_col).cast("string").alias(group_col), text_col
+    ).mapInPandas(sketch_partition, _GROUPED_SKETCH_SCHEMA)
+
+
+def grouped_tree_merge(sketch_df: DataFrame, m: int) -> DataFrame:
+    """Distributed per-group merge rung: one hash exchange of the
+    METADATA-SIZED sketch rows on the group key co-locates each group's
+    partial sketches, then one MG-merge per group — the driver collect
+    drops from partitions × G × m rows to ≤ G × m, bounded in partition
+    count (the grouped twin of tree_merge_sketches; same composition
+    argument, applied per group)."""
+
+    def merge_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_g: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for g, tok, wt in zip(
+                pdf["g"].tolist(), pdf["token"].tolist(), pdf["wt"].tolist()
+            ):
+                c = per_g.setdefault(g, {})
+                c[tok] = c.get(tok, 0) + wt
+        for g, total in per_g.items():
+            if len(total) > m:
+                cut = sorted(total.values(), reverse=True)[m]
+                per_g[g] = {k: v - cut for k, v in total.items() if v > cut}
+        yield pd.DataFrame(
+            {
+                "g": [g for g, c in per_g.items() for _ in c],
+                "token": [t for c in per_g.values() for t in c],
+                "wt": [w for c in per_g.values() for w in c.values()],
+            },
+            columns=["g", "token", "wt"],
+        )
+
+    return sketch_df.repartition("g").mapInPandas(merge_groups, _GROUPED_SKETCH_SCHEMA)
+
+
+def grouped_frequent_tokens_exact(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    m: int,
+    sep: str = " ",
+    force_tree_merge: bool | None = None,
+) -> DataFrame:
+    """EXACT per-group frequent tokens — for every group g, the tokens with
+    cnt·(m+1) > N_g — without ever shuffling the token stream: the
+    per-language/per-domain "top boilerplate terms" ask, solved with the
+    same two-pass MG shape as the global operator. Pass 1 sketches per
+    (partition, group) map-only; the candidate merge is driver-side while
+    partitions × groups × m stays small and switches to the per-group
+    tree-merge rung (ONE exchange of sketch rows, ≤ G × m to the driver)
+    past the budget — never O(partitions) driver rows; pass 2 recounts
+    ONLY candidates via a broadcast (g, token) semi-join and thresholds
+    per-group integer totals. Returns (group_col STRING, token, cnt
+    BIGINT) — no floats anywhere, ties impossible by construction.
+    ``force_tree_merge`` pins the rung on/off for differential tests."""
+    if m < 1:
+        raise ValueError(f"Misra–Gries capacity m must be >= 1, got {m}")
+    jvm_sep = literal_split_pattern(sep)
+    base = df.filter(F.col(group_col).isNotNull())
+    sketch_df = grouped_partition_sketches(base, text_col, group_col, m, sep)
+    use_rung = force_tree_merge
+    if use_rung is None:
+        n_parts = df.rdd.getNumPartitions()
+        # group count unknown without a job; budget on the worst case
+        use_rung = n_parts * m > _DRIVER_MERGE_MAX_ROWS // 64
+    if use_rung:
+        sketch_df = grouped_tree_merge(sketch_df, m)
+    per_group_rows: dict[str, dict[str, int]] = {}
+    for r in sketch_df.collect():
+        c = per_group_rows.setdefault(r["g"], {})
+        c[r["token"]] = c.get(r["token"], 0) + r["wt"]
+    cand_rows = sorted(
+        (g, t)
+        for g, combined in per_group_rows.items()
+        for t in mg_merge([combined], m)
+    )
+    spark = df.sparkSession
+    if not cand_rows:
+        return spark.createDataFrame([], f"{group_col} string, token string, cnt long")
+    cand = spark.createDataFrame(cand_rows, f"{group_col} string, token string")
+    gcol = F.col(group_col).cast("string").alias(group_col)
+    toks = base.select(
+        gcol, F.explode(F.split(F.col(text_col), jvm_sep)).alias("token")
+    )
+    totals = base.groupBy(gcol).agg(
+        F.sum(F.size(F.split(F.col(text_col), jvm_sep))).cast("long").alias("total")
+    )
+    counts = (
+        toks.join(F.broadcast(cand), [group_col, "token"], "left_semi")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(totals), group_col)
+        .filter(F.col("cnt") * F.lit(m + 1) > F.col("total"))
+        .select(group_col, "token", "cnt")
+    )

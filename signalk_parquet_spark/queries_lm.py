@@ -657,8 +657,9 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     Corpus-side cost is ONE scan: the token explode broadcast-joins the
     8-term query table before anything aggregates, so only matched
     occurrences shuffle; df/N/avgdl are metadata-sized aggregates riding
-    broadcast joins; top-k is the salted two-pass window (keys x salts
-    parallelism, then a k x salts-bounded final rank). Gate mode pins the
+    broadcast joins; top-k is the rank-filtered window Catalyst plans as
+    WindowGroupLimit Partial/Final (≤ k rows per key per map task ever
+    shuffle — plan-asserted in tests). Gate mode pins the
     log-free rational idf with micro-int contributions so the integer
     score sum is order-independent and both engines agree bit-for-bit
     (CLAUDE.md rule 10; operators/retrieval.py module doc has the exact

@@ -171,6 +171,39 @@ def heavy_hitters_2pass(spark: SparkSession, sf: str) -> DataFrame:
     return frequent_tokens_exact(load(spark, sf, "documents"), "text", _MG_M)
 
 
+@register(
+    "grouped_heavy_hitters",
+    f"""
+    WITH t AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+    n AS (SELECT lang, count(*) AS total FROM t GROUP BY 1)
+    SELECT c.lang, c.token, c.cnt
+    FROM c JOIN n USING (lang) WHERE c.cnt * {_MG_M + 1} > n.total
+    """,
+)
+def grouped_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-language frequent tokens (cnt > N_lang/{m+1}) — the
+    per-group generalization of heavy_hitters_2pass, same move r10 made
+    for selection: one MG sketch per (partition, group) map-only (a
+    partition's per-group substream is a valid MG input, so the PODS'12
+    merge bound composes BY GROUP), candidates merged per group (driver
+    while small, per-group tree rung past the budget — never
+    O(partitions) driver rows), then one broadcast (lang, token)
+    semi-join recount thresholded against per-group integer totals. The
+    oracle is the full per-group token-stream shuffle the sketch path
+    avoids; m=30 again sits below the vocabulary so evictions fire in
+    every group. NULL-lang rows are excluded (the grouped-operator null
+    contract, ADVICE r10)."""
+    from .operators.sketch import grouped_frequent_tokens_exact
+
+    return grouped_frequent_tokens_exact(
+        load(spark, sf, "documents"), "text", "lang", _MG_M
+    )
+
+
 # --- JSON prop extraction (events.props) ----------------------------------------------
 @register(
     "json_extract_props",

@@ -282,22 +282,25 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r11 window (5 new + 3 edited + 25 r07 + 17 r08 = 50), generated from
+#: r11 window (6 new + 3 edited + 25 r07 + 16 r08 = 50), generated from
 #: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r10 union
-#: (the late corpus_shuffle_rank, true_wind_avg and bm25_topk displaced
-#: the last three r08 fill slots, and the scrub/redact orderBy-removal
-#: edits two more — interval_join_pairs, distinct_and_stddev,
-#: object_component_agg, sessionize_30m and cube_returnflag_status, all
-#: r08-green and unchanged, lead the r12 fill).
+#: (the late corpus_shuffle_rank, true_wind_avg, bm25_topk and
+#: grouped_heavy_hitters displaced the last four r08 fill slots, and the
+#: scrub/redact orderBy-removal edits two more — asof_last_purchase,
+#: interval_join_pairs, distinct_and_stddev, object_component_agg,
+#: sessionize_30m and cube_returnflag_status, all r08-green and
+#: unchanged, lead the r12 fill).
 #: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
 #: path vs hand-computed literals — r10 verdict Next #3),
 #: group_length_clip (per-language p99 length clip, the first curation
 #: consumer of grouped_kth_smallest — Next #5), and corpus_shuffle_rank
 #: (exact global shuffle positions as a hash exchange vs the oracle's
 #: global window sort), true_wind_avg (the SignalK derived-data
-#: computation on the angular exactness machinery), and bm25_topk (BM25
-#: top-k retrieval — rational-idf micro-int mode, salted two-pass
-#: top-k; operators/retrieval.py). EDITED
+#: computation on the angular exactness machinery), bm25_topk (BM25
+#: top-k retrieval — rational-idf micro-int mode, WindowGroupLimit-
+#: bounded top-k; operators/retrieval.py), and grouped_heavy_hitters
+#: (per-language exact frequent tokens — the per-group MG 2-pass;
+#: operators/sketch.py). EDITED
 #: (fingerprint-detected): scrub_duplicate_spans / decontaminate_redact
 #: (the final presentational orderBy(id) removed from gate AND oracle —
 #: a range exchange of doc-level results the order-insensitive hash
@@ -322,6 +325,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "corpus_shuffle_rank",
     "true_wind_avg",
     "bm25_topk",
+    "grouped_heavy_hitters",
     # --- edited r11: group_kth_values oracle nulls-excluded-group contract ---
     "group_kth_values",
     "scrub_duplicate_spans",
@@ -371,7 +375,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_ivf",
     "ivf_recall",
     "ann_scalar_quant",
-    "asof_last_purchase",
 )
 
 

@@ -929,20 +929,22 @@ _HH_STATE = T.StructType(
 )
 
 
-def make_heavy_hitters_fn(m: int, ttl_s: float | None = None):
-    """applyInPandasWithState function for one token-hash group: the group's
-    Misra–Gries counters persist across micro-batches; after folding a
-    batch in, the group re-emits its CURRENT sketch (append stream —
-    consumers keep each group's latest emission, exactly how a trending-
-    tokens dashboard reads it). With ``ttl_s``, a group idle past the TTL
-    drops its counters — the windowed "trending lately" semantics."""
+def _make_mg_state_fn(m: int, ttl_s: float | None, schema: T.StructType, emit_key):
+    """Shared applyInPandasWithState body for the MG sketch twins: one
+    state group's Misra–Gries counters persist across micro-batches; after
+    folding a batch in, the group re-emits its CURRENT sketch (append
+    stream — consumers keep each group's latest emission). ``emit_key``
+    maps the state key tuple to the leading identity columns of
+    ``schema`` (global twin: token-hash grp; grouped twin: (g, grp)).
+    With ``ttl_s``, a group idle past the TTL drops its counters — the
+    windowed "trending lately" semantics."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame(columns=[f.name for f in HH_SKETCH_SCHEMA.fields])
+            yield pd.DataFrame(columns=[f.name for f in schema.fields])
             return
         toks, wts, n_seen = state.get if state.exists else ([], [], 0)
         c = dict(zip(list(toks), list(wts)))
@@ -971,17 +973,25 @@ def make_heavy_hitters_fn(m: int, ttl_s: float | None = None):
         if got and c:
             yield pd.DataFrame(
                 {
-                    "grp": int(key[0]),
+                    **emit_key(key),
                     "token": list(c),
                     "wt": [int(v) for v in c.values()],
                     "n_seen": n_seen,
                 },
-                columns=[f.name for f in HH_SKETCH_SCHEMA.fields],
+                columns=[f.name for f in schema.fields],
             )
         else:
-            yield pd.DataFrame(columns=[f.name for f in HH_SKETCH_SCHEMA.fields])
+            yield pd.DataFrame(columns=[f.name for f in schema.fields])
 
     return fn
+
+
+def make_heavy_hitters_fn(m: int, ttl_s: float | None = None):
+    """applyInPandasWithState function for one token-hash group — see
+    :func:`_make_mg_state_fn` (this is the global-twin binding)."""
+    return _make_mg_state_fn(
+        m, ttl_s, HH_SKETCH_SCHEMA, lambda key: {"grp": int(key[0])}
+    )
 
 
 def streaming_heavy_hitters(
@@ -1023,6 +1033,73 @@ def streaming_heavy_hitters(
     return toks.groupBy("grp").applyInPandasWithState(
         make_heavy_hitters_fn(m, ttl_s),
         HH_SKETCH_SCHEMA,
+        _HH_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming grouped frequent tokens (per-language MG over continuous ingest) --------
+GHH_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.StringType()),
+        T.StructField("grp", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("wt", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_grouped_heavy_hitters(
+    stream: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    m: int = 30,
+    n_groups: int = 8,
+    sep: str = " ",
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming per-group frequent-token candidates — the continuous-
+    ingest twin of operators.sketch.grouped_frequent_tokens_exact's
+    pass 1. Tokens route to a stateful group by (group, token-hash): all
+    occurrences of a (g, token) pair land in ONE state group, whose
+    substream is a subset of g's stream — so any token with per-group
+    count > N_g/(m+1) clears its own state group's bar a fortiori, and
+    the union of the latest sketches per g is a candidate superset of
+    that group's heavy hitters at every point in the stream (pinned vs
+    the batch grouped gate in tests). NULL groups are dropped, matching
+    the batch operator's contract. State per (g, grp) is m counters —
+    constant, hash-partitioned; the exact per-group recount stays a
+    batch job over landed data, filtered to the emitted candidates."""
+    from ..operators.sketch import literal_split_pattern
+
+    toks = (
+        stream.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("g"),
+            F.explode(
+                F.split(F.col(text_col), literal_split_pattern(sep))
+            ).alias("token"),
+        )
+        .withColumn(
+            "grp",
+            (
+                F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+                % n_groups
+            ).cast("int"),
+        )
+    )
+    return toks.groupBy("g", "grp").applyInPandasWithState(
+        _make_mg_state_fn(
+            m,
+            ttl_s,
+            GHH_SKETCH_SCHEMA,
+            lambda key: {"g": str(key[0]), "grp": int(key[1])},
+        ),
+        GHH_SKETCH_SCHEMA,
         _HH_STATE,
         "append",
         GroupStateTimeout.ProcessingTimeTimeout

@@ -31,9 +31,11 @@ SUBSET = [
     "knn_bruteforce",
     # selection + sampling + tpch join shape
     "group_kth_values", "weighted_sample_aes", "tpch_q3",
-    # retrieval: broadcast-everything BM25 + salted top-k (allowlisted
-    # one-row-stats BNLJ — must stay a single one)
+    # retrieval: broadcast-everything BM25 + WindowGroupLimit top-k
+    # (allowlisted one-row-stats BNLJ — must stay a single one)
     "bm25_topk",
+    # grouped MG 2-pass: map-only sketches + broadcast recount
+    "grouped_heavy_hitters",
 ]
 
 

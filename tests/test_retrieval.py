@@ -111,36 +111,50 @@ def test_bm25_topk_rank_and_ties(spark):
     assert "qc" not in by_q
 
 
-def test_topk_per_key_matches_direct_window(spark):
-    # adversarial: heavy ties (score collisions) + skewed key sizes; the
-    # salted two-pass must equal the direct single-window rank exactly
+def test_topk_per_key_matches_python_truth(spark):
+    # adversarial: heavy ties (score collisions) + skewed key sizes,
+    # spread over many partitions so the WindowGroupLimit partial phase
+    # really merges per-task survivors
     rows = [
         (k, i, (i * 7919) % 13)  # many duplicate scores per key
         for k in ("hot", "cold")
         for i in range(1, 401 if k == "hot" else 6)
     ]
-    df = spark.createDataFrame(rows, "key string, id long, score long")
+    df = spark.createDataFrame(rows, "key string, id long, score long").repartition(16)
     order = [F.col("score").desc(), F.col("id").asc()]
-    for salts in (1, 7, 32):
-        got = retrieval.topk_per_key(
-            df, "key", order, 10, salt_of=F.col("id"), salts=salts
-        )
-        got_rows = {(r["key"], r["rank"], r["id"]) for r in got.collect()}
-        want = set()
-        for key in ("hot", "cold"):
-            sub = sorted(
-                (r for r in rows if r[0] == key), key=lambda r: (-r[2], r[1])
-            )[:10]
-            want |= {(key, i + 1, r[1]) for i, r in enumerate(sub)}
-        assert got_rows == want, f"salts={salts}"
+    got = retrieval.topk_per_key(df, "key", order, 10)
+    got_rows = {(r["key"], r["rank"], r["id"]) for r in got.collect()}
+    want = set()
+    for key in ("hot", "cold"):
+        sub = sorted(
+            (r for r in rows if r[0] == key), key=lambda r: (-r[2], r[1])
+        )[:10]
+        want |= {(key, i + 1, r[1]) for i, r in enumerate(sub)}
+    assert got_rows == want
+
+
+def test_topk_per_key_plans_window_group_limit(spark):
+    """The operator's whole job is pinning Catalyst's bounded top-k
+    rewrite: BOTH WindowGroupLimit phases must be present (Partial bounds
+    the exchange to k rows per key per map task; Final re-limits after),
+    so a refactor that defeats the rewrite — e.g. ranking with a
+    non-rank-like expression — fails here instead of silently restoring
+    the unbounded hot-key window."""
+    df = spark.createDataFrame(
+        [("a", i, i % 5) for i in range(100)], "key string, id long, score long"
+    ).repartition(8)
+    plan = (
+        retrieval.topk_per_key(df, "key", [F.col("score").desc(), F.col("id")], 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
 
 
 def test_topk_per_key_validates_params(spark):
     df = spark.createDataFrame([("a", 1, 1)], "key string, id long, score long")
     with pytest.raises(ValueError, match="k must be"):
-        retrieval.topk_per_key(df, "key", [F.col("score")], 0, F.col("id"))
-    with pytest.raises(ValueError, match="salts must be"):
-        retrieval.topk_per_key(df, "key", [F.col("score")], 1, F.col("id"), salts=0)
+        retrieval.topk_per_key(df, "key", [F.col("score")], 0)
 
 
 def test_bm25_plan_shape(spark):
@@ -159,3 +173,5 @@ def test_bm25_plan_shape(spark):
     assert "batchevalpython" not in plan
     # the stats cross-join is the single sanctioned one-row BNLJ
     assert plan.count("broadcastnestedloopjoin") <= 1
+    # the top-k must ride Catalyst's bounded rewrite end-to-end
+    assert "windowgrouplimit" in plan

@@ -274,3 +274,112 @@ def test_tree_merge_rung_preserves_exactness(spark) -> None:
     assert treed == direct == {
         t: c for t, c in Counter(stream).items() if c * 13 > len(stream)
     }
+
+
+def _grouped_truth(streams: dict[str, list[str]], m: int) -> dict:
+    return {
+        (g, t): c
+        for g, s in streams.items()
+        for t, c in Counter(s).items()
+        if c * (m + 1) > len(s)
+    }
+
+
+def test_grouped_frequent_tokens_exact_both_rungs(spark) -> None:
+    """Per-group MG 2-pass == per-group full-shuffle truth, with the
+    per-group tree-merge rung forced both off and on (same outputs) —
+    groups of very different sizes and skews so per-group thresholds
+    actually differ."""
+    from signalk_parquet_spark.operators.sketch import grouped_frequent_tokens_exact
+
+    rng = random.Random(7)
+    streams = {
+        "en": _zipf_stream(rng, 6000, 40),
+        "de": _zipf_stream(rng, 900, 25),
+        "fr": ["x"] * 50 + ["y"] * 30 + [f"r{i}" for i in range(40)],
+    }
+    rows = []
+    for g, s in streams.items():
+        rows += [(g, " ".join(s[i : i + 7])) for i in range(0, len(s), 7)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "lang string, text string").repartition(16)
+    m = 12
+    for force in (False, True):
+        got = {
+            (r["lang"], r["token"]): r["cnt"]
+            for r in grouped_frequent_tokens_exact(
+                df, "text", "lang", m, force_tree_merge=force
+            ).collect()
+        }
+        # the doc-join pads streams to multiples of 7? no — join with ' '
+        # preserves token multiset exactly, so truth is the raw streams'
+        truth = _grouped_truth(streams, m)
+        assert got == truth, f"force_tree_merge={force}"
+
+
+def test_grouped_frequent_tokens_null_group_and_empty(spark) -> None:
+    from signalk_parquet_spark.operators.sketch import grouped_frequent_tokens_exact
+
+    df = spark.createDataFrame(
+        [(None, "a a a"), ("g1", "b b c")], "lang string, text string"
+    )
+    got = {
+        (r["lang"], r["token"]): r["cnt"]
+        for r in grouped_frequent_tokens_exact(df, "text", "lang", 2).collect()
+    }
+    # NULL-lang stream excluded entirely; g1: b=2,c=1 over n=3, m=2 ->
+    # threshold cnt*3 > 3 -> only b
+    assert got == {("g1", "b"): 2}
+
+    empty = spark.createDataFrame([], "lang string, text string")
+    assert grouped_frequent_tokens_exact(empty, "text", "lang", 2).count() == 0
+
+
+def test_streaming_grouped_heavy_hitters_supersets_batch_gate(spark, tmp_path) -> None:
+    """Replay the corpus as two micro-batches: for EVERY language, the
+    union of that language's latest (g, grp) sketches must contain every
+    token the batch grouped_heavy_hitters gate reports (the a-fortiori
+    guarantee applied within the group), and each state group stays
+    bounded at m counters."""
+    from signalk_parquet_spark.queries_text import grouped_heavy_hitters
+    from signalk_parquet_spark.registry import load
+    from signalk_parquet_spark.streaming.stateful import (
+        streaming_grouped_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = load(spark, sf, "documents").select("doc_id", "lang", "text").collect()
+    half = len(rows) // 2
+    src = str(tmp_path / "ghh_src")
+    schema = "doc_id long, lang string, text string"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_grouped_heavy_hitters(stream, m=30, n_groups=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ghh_out")
+        .option("checkpointLocation", str(tmp_path / "ghh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from ghh_out").toPandas()
+    assert len(emitted), "stream emitted nothing"
+    latest = emitted[
+        emitted.groupby(["g", "grp"])["n_seen"].transform("max")
+        == emitted["n_seen"]
+    ]
+    assert latest.groupby(["g", "grp"]).size().max() <= 30
+    cands = set(zip(latest["g"], latest["token"]))
+    batch = {
+        (r["lang"], r["token"]) for r in grouped_heavy_hitters(spark, sf).collect()
+    }
+    missing = batch - cands
+    assert not missing, f"grouped streaming sketch dropped true heavies: {missing}"
