@@ -214,6 +214,19 @@ def main() -> None:
             F.count(F.lit(1)), F.coalesce(F.sum("n_removed"), F.lit(0))
         ).collect()[0]
     )
+    # the retrieval rung (r11): BM25 top-k of each eval query against the
+    # KEPT train docs — decontamination-by-retrieval, the audit used when
+    # the eval set can't be shipped verbatim into an equi-join (only its
+    # query strings can). Postings exist only for the query terms;
+    # the top-k rides Catalyst's WindowGroupLimit rewrite.
+    from signalk_parquet_spark.operators.retrieval import bm25_topk
+    from signalk_parquet_spark.queries_lm import _BM25_QUERIES
+
+    evalq = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    audit = bm25_topk(
+        kept.filter(F.col("split") == "train").select("doc_id", "text"), evalq, k=5
+    )
+    n_audit = audit.count()
     split_counts = {
         r["split"]: r["n"]
         for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
@@ -397,6 +410,7 @@ def main() -> None:
           f"({n_screen_true} with true eval overlap)")
     print(f"after decontamination: {n3}  splits: {split_counts}")
     print(f"semantic leak pairs (embedding rung): {n_sem_pairs}")
+    print(f"retrieval audit: {n_audit} (query, doc) BM25 pairs for review")
     print(f"redaction alternative: {n_redacted} docs salvaged "
           f"({w_removed} contaminated words removed)")
     print(f"diversity sample: {n4} vectors across {n_cells} cells")
