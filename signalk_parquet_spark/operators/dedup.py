@@ -440,3 +440,71 @@ def pairs_to_decisions(
             (F.col("label").isNull() | (F.col("label") == F.col("id"))).alias("kept"),
         )
     )
+
+
+def incremental_minhash_drops(
+    existing_bands: DataFrame,
+    new_bands: DataFrame,
+    existing_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Cross-snapshot incremental near-dedup: decide ONLY the new docs —
+    the recurring-pipeline shape (a fresh crawl snapshot lands against an
+    already-deduped corpus). Inputs are the PERSISTED index form, not raw
+    text: ``*_bands`` are (id, band_idx, band_val) LSH band rows (what a
+    production run writes alongside each accepted snapshot; here derivable
+    via minhash_lsh band machinery) and ``*_docs`` are (id, shl)
+    hashed-shingle frames for the verify rung.
+
+    The scale claim is what the join SHAPE refuses to do: the existing
+    corpus appears only as one side of a band-keyed equi-join against the
+    NEW slice — existing x existing pairs (the quadratic bulk an
+    already-deduped corpus has no reason to revisit) are structurally
+    unreachable, so per-snapshot cost tracks |new| x collision rate
+    regardless of corpus age. The keep policy is existing-outranks-new
+    (the corpus is immutable: a new duplicate of corpus content drops
+    regardless of id order) and keep-first among new (partner id < new
+    id) — i.e. the decision a full re-dedup of (existing ∪ new) makes
+    under that same priority. This is the batch twin of
+    streaming/stateful.make_neardup_fn's band-bucket state, snapshot-sized
+    instead of micro-batch-sized.
+
+    Returns one row per DROPPED new doc: (doc_id, dup_of = smallest
+    verified partner, n_dup_partners, jac = Jaccard with dup_of) — all
+    deterministic (min / min_by over unique partner ids; jac is one
+    integer-ratio division, engine-exact)."""
+    nb = new_bands.select(
+        F.col(new_bands.columns[0]).alias("new_id"), "band_idx", "band_val"
+    )
+    eb = existing_bands.select(
+        F.col(existing_bands.columns[0]).alias("partner"), "band_idx", "band_val"
+    )
+    nb2 = new_bands.select(
+        F.col(new_bands.columns[0]).alias("partner"), "band_idx", "band_val"
+    )
+    cand = (
+        nb.join(eb, ["band_idx", "band_val"])
+        .select("new_id", "partner")
+        .unionByName(
+            nb.join(nb2, ["band_idx", "band_val"])
+            .filter(F.col("partner") < F.col("new_id"))
+            .select("new_id", "partner")
+        )
+        .distinct()
+    )
+    sh_all = existing_docs.unionByName(new_docs)
+    dp = sh_all.select(F.col("id").alias("partner"), F.col("shl").alias("shl_p"))
+    dn = new_docs.select(F.col("id").alias("new_id"), F.col("shl").alias("shl_n"))
+    jac = jaccard(F.col("shl_p"), F.col("shl_n"))
+    ver = (
+        cand.join(dp, "partner")
+        .join(dn, "new_id")
+        .select("new_id", "partner", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+    return ver.groupBy("new_id").agg(
+        F.min("partner").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_dup_partners"),
+        F.min_by("jac", "partner").alias("jac"),
+    ).select(F.col("new_id").alias("doc_id"), "dup_of", "n_dup_partners", "jac")

@@ -113,8 +113,12 @@ _K = 8  # signature length
 _BANDS = 4  # bands of 2 rows each
 
 
-def _dd_minhash_sql() -> str:
-    # twin of functions.text.minhash_signature: k 8-hex slices of 2 seeded md5s
+def _dd_sig_prelude() -> str:
+    """Shared oracle CTEs docs→tok→sigraw→sig→bandrows — the DuckDB twin of
+    functions.text.minhash_signature (k 8-hex slices of 2 seeded md5s) +
+    the band keys. Used by the full-corpus minhash gate AND the
+    incremental-snapshot gate, so the signature definition can't drift
+    between them."""
     mh = ",\n           ".join(
         f"min(substr(md5('seed{i // 4}|' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}" for i in range(_K)
     )
@@ -133,20 +137,29 @@ def _dd_minhash_sql() -> str:
       SELECT doc_id, {mh} FROM tok GROUP BY doc_id
     ), sig AS (
       SELECT doc_id, {bands} FROM sigraw
-    ), bandrows AS ({band_rows}),
+    ), bandrows AS ({band_rows})"""
+
+
+_JAC_DD = (
+    "CAST(len(list_intersect({a}.shl, {b}.shl)) AS DOUBLE)"
+    " / (len({a}.shl) + len({b}.shl) - len(list_intersect({a}.shl, {b}.shl)))"
+)
+
+
+def _dd_minhash_sql() -> str:
+    jac = _JAC_DD.format(a="da", b="db")
+    return f"""{_dd_sig_prelude()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandrows a JOIN bandrows b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
-             / (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl))) AS jac
+           {jac} AS jac
     FROM cand c
     JOIN docs da ON da.doc_id = c.doc_a
     JOIN docs db ON db.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
-             / (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl))) >= 0.6
+    WHERE {jac} >= 0.6
     """
 
 
@@ -214,6 +227,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .join(db, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= 0.6)
+    )
+
+
+# --- incremental cross-snapshot dedup --------------------------------------------------
+def _dd_incremental_sql() -> str:
+    jac = _JAC_DD.format(a="dp", b="dn")
+    return f"""{_dd_sig_prelude()},
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS partner
+      FROM bandrows b JOIN bandrows a
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE b.doc_id % 3 = 0
+        AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+    ),
+    ver AS (
+      SELECT c.doc_id, c.partner, {jac} AS jac
+      FROM cand c
+      JOIN docs dp ON dp.doc_id = c.partner
+      JOIN docs dn ON dn.doc_id = c.doc_id
+      WHERE {jac} >= 0.6
+    )
+    SELECT doc_id, min(partner) AS dup_of,
+           CAST(count(*) AS BIGINT) AS n_dup_partners,
+           arg_min(jac, partner) AS jac
+    FROM ver GROUP BY 1
+    """
+
+
+@register("dedup_incremental_minhash", _dd_incremental_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental cross-snapshot near-dedup (doc_id % 3 = 0 plays the
+    fresh snapshot, the rest the already-deduped corpus): decide ONLY the
+    new docs via operators.dedup.incremental_minhash_drops — the existing
+    corpus enters only as the build side of the band-keyed equi-join
+    against the new slice, so existing x existing pairs are structurally
+    unreachable and per-snapshot cost tracks |new| x collision rate, not
+    corpus age (at production the existing band rows come from the
+    persisted index written with each accepted snapshot, not a recompute
+    — here both sides derive from the session's shared signature memo).
+    Keep policy: existing-outranks-new (the corpus is immutable), then
+    keep-first among new — the decision a full re-dedup of the union
+    makes under that same priority. The oracle rebuilds
+    the same signature CTEs (shared prelude with dedup_minhash_lsh, so
+    the definitions can't drift) and re-derives dup_of / n_dup_partners /
+    jac from the full pair set — exact: min/arg_min over unique partner
+    ids, jac one integer-ratio division."""
+    from .operators.dedup import incremental_minhash_drops
+
+    docs = _shingled_docs(spark, sf).select("id", "shl")
+    sig = _sig_frame(spark, sf)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_val"))
+                for j in range(_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    is_new_band = F.col("doc_id") % 3 == 0
+    is_new_doc = F.col("id") % 3 == 0
+    return incremental_minhash_drops(
+        band_rows.filter(~is_new_band),
+        band_rows.filter(is_new_band),
+        docs.filter(~is_new_doc),
+        docs.filter(is_new_doc),
     )
 
 

@@ -282,14 +282,17 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r11 window (6 new + 3 edited + 25 r07 + 16 r08 = 50), generated from
+#: r11 window (7 new + 3 edited + 25 r07 + 15 r08 = 50), generated from
 #: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r10 union
-#: (the late corpus_shuffle_rank, true_wind_avg, bm25_topk and
-#: grouped_heavy_hitters displaced the last four r08 fill slots, and the
-#: scrub/redact orderBy-removal edits two more — asof_last_purchase,
-#: interval_join_pairs, distinct_and_stddev, object_component_agg,
-#: sessionize_30m and cube_returnflag_status, all r08-green and
-#: unchanged, lead the r12 fill).
+#: (the late corpus_shuffle_rank, true_wind_avg, bm25_topk,
+#: grouped_heavy_hitters and dedup_incremental_minhash displaced the
+#: last five r08 fill slots, and the scrub/redact orderBy-removal edits
+#: two more — ann_scalar_quant, asof_last_purchase, interval_join_pairs,
+#: distinct_and_stddev, object_component_agg, sessionize_30m and
+#: cube_returnflag_status, all r08-green and unchanged, lead the r12
+#: fill alongside dedup_minhash_lsh, whose oracle text was REFORMATTED
+#: in r11 — shared signature prelude with the incremental gate,
+#: semantics identical, but the fingerprint diff will rank it as EDIT).
 #: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
 #: path vs hand-computed literals — r10 verdict Next #3),
 #: group_length_clip (per-language p99 length clip, the first curation
@@ -298,9 +301,11 @@ def oracle_sql() -> dict[str, str]:
 #: global window sort), true_wind_avg (the SignalK derived-data
 #: computation on the angular exactness machinery), bm25_topk (BM25
 #: top-k retrieval — rational-idf micro-int mode, WindowGroupLimit-
-#: bounded top-k; operators/retrieval.py), and grouped_heavy_hitters
+#: bounded top-k; operators/retrieval.py), grouped_heavy_hitters
 #: (per-language exact frequent tokens — the per-group MG 2-pass;
-#: operators/sketch.py). EDITED
+#: operators/sketch.py), and dedup_incremental_minhash (cross-snapshot
+#: incremental near-dedup — new-slice-only band join;
+#: operators/dedup.py). EDITED
 #: (fingerprint-detected): scrub_duplicate_spans / decontaminate_redact
 #: (the final presentational orderBy(id) removed from gate AND oracle —
 #: a range exchange of doc-level results the order-insensitive hash
@@ -326,6 +331,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "true_wind_avg",
     "bm25_topk",
     "grouped_heavy_hitters",
+    "dedup_incremental_minhash",
     # --- edited r11: group_kth_values oracle nulls-excluded-group contract ---
     "group_kth_values",
     "scrub_duplicate_spans",
@@ -374,7 +380,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_recall",
     "ann_ivf",
     "ivf_recall",
-    "ann_scalar_quant",
 )
 
 

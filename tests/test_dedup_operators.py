@@ -840,3 +840,65 @@ def test_decontaminate_semantic_ivf_numpy_assignment(spark, sf_smoke):
         for r in decontaminate_semantic_ivf(spark, sf_smoke, n_probe=4, assign="numpy").collect()
     }
     assert full == exact
+
+
+def _bands_and_shingles(spark, rows):
+    """Derive the persisted-index form ((id, band_idx, band_val) + (id,
+    shl)) the incremental operator consumes, with the gate's signature
+    parameters (k=8, 4 bands of 2 rows)."""
+    from signalk_parquet_spark.functions.text import minhash_signature
+    from signalk_parquet_spark.operators.dedup import shingled
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = shingled(df, "doc_id", "text")
+    sig = docs.select(
+        "id", *[c.alias(f"mh{i}") for i, c in enumerate(minhash_signature(F.col("sh"), 8))]
+    )
+    for j in range(4):
+        sig = sig.withColumn(
+            f"band{j}",
+            F.md5(F.concat(F.col(f"mh{2 * j}"), F.lit("|"), F.col(f"mh{2 * j + 1}"))),
+        )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), F.col(f"band{j}").alias("band_val"))
+                for j in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "b.band_idx", "b.band_val")
+    return bands, docs.select("id", "shl")
+
+
+def test_incremental_minhash_drops_decisions(spark):
+    """Planted snapshot scenario: new near-dup of existing content drops
+    (even when the existing id is LARGER — existing outranks new), new
+    near-dup of an earlier new doc drops with the earlier doc as keeper,
+    unique new content survives, and existing docs never appear in the
+    output even when similar to each other."""
+    from signalk_parquet_spark.operators.dedup import incremental_minhash_drops
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    uniq = "completely different content with nothing shared at all whatsoever here now"
+    other = "sailing vessels report wind speed and heading every few seconds at sea"
+    existing = [
+        (14, base),                       # id LARGER than its new dup
+        (2, other),
+        (7, other.replace("sea", "port")),  # similar pair WITHIN existing
+    ]
+    new = [
+        (6, uniq),                         # unique -> kept
+        (9, uniq.replace("now", "then")),  # near-dup of earlier NEW 6
+        (12, base),                        # exact dup of EXISTING 14
+    ]
+    eb, ed = _bands_and_shingles(spark, existing)
+    nb, nd = _bands_and_shingles(spark, new)
+    out = {
+        r["doc_id"]: (r["dup_of"], r["n_dup_partners"], r["jac"])
+        for r in incremental_minhash_drops(eb, nb, ed, nd).collect()
+    }
+    assert set(out) == {9, 12}
+    assert out[12][0] == 14 and out[12][2] == 1.0  # existing outranks new
+    assert out[9][0] == 6 and 0.5 <= out[9][2] < 1.0
+    assert 6 not in out and 2 not in out and 7 not in out
