@@ -33,6 +33,7 @@ import sys
 #: name prefix alone.
 MEMO_FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup-shingle/cc": (
+        "dedup_incremental_minhash",  # window pos 7 since r11 — first consumer
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_hamming1", "dedup_levenshtein",
         "dedup_jaccard_prefix", "minhash_estimate_error",
