@@ -108,6 +108,11 @@ def bm25_scores(
     corpus stats are char arithmetic and the expensive split+explode
     runs exactly ONCE, in the postings branch. Profiled at sf0.1: the
     second tokenize pass was ~40% of the gate's warm wall."""
+    # NULL-text docs are excluded up front: they have no postings, and
+    # letting them through would count toward N while adding nothing to
+    # total length — silently deflating avgdl (the incidental-null class
+    # ADVICE r9/r10 kept finding; stated here as the contract instead)
+    docs = docs.filter(F.col(text_col).isNotNull())
     dl = (
         F.length(F.col(text_col))
         - F.length(F.translate(F.col(text_col), " ", ""))

@@ -1,6 +1,6 @@
-"""BM25 retrieval + salted top-k: python-truth differentials, the
-salted-vs-direct top-k equivalence (the operator's exactness claim), edge
-contracts, and the plan shapes the 100 TB story rests on."""
+"""BM25 retrieval + WindowGroupLimit top-k: python-truth differentials,
+edge contracts (absent terms, NULL text, heavy ties), and the plan shapes
+the 100 TB story rests on (both rewrite phases, single one-row BNLJ)."""
 
 from __future__ import annotations
 
@@ -175,3 +175,23 @@ def test_bm25_plan_shape(spark):
     assert plan.count("broadcastnestedloopjoin") <= 1
     # the top-k must ride Catalyst's bounded rewrite end-to-end
     assert "windowgrouplimit" in plan
+
+
+def test_bm25_null_text_excluded_from_stats(spark):
+    """A NULL-text doc must not count toward N (it has no postings and no
+    length) — otherwise avgdl silently deflates. Scores with the null row
+    present must equal scores on the corpus with it dropped."""
+    docs = spark.createDataFrame(
+        _DOCS + [(99, None)], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(_QUERIES, "query_id string, term string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in retrieval.bm25_scores(docs, qs, rational_idf=True).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in retrieval.bm25_scores(clean, qs, rational_idf=True).collect()
+    }
+    assert got == want
