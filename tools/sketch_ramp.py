@@ -170,5 +170,110 @@ def main() -> None:
         base.unpersist()
 
 
+
+
+# --- grouped mode (r11): per-language heavy hitters vs the per-group shuffle ---
+def grouped_corpus(spark, vocab: int, n_groups: int):
+    """Same Zipf corpus, each doc tagged with a language; group sizes are
+    made uneven (zipf over the group index) so per-group thresholds
+    genuinely differ."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts, langs = [], []
+            for pid in pdf["id"].tolist():
+                rng = np.random.default_rng(5000 + pid)
+                n = N_DOCS // PARTS
+                draws = rng.zipf(1.3, size=(n, TOK_PER_DOC))
+                draws = np.minimum(draws, vocab) - 1
+                gidx = np.minimum(rng.zipf(1.5, size=n), n_groups) - 1
+                texts.extend(" ".join(f"w{t}" for t in doc) for doc in draws)
+                langs.extend(f"g{g}" for g in gidx)
+            yield pd.DataFrame({"lang": langs, "text": texts})
+
+    df = spark.range(PARTS).repartition(PARTS).mapInPandas(gen, "lang string, text string")
+    df = df.persist()
+    df.count()
+    return df
+
+
+def naive_grouped_exact(df):
+    toks = df.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    totals = df.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total")
+    )
+    return (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), "lang")
+        .filter(F.col("cnt") * F.lit(M + 1) > F.col("total"))
+        .select("lang", "token", "cnt")
+    )
+
+
+def groups_mode() -> None:
+    from signalk_parquet_spark.operators.sketch import (
+        grouped_frequent_tokens_exact,
+        grouped_partition_sketches,
+    )
+
+    spark = get_spark("sketch-ramp-groups")
+    vocab = 100_000
+    print(f"docs={N_DOCS} tok/doc={TOK_PER_DOC} m={M} parts={PARTS} vocab={vocab}")
+    print(
+        f"{'groups':>7} {'heavies':>8} {'naive_s':>8} {'mg_s':>7} {'mg_tree_s':>9} "
+        f"{'xchg_naive':>11} {'xchg_mg':>8} {'match':>6}"
+    )
+    for n_groups in (4, 64, 512):
+        df = grouped_corpus(spark, vocab, n_groups)
+        try:
+            t0 = time.time()
+            naive = {
+                (r["lang"], r["token"]): r["cnt"]
+                for r in naive_grouped_exact(df).collect()
+            }
+            t_naive = time.time() - t0
+            t0 = time.time()
+            mg = {
+                (r["lang"], r["token"]): r["cnt"]
+                for r in grouped_frequent_tokens_exact(
+                    df, "text", "lang", M, force_tree_merge=False
+                ).collect()
+            }
+            t_mg = time.time() - t0
+            t0 = time.time()
+            mg_tree = {
+                (r["lang"], r["token"]): r["cnt"]
+                for r in grouped_frequent_tokens_exact(
+                    df, "text", "lang", M, force_tree_merge=True
+                ).collect()
+            }
+            t_tree = time.time() - t0
+            # exchange proxies: the naive plan shuffles ~distinct (lang,
+            # token) pairs per partition; the sketch path's only exchange
+            # (rung mode) is the metadata-sized sketch rows themselves
+            distinct_lt = (
+                df.select("lang", F.explode(F.split("text", " ")).alias("t"))
+                .distinct()
+                .count()
+            )
+            sketch_rows = grouped_partition_sketches(df, "text", "lang", M).count()
+            ok = naive == mg == mg_tree
+            print(
+                f"{n_groups:>7} {len(naive):>8} {t_naive:>8.2f} {t_mg:>7.2f} "
+                f"{t_tree:>9.2f} {distinct_lt:>11} {sketch_rows:>8} "
+                f"{'OK' if ok else 'DIVERGED':>6}"
+            )
+            if not ok:
+                raise SystemExit(f"grouped differential failed at G={n_groups}")
+        finally:
+            df.unpersist()
+
+
 if __name__ == "__main__":
-    main()
+    groups_mode() if "--groups" in sys.argv[1:] else main()
