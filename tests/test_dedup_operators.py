@@ -902,3 +902,60 @@ def test_incremental_minhash_drops_decisions(spark):
     assert out[12][0] == 14 and out[12][2] == 1.0  # existing outranks new
     assert out[9][0] == 6 and 0.5 <= out[9][2] < 1.0
     assert 6 not in out and 2 not in out and 7 not in out
+
+
+def test_incremental_minhash_fuzz_matches_full_plan(spark):
+    """Seeded fuzz differential: random corpora with planted near-dups,
+    split into existing/new — the incremental drop set must equal the
+    decisions derived from the FULL minhash_lsh_pairs pair set under the
+    same priority (existing-outranks-new, keep-first among new), for
+    every seed. One spark session, pure-python truth derivation."""
+    import random
+
+    from signalk_parquet_spark.operators.dedup import (
+        incremental_minhash_drops,
+        minhash_lsh_pairs,
+    )
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        base_rows = []
+        for i in range(30):
+            n = rng.randint(8, 20)
+            base_rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        rows = list(base_rows)
+        nid = 100
+        for i, text in base_rows:
+            if rng.random() < 0.4:  # plant a near/exact dup with a new id
+                toks = text.split(" ")
+                if rng.random() < 0.5 and len(toks) > 3:
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                rows.append((nid, " ".join(toks)))
+                nid += 1
+        # membership: even ids existing, odd ids new (mixes id order so
+        # existing ids sit both above and below new ids)
+        existing = [(i, t) for i, t in rows if i % 2 == 0]
+        new = [(i, t) for i, t in rows if i % 2 == 1]
+        if not new:
+            continue
+        e_df = spark.createDataFrame(existing, "doc_id long, text string")
+        n_df = spark.createDataFrame(new, "doc_id long, text string")
+        eb, ed = _bands_and_shingles(spark, existing)
+        nb, nd = _bands_and_shingles(spark, new)
+        got = {
+            r["doc_id"]: r["dup_of"]
+            for r in incremental_minhash_drops(eb, nb, ed, nd).collect()
+        }
+        all_df = e_df.unionByName(n_df)
+        pairs = [
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(all_df, "doc_id", "text", threshold=0.6).collect()
+        ]
+        new_ids = {i for i, _ in new}
+        want: dict[int, int] = {}
+        for a, b in pairs:  # a < b always
+            for nid_, pid in ((b, a), (a, b)):
+                if nid_ in new_ids and (pid not in new_ids or pid < nid_):
+                    want[nid_] = min(want.get(nid_, pid), pid)
+        assert got == want, f"seed={seed}"
