@@ -474,6 +474,19 @@ def incremental_minhash_drops(
     verified partner, n_dup_partners, jac = Jaccard with dup_of) — all
     deterministic (min / min_by over unique partner ids; jac is one
     integer-ratio division, engine-exact)."""
+    for name, frame, want in (
+        ("existing_bands", existing_bands, ("band_idx", "band_val")),
+        ("new_bands", new_bands, ("band_idx", "band_val")),
+        ("existing_docs", existing_docs, ("id", "shl")),
+        ("new_docs", new_docs, ("id", "shl")),
+    ):
+        missing = [c for c in want if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"{name} is missing column(s) {missing}: band frames are "
+                "(id-first, band_idx, band_val) as written by the minhash "
+                "band machinery; doc frames are the (id, shl) shingled form"
+            )
     nb = new_bands.select(
         F.col(new_bands.columns[0]).alias("new_id"), "band_idx", "band_val"
     )
@@ -493,7 +506,9 @@ def incremental_minhash_drops(
         )
         .distinct()
     )
-    sh_all = existing_docs.unionByName(new_docs)
+    sh_all = existing_docs.select("id", "shl").unionByName(
+        new_docs.select("id", "shl")
+    )
     dp = sh_all.select(F.col("id").alias("partner"), F.col("shl").alias("shl_p"))
     dn = new_docs.select(F.col("id").alias("new_id"), F.col("shl").alias("shl_n"))
     jac = jaccard(F.col("shl_p"), F.col("shl_n"))

@@ -71,6 +71,11 @@ def topk_per_key(df: DataFrame, key: str, order: list[Column], k: int) -> DataFr
     Returns the surviving rows plus a 1-based ``rank`` BIGINT column."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not order:
+        raise ValueError(
+            "order must be non-empty — and include a tiebreaker, or the "
+            "k-th boundary is picked nondeterministically across runs"
+        )
     w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -113,6 +118,10 @@ def bm25_scores(
     # total length — silently deflating avgdl (the incidental-null class
     # ADVICE r9/r10 kept finding; stated here as the contract instead)
     docs = docs.filter(F.col(text_col).isNotNull())
+    # the query is a term SET per query id: a duplicated (query, term) row
+    # would silently double-count that term's contribution (qtf-weighted
+    # BM25 is a deliberate variant, not an accident of dirty input)
+    queries = queries.dropDuplicates([query_col, term_col])
     dl = (
         F.length(F.col(text_col))
         - F.length(F.translate(F.col(text_col), " ", ""))

@@ -959,3 +959,17 @@ def test_incremental_minhash_fuzz_matches_full_plan(spark):
                 if nid_ in new_ids and (pid not in new_ids or pid < nid_):
                     want[nid_] = min(want.get(nid_, pid), pid)
         assert got == want, f"seed={seed}"
+
+
+def test_incremental_minhash_input_contract(spark):
+    from signalk_parquet_spark.operators.dedup import incremental_minhash_drops
+
+    bands = spark.createDataFrame(
+        [(1, 0, "x")], "id long, band_idx int, band_val string"
+    )
+    docs = spark.createDataFrame([(1, [1, 2])], "id long, shl array<long>")
+    bad = spark.createDataFrame([(1, "x")], "id long, wrong string")
+    with pytest.raises(ValueError, match="new_bands is missing"):
+        incremental_minhash_drops(bands, bad, docs, docs)
+    with pytest.raises(ValueError, match="existing_docs is missing"):
+        incremental_minhash_drops(bands, bands, bad, docs)

@@ -195,3 +195,28 @@ def test_bm25_null_text_excluded_from_stats(spark):
         for r in retrieval.bm25_scores(clean, qs, rational_idf=True).collect()
     }
     assert got == want
+
+
+def test_bm25_duplicate_query_rows_deduped(spark):
+    """A duplicated (query, term) row must not double-count that term —
+    the query side is a term set, stated as a contract."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(_QUERIES, "query_id string, term string")
+    dup = spark.createDataFrame(
+        _QUERIES + [("qa", "join"), ("qa", "join")], "query_id string, term string"
+    )
+    clean = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in retrieval.bm25_scores(docs, qs, rational_idf=True).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in retrieval.bm25_scores(docs, dup, rational_idf=True).collect()
+    }
+    assert got == clean
+
+
+def test_topk_per_key_requires_order(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "key string, id long, score long")
+    with pytest.raises(ValueError, match="order must be non-empty"):
+        retrieval.topk_per_key(df, "key", [], 3)
