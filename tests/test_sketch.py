@@ -383,3 +383,55 @@ def test_streaming_grouped_heavy_hitters_supersets_batch_gate(spark, tmp_path) -
     }
     missing = batch - cands
     assert not missing, f"grouped streaming sketch dropped true heavies: {missing}"
+
+
+def test_streaming_grouped_heavy_hitters_state_survives_restart(spark, tmp_path) -> None:
+    """Per-(group, token-hash) MG counters must recover from the
+    checkpoint across two separate query runs — and stay ISOLATED per
+    group: run 2 tops up only one language's counter, the other
+    language's total must be exactly run 1's."""
+    from signalk_parquet_spark.streaming.stateful import (
+        streaming_grouped_heavy_hitters,
+    )
+
+    src = str(tmp_path / "ghhr_src")
+    out = str(tmp_path / "ghhr_out")
+    ckpt = str(tmp_path / "ghhr_ckpt")
+    schema = "doc_id long, lang string, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_grouped_heavy_hitters(stream, m=8, n_groups=2)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, "en", " ".join(["alpha"] * 50 + ["beta"] * 3)),
+            (2, "de", " ".join(["alpha"] * 7)),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    run_once()
+    spark.createDataFrame(
+        [(3, "en", "alpha alpha alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # NEW query, same checkpoint: counters must come back
+
+    emitted = spark.read.parquet(out).toPandas()
+    latest = emitted[
+        emitted.groupby(["g", "grp"])["n_seen"].transform("max")
+        == emitted["n_seen"]
+    ]
+    wt = {(g, t): w for g, t, w in zip(latest["g"], latest["token"], latest["wt"])}
+    # en: 50 from run 1 + 3 from run 2 (m=8 > vocab, no decrements);
+    # de: untouched by run 2 — exactly run 1's 7
+    assert wt.get(("en", "alpha")) == 53, wt
+    assert wt.get(("de", "alpha")) == 7, wt
