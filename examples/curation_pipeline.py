@@ -111,6 +111,11 @@ def main() -> None:
     rep = q["repetition_score"](spark, sf).select("doc_id", "repetitive")
     clf = q["quality_classifier"](spark, sf).select("doc_id", "keep")
     lm = q["lm_bigram_score"](spark, sf).select("doc_id", "lm_score")
+    # per-language frequent-token report (grouped MG 2-pass, r11): the
+    # diagnostic a curation run eyeballs for per-language boilerplate /
+    # stop-token domination before tuning the screens above — exact per
+    # group, without ever shuffling the token stream
+    lang_heavies = q["grouped_heavy_hitters"](spark, sf).count()
     kept = (
         docs.join(quality, "doc_id")
         .join(gopher, "doc_id")
@@ -402,6 +407,7 @@ def main() -> None:
     print(f"documents: {n0}")
     print(f"PII redactions applied: {n_pii_hits}")
     print(f"after quality+repetition+classifier+LM screens: {n1}")
+    print(f"per-language frequent-token report: {lang_heavies} (lang, token) rows")
     print(f"after exact+near dedup: {n2}")
     print(f"after copied-span screen: {n2b} "
           f"({n_span_words_removed} duplicated-span words removed)")
