@@ -50,8 +50,11 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
-def topk_per_key(df: DataFrame, key: str, order: list[Column], k: int) -> DataFrame:
-    """Exact top-k rows per key under ``order`` (a TOTAL order — include a
+def topk_per_key(
+    df: DataFrame, key: str | list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Exact top-k rows per key (a column name or a list for composite
+    keys — e.g. (query, date)) under ``order`` (a TOTAL order — include a
     tiebreaker). Deliberately JUST the window + rank filter, because
     Catalyst already plans this shape as a bounded two-phase top-k:
     ``WindowGroupLimit(Partial)`` keeps each map task's top k per key
@@ -76,7 +79,8 @@ def topk_per_key(df: DataFrame, key: str, order: list[Column], k: int) -> DataFr
             "order must be non-empty — and include a tiebreaker, or the "
             "k-th boundary is picked nondeterministically across runs"
         )
-    w = Window.partitionBy(key).orderBy(*order)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

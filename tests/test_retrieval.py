@@ -220,3 +220,28 @@ def test_topk_per_key_requires_order(spark):
     df = spark.createDataFrame([("a", 1, 1)], "key string, id long, score long")
     with pytest.raises(ValueError, match="order must be non-empty"):
         retrieval.topk_per_key(df, "key", [], 3)
+
+
+def test_topk_per_key_composite_key(spark):
+    rows = [
+        (k, d, i, (i * 31) % 7)
+        for k in ("a", "b")
+        for d in ("d1", "d2")
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "key string, day string, id long, score long")
+    got = retrieval.topk_per_key(
+        df, ["key", "day"], [F.col("score").desc(), F.col("id").asc()], 3
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # rewrite fires on composite keys too
+    got_rows = {(r["key"], r["day"], r["rank"], r["id"]) for r in got.collect()}
+    want = set()
+    for k in ("a", "b"):
+        for d in ("d1", "d2"):
+            sub = sorted(
+                (r for r in rows if r[0] == k and r[1] == d),
+                key=lambda r: (-r[3], r[2]),
+            )[:3]
+            want |= {(k, d, i + 1, r[2]) for i, r in enumerate(sub)}
+    assert got_rows == want
