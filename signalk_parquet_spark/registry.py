@@ -292,8 +292,8 @@ def oracle_sql() -> dict[str, str]:
 #: cube_returnflag_status, all r08-green and unchanged, lead the r12
 #: fill alongside dedup_minhash_lsh, whose oracle text was REFORMATTED
 #: in r11 — shared signature prelude with the incremental gate,
-#: semantics identical; HAND-QUEUE it for r12, the manifest was
-#: refreshed after the edit so --suggest cannot flag it).
+#: semantics identical; window_check.HAND_QUEUED_EDITS ranks it EDIT
+#: for r12 since the manifest was refreshed after the edit).
 #: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
 #: path vs hand-computed literals — r10 verdict Next #3),
 #: group_length_clip (per-language p99 length clip, the first curation

@@ -110,15 +110,25 @@ def compute_fingerprints(sf_dir: str = _FP_SF) -> dict[str, str]:
     return out
 
 
+#: gates edited AFTER the round's manifest refresh, so the fingerprint
+#: diff can no longer see them — hand-queued here so the next rotation
+#: stays mechanical. CLEAR an entry once its re-gated round lands.
+#: r11: dedup_minhash_lsh's oracle text was reformatted into the shared
+#: signature prelude (semantics identical) after the r11 refresh.
+HAND_QUEUED_EDITS: tuple[str, ...] = ("dedup_minhash_lsh",)
+
+
 def edited_gates(repo_root: str) -> list[str]:
     """Gates whose fingerprint differs from the committed manifest (empty
-    if no manifest yet — first run bootstraps via --fingerprint)."""
+    if no manifest yet — first run bootstraps via --fingerprint), plus
+    the HAND_QUEUED_EDITS that a post-refresh edit hid from the diff."""
     path = os.path.join(repo_root, FINGERPRINT_FILE)
     if not os.path.exists(path):
-        return []
+        return list(HAND_QUEUED_EDITS)
     old = json.load(open(path))
     cur = compute_fingerprints()
-    return [n for n, h in cur.items() if old.get(n) not in (None, h)]
+    diffed = [n for n, h in cur.items() if old.get(n) not in (None, h)]
+    return diffed + [n for n in HAND_QUEUED_EDITS if n not in diffed]
 
 
 def main() -> int:
