@@ -50,13 +50,40 @@ def test_edited_gates_diffs_manifest(tmp_path, monkeypatch):
         wc, "compute_fingerprints",
         lambda sf_dir=None: {"a": "h1", "b": "CHANGED", "d": "new-gate"},
     )
+    monkeypatch.setattr(wc, "HAND_QUEUED_EDITS", ())
     # b changed -> edited; d has no manifest entry (new) -> NOT edited
     # (never-checked ranking covers it); c absent from current -> ignored
     assert wc.edited_gates(str(tmp_path)) == ["b"]
 
 
-def test_edited_gates_bootstrap_without_manifest(tmp_path):
+def test_edited_gates_bootstrap_without_manifest(tmp_path, monkeypatch):
+    # hand-queued names must NOT leak into the bootstrap case: with no
+    # manifest, every gate is equally unevidenced and the never-checked
+    # ranking covers them
+    monkeypatch.setattr(wc, "HAND_QUEUED_EDITS", ("x",))
     assert wc.edited_gates(str(tmp_path)) == []
+
+
+def test_edited_gates_hand_queue(tmp_path, monkeypatch):
+    """The hand-queue (r11): a post-manifest-refresh edit is invisible to
+    the fingerprint diff, so HAND_QUEUED_EDITS appends it — exactly once,
+    never duplicating a name the diff already found, and clearing the
+    queue returns the contract to the pure-diff baseline."""
+    (tmp_path / wc.FINGERPRINT_FILE).write_text(
+        json.dumps({"a": "h1", "b": "h2", "q": "h4"})
+    )
+    monkeypatch.setattr(
+        wc, "compute_fingerprints",
+        lambda sf_dir=None: {"a": "h1", "b": "CHANGED", "q": "h4"},
+    )
+    monkeypatch.setattr(wc, "HAND_QUEUED_EDITS", ("q",))
+    assert wc.edited_gates(str(tmp_path)) == ["b", "q"]
+    # a hand-queued name the diff ALSO caught appears exactly once
+    monkeypatch.setattr(wc, "HAND_QUEUED_EDITS", ("b",))
+    assert wc.edited_gates(str(tmp_path)) == ["b"]
+    # cleared queue -> pure diff
+    monkeypatch.setattr(wc, "HAND_QUEUED_EDITS", ())
+    assert wc.edited_gates(str(tmp_path)) == ["b"]
 
 
 def test_committed_manifest_covers_every_gate():

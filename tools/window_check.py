@@ -120,11 +120,14 @@ HAND_QUEUED_EDITS: tuple[str, ...] = ("dedup_minhash_lsh",)
 
 def edited_gates(repo_root: str) -> list[str]:
     """Gates whose fingerprint differs from the committed manifest (empty
-    if no manifest yet — first run bootstraps via --fingerprint), plus
-    the HAND_QUEUED_EDITS that a post-refresh edit hid from the diff."""
+    if no manifest yet — first run bootstraps via --fingerprint; the
+    hand-queue only augments an EXISTING manifest's diff, since with no
+    manifest every gate is equally unevidenced and 'never-checked'
+    ranking already covers them), plus the HAND_QUEUED_EDITS that a
+    post-refresh edit hid from the diff."""
     path = os.path.join(repo_root, FINGERPRINT_FILE)
     if not os.path.exists(path):
-        return list(HAND_QUEUED_EDITS)
+        return []
     old = json.load(open(path))
     cur = compute_fingerprints()
     diffed = [n for n, h in cur.items() if old.get(n) not in (None, h)]
