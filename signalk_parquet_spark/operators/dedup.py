@@ -487,6 +487,17 @@ def incremental_minhash_drops(
                 "(id-first, band_idx, band_val) as written by the minhash "
                 "band machinery; doc frames are the (id, shl) shingled form"
             )
+        # band frames take the id POSITIONALLY (any name — minhash_lsh
+        # writes doc_id, a caller's index may differ), so the position
+        # must actually hold an id: a (band_idx, band_val, id) frame
+        # would pass the presence check above and silently mis-key every
+        # candidate join (ADVICE r11)
+        if "band_idx" in want and frame.columns[0] in want:
+            raise ValueError(
+                f"{name}'s first column is '{frame.columns[0]}' — band "
+                "frames carry the doc id FIRST, before the declared "
+                "(band_idx, band_val) columns"
+            )
     nb = new_bands.select(
         F.col(new_bands.columns[0]).alias("new_id"), "band_idx", "band_val"
     )

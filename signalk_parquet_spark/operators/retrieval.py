@@ -79,6 +79,14 @@ def topk_per_key(
             "order must be non-empty — and include a tiebreaker, or the "
             "k-th boundary is picked nondeterministically across runs"
         )
+    if "rank" in df.columns:
+        # withColumn would silently REPLACE the caller's column (and an
+        # order expression referencing the old 'rank' would resolve to
+        # the new one) — corrupt data, not an error, without this guard
+        raise ValueError(
+            "input already has a 'rank' column — topk_per_key emits its "
+            "1-based rank under that name; rename or drop the caller's"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
@@ -199,3 +207,48 @@ def bm25_topk(
     return topk_per_key(
         scored, query_col, [F.col(score_col).desc(), F.col(id_col).asc()], k
     )
+
+
+def retrieval_contamination(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Contamination ledger for retrieval-based decontamination: the docs
+    appearing in ANY eval query's exact BM25 top-k — the pull-and-drop
+    rung beside the shingle/Bloom/semantic rungs of the decontamination
+    ladder (queries_curation.py). Where n-gram overlap needs a verbatim
+    8-gram to fire, retrieval catches the benchmark's highest-scoring
+    near-phrasings: exactly the docs an eval-suite leak audit would
+    surface first.
+
+    Returns one row per contaminated doc: (id, n_queries = how many eval
+    queries pulled it, best_rank = its best rank over those queries) —
+    deterministic (top-k ties break by ascending id inside
+    :func:`bm25_topk`). Callers drop with a left_anti join on the id
+    (:func:`decontaminate_by_retrieval`); the frame itself is the audit
+    artifact. Cost is the bm25_topk plan — one corpus scan, matched
+    postings only, WindowGroupLimit-bounded — plus a doc-keyed partial
+    agg over ≤ |queries|·k surviving rows (metadata-sized)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    top = bm25_topk(docs, queries, k=k, **kwargs)
+    return top.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("rank").alias("best_rank"),
+    )
+
+
+def decontaminate_by_retrieval(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """``docs`` minus the retrieval-contaminated set — the apply side of
+    :func:`retrieval_contamination` (same contract as the ladder's other
+    drop rungs: an anti-join on the id, the survivors keep their full
+    row)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    drops = retrieval_contamination(docs, queries, k=k, **kwargs)
+    return docs.join(drops.select(id_col), id_col, "left_anti")

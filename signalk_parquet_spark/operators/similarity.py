@@ -1325,3 +1325,72 @@ def _fused_ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negatives(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    round_digits: int = 4,
+    dim: int | None = None,
+    bucketed: bool = False,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per query,
+    the top-k most-cosine-similar collection rows whose ``label_col``
+    DIFFERS from the query's — the highest-similarity wrong-class
+    examples, i.e. exactly the negatives a triplet/InfoNCE loss learns
+    most from (the standard mining step in retrieval-model training;
+    public recipe, e.g. Karpukhin et al. 2020 DPR §4).
+
+    Default is the exact form: broadcast the (small) query set with its
+    labels, one map-only scan of the collection, the label-mismatch
+    predicate riding the same broadcast join as the id-inequality — the
+    collection never shuffles and no (label x label) pair list ever
+    materializes. ``bucketed=True`` is the scale path when the query set
+    stops being small: candidates must also share the query's
+    random-hyperplane LSH bucket, turning the scan into an equality join
+    (same recall story as ann_topk — tune with topk_recall). Top-k rides
+    retrieval.topk_per_key, so the WindowGroupLimit bound is
+    plan-asserted, not assumed.
+
+    Returns (query_id, neighbor_id, cos, rank) — ties by ascending
+    neighbor id, deterministic across engines at ``round_digits``."""
+    from .retrieval import topk_per_key
+
+    # one projection per side — labels ride the same select as the norms
+    # (a _with_norms + join-back-on-id would be a gratuitous self-join)
+    coll = collection.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("emb"),
+        F.col(label_col).alias("_lbl"),
+    ).withColumn("n2", norm_sq(F.col("emb"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qemb"),
+        F.col(label_col).alias("_qlbl"),
+    ).withColumn("qn2", norm_sq(F.col("qemb"), dim))
+    if bucketed:
+        planes = make_planes(n_planes, dim or 64)
+        coll = coll.withColumn("bucket", hyperplane_bits(F.col("emb"), planes))
+        q = q.withColumn("bucket", hyperplane_bits(F.col("qemb"), planes))
+        pairs = coll.join(F.broadcast(q), ["bucket"])
+    else:
+        pairs = coll.crossJoin(F.broadcast(q))
+    pairs = pairs.filter(
+        (F.col("id") != F.col("query_id")) & (F.col("_lbl") != F.col("_qlbl"))
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb"), dim)
+            / F.sqrt(F.col("qn2") * F.col("n2")),
+            round_digits,
+        ).alias("cos"),
+    )
+    return topk_per_key(
+        pairs, "query_id", [F.col("cos").desc(), F.col("neighbor_id").asc()], k
+    )

@@ -603,14 +603,17 @@ _BM25_QUERIES = [
 
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
 
-
-@register(
-    "bm25_topk",
-    f"""
+#: shared oracle prelude — the full rational-idf scoring + ranking CTE
+#: chain, ending in `ranked`. bm25_topk AND decontaminate_bm25 both
+#: append their SELECT to THIS string (the dedup family's shared
+#: signature-prelude pattern: two gates over one scoring definition
+#: cannot drift apart)
+_BM25_RANKED_DD = f"""
     WITH base AS (
       SELECT doc_id, CAST(len({_TOKS_DD}) AS BIGINT) AS dl,
              {_TOKS_DD} AS toks
       FROM documents
+      WHERE text IS NOT NULL
     ), stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
       FROM base
@@ -646,6 +649,13 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
                   AS BIGINT) AS rank
       FROM scores
     )
+"""
+
+
+@register(
+    "bm25_topk",
+    _BM25_RANKED_DD
+    + """
     SELECT query_id, rank, doc_id, score_micro,
            score_micro / 1000000.0 AS score
     FROM ranked WHERE rank <= 10
@@ -665,9 +675,61 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     (CLAUDE.md rule 10; operators/retrieval.py module doc has the exact
     argument). Ties break by ascending doc_id — a total order, so rank,
     membership and scores are all deterministic."""
+    res = _bm25_top10(spark, sf)
+    return res.select("query_id", "rank", "doc_id", "score_micro", "score")
+
+
+def _bm25_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """Memoized exact BM25 top-10 per eval query (gate mode) — shared by
+    bm25_topk and decontaminate_bm25, the retrieval family's one
+    expensive intermediate (one corpus scan; everything downstream is
+    ≤ |queries|·k rows). Bench charges the build to the family's first
+    consumer in registration order, like the dedup memos."""
     from .operators import retrieval
 
-    docs = load(spark, sf, "documents")
-    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
-    res = retrieval.bm25_topk(docs, queries, k=10, rational_idf=True)
-    return res.select("query_id", "rank", "doc_id", "score_micro", "score")
+    def build() -> DataFrame:
+        docs = load(spark, sf, "documents")
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id string, term string"
+        )
+        return retrieval.bm25_topk(docs, queries, k=10, rational_idf=True).persist()
+
+    # LAZY persist (materialize=False): the eager count() would run the
+    # corpus scan a second time before the first consumer even collects —
+    # a 2x on the family's first-consumer wall. The race that count()
+    # guards against (AQE + a partially-built cache read twice inside ONE
+    # query — the dedup self-join war story) needs a multi-read plan;
+    # both consumers here read the frame exactly once, sequentially.
+    return _LM_MEMO.get_or_build(spark, f"bm25_top10:{sf}", build, materialize=False)
+
+
+@register(
+    "decontaminate_bm25",
+    _BM25_RANKED_DD
+    + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_queries,
+           min(rank) AS best_rank
+    FROM ranked WHERE rank <= 10
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-based decontamination rung (the ladder's fourth screen,
+    beside the shingle/Bloom/semantic rungs in queries_curation.py): the
+    contamination LEDGER — every corpus doc pulled into any eval query's
+    exact BM25 top-10, with how many queries pulled it and its best rank.
+    Training-set callers anti-join this frame
+    (operators/retrieval.decontaminate_by_retrieval); the frame itself is
+    what an eval-leak audit reads. Where the n-gram rung needs a verbatim
+    8-gram, retrieval surfaces the highest-SCORING near-phrasings of the
+    benchmark. The oracle appends its aggregate to the SAME scoring CTE
+    prelude as bm25_topk (_BM25_RANKED_DD — the dedup family's shared-
+    prelude pattern), so the two gates' scoring definitions cannot
+    drift; the Spark side re-aggregates the memoized top-10 frame, so
+    the corpus is scanned once for the family. min(rank) stays BIGINT in
+    both engines (only sum() promotes to HUGEINT — CLAUDE.md rule 6)."""
+    top = _bm25_top10(spark, sf)
+    return top.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("rank").alias("best_rank"),
+    )

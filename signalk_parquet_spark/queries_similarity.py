@@ -169,6 +169,52 @@ def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_hard_negatives",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS ea FROM e WHERE vec_id < {_NQ}
+    ), pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DD_COS.replace("eb", "e.emb")}, 4) AS cos4
+      FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ), r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos4 DESC, neighbor_id)
+                     AS BIGINT) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos4, rank FROM r WHERE rank <= {_TOPK}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (contrastive/embedding-training data prep,
+    DPR-style): per query, the top-5 most-similar vectors of a DIFFERENT
+    label — the wrong-class examples a triplet/InfoNCE loss learns most
+    from. The label-mismatch predicate rides the same broadcast of the
+    query set as the id-inequality, so the collection side stays one
+    map-only scan (no label x label pair list, no shuffle of the big
+    side); top-k goes through retrieval.topk_per_key, so the
+    WindowGroupLimit bound holds per query. The operator's
+    ``bucketed=True`` twin swaps the scan for the LSH-bucket equality
+    join when the query set itself is corpus-sized (recall measured with
+    topk_recall, like the ann family's other approximate rungs)."""
+    from .operators.similarity import hard_negatives
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    res = hard_negatives(
+        e, q, id_col="vec_id", vec_col="embedding", label_col="label",
+        k=_TOPK, dim=_DIM,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos4"), "rank"
+    )
+
+
 #: 10 tables x 8 planes + radius-1 multiprobe: on near-uniform vectors (the
 #: hard case) a top-5 neighbor sits at cos ~0.35 => P(bit agrees) p ~0.62.
 #: Without probing, per-table collision p^8 ~ 0.02; probing each bucket's

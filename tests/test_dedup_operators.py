@@ -973,3 +973,84 @@ def test_incremental_minhash_input_contract(spark):
         incremental_minhash_drops(bands, bad, docs, docs)
     with pytest.raises(ValueError, match="existing_docs is missing"):
         incremental_minhash_drops(bands, bands, bad, docs)
+
+
+def test_hard_negatives_operator(spark):
+    """Hard-negative mining: per query, the most-similar DIFFERENT-label
+    rows — same-label near-dups must never appear, ranking is by cosine
+    with id tie-break, and the exact mode matches a python truth."""
+    import math
+
+    from signalk_parquet_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # same-label near-dup of 0: excluded
+        (2, [0.9, 0.2, 0.0, 0.0], 1),    # the hardest negative for 0
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0, 0.0], 2),
+        (5, [0.5, 0.5, 0.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") < 2)
+    got = hard_negatives(
+        emb, q, id_col="vec_id", vec_col="embedding", label_col="label", k=3, dim=4
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    want = {}
+    for qid, qv, ql in rows[:2]:
+        neg = [
+            (round(cos(qv, v), 4), nid)
+            for nid, v, lb in rows
+            if nid != qid and lb != ql
+        ]
+        want[qid] = [n for _, n in sorted(neg, key=lambda t: (-t[0], t[1]))[:3]]
+    assert by_q == want
+    # the same-label near-dup (1 for query 0) is structurally absent
+    assert 1 not in by_q[0]
+
+    # bucketed twin: a subset of the exact candidates, and the nearly
+    # parallel different-label vector 2 must share query 0's bucket
+    ann = hard_negatives(
+        emb, q, id_col="vec_id", vec_col="embedding", label_col="label",
+        k=3, dim=4, bucketed=True,
+    ).collect()
+    # different-label contract holds in bucketed mode too
+    labels = {nid: lb for nid, _, lb in rows}
+    qlabels = {0: 0, 1: 0}
+    assert all(labels[r["neighbor_id"]] != qlabels[r["query_id"]] for r in ann)
+    got0 = [r["neighbor_id"] for r in ann if r["query_id"] == 0]
+    assert 2 in got0 and 1 not in got0
+
+
+def test_hard_negatives_plan_shape(spark):
+    """100 TB invariants: query side broadcast (the one sanctioned BNLJ in
+    exact mode), top-k rides the WindowGroupLimit rewrite, no range
+    exchange, nothing row-at-a-time."""
+    from signalk_parquet_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.0], i % 3) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        hard_negatives(emb, q, "vec_id", "embedding", "label", k=5, dim=4)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "windowgrouplimit" in plan
+    assert "rangepartitioning" not in plan
+    assert "batchevalpython" not in plan
+    assert plan.count("broadcastnestedloopjoin") <= 1
+    # bucketed mode trades the BNLJ for a bucket equi-join
+    bplan = (
+        hard_negatives(emb, q, "vec_id", "embedding", "label", k=5, dim=4, bucketed=True)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "broadcastnestedloopjoin" not in bplan
+    assert "broadcasthashjoin" in bplan

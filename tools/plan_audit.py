@@ -35,11 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOW_BNLJ = {
     # exact kNN / recall evaluations: the broadcast side is the bounded
     # query/truth set (bounded_collect contract in operators/similarity.py)
-    "ann_ivf_kmeans", "ann_recall", "ann_scalar_quant", "ivf_kmeans_recall",
+    "ann_ivf_kmeans", "ann_hard_negatives", "ann_recall", "ann_scalar_quant",
+    "ivf_kmeans_recall",
     "ivf_recall", "ivfpq_recall", "knn_bruteforce", "pq_recall",
     "semdedup_recall", "curation_diverse", "decontaminate_semantic",
     # one-row scalar frames joined for normalization/thresholds
-    "bm25_topk", "dsir_weights", "heavy_hitters_2pass", "mixture_epochs",
+    "bm25_topk", "decontaminate_bm25", "dsir_weights", "heavy_hitters_2pass",
+    "mixture_epochs",
     "source_divergence",
     # TPC-H scalar subqueries (avg threshold / substring country set)
     "tpch_q11", "tpch_q22",
