@@ -226,6 +226,95 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.8,
+    prepared: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT self-join: every ORDERED pair (a, b), a ≠ b,
+    with |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ ``threshold`` —
+    the asymmetric twin of the Jaccard family, and a different question:
+    Jaccard finds near-COPIES (both sets mostly shared), containment
+    finds QUOTES/SUBSETS — a short document embedded nearly whole inside
+    a long one, which Jaccard misses completely (a 20-gram quote inside
+    a 2000-gram page has jac ≈ 0.01 but containment ≈ 1.0). The LLM-
+    pipeline use is quote/boilerplate provenance and "is this eval doc
+    swallowed by some training page" (SSJoin prefix filtering, Chaudhuri
+    et al. ICDE'06 — public algorithm).
+
+    Prefix filter, containment form: only the PROBE side (a) explodes a
+    prefix — its first |A| − ⌈t·|A|⌉ + 1 hash-sorted shingles (if a ≥ t
+    fraction of A is in B, at least one of A's prefix tokens is — the
+    pigeonhole bound, same order both sides); the INDEX side (b)
+    explodes fully, because containment puts no upper bound on |B|. The
+    ceil is epsilon-LOOSENED (⌈x − 1e-9⌉) so float rounding can only
+    LENGTHEN the prefix (admit a spurious candidate for verify to
+    discard), never shorten it below the bound — t·sz is inexact in
+    binary for most t (0.8·35 = 28.000000000000004 would otherwise ceil
+    to 29 and silently drop true pairs). One size filter applies:
+    |B| ≥ t·|A| (the intersection fits in B); blocks ride the same
+    equi-join key. Verify is exact: inter = |A∩B| integer, containment =
+    one IEEE division of exact ints — bit-identical across engines, so
+    the ≥ t compare is engine-stable (threshold literals parse to the
+    same double everywhere).
+
+    Empty shingle sets (docs under n+? tokens) are EXCLUDED, not
+    vacuously contained: 0/0 is a contract decision, and "the empty set
+    is inside everything" is never the curation question being asked.
+
+    ``prepared``: (id, *block_cols, shl) frame as in prefix_jaccard_pairs.
+    Returns (id_a, id_b, inter, size_a, containment) — a is the
+    contained side."""
+    if prepared is not None:
+        d = prepared
+    else:
+        d = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            hashed_shingles(distinct_shingles(text_col)).alias("shl"),
+        )
+    d = (
+        d.select("id", *block_cols, F.sort_array("shl").alias("shl"))
+        .withColumn("sz", F.size("shl").cast("long"))
+        .filter(F.col("sz") > 0)
+        .persist()
+    )
+    # materialize once: feeds the probe prefix, the full index AND verify
+    d.count()
+    m_req = F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)).cast("long")
+    probe = d.withColumn(
+        "pre", F.slice(F.col("shl"), 1, (F.col("sz") - m_req + 1).cast("int"))
+    )
+    a = probe.select("id", *block_cols, "sz", F.explode("pre").alias("tok")).alias("a")
+    b = d.select("id", *block_cols, "sz", F.explode("shl").alias("tok")).alias("b")
+    t_eps = threshold - 1e-9
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") != F.col("b.id"))
+    cond = cond & (F.col("b.sz") >= F.lit(t_eps) * F.col("a.sz"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = d.select(F.col("id").alias("id_a"), F.col("shl").alias("shl_a"),
+                  F.col("sz").alias("size_a"))
+    db = d.select(F.col("id").alias("id_b"), F.col("shl").alias("shl_b"))
+    inter = F.size(F.array_intersect(F.col("shl_a"), F.col("shl_b"))).cast("long")
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a", "id_b", inter.alias("inter"), "size_a",
+            (inter / F.col("size_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str,

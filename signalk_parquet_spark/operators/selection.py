@@ -432,3 +432,62 @@ def _selection_core(
             "shrinks the band further"
         )
     return results
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    c: int = 3,
+    sorted_path: bool = False,
+) -> DataFrame:
+    """Robust per-group outlier detection via MAD (median absolute
+    deviation): rows with |x − median_g| > c · MAD_g, where both the
+    median and the MAD are the LOWER median (rank ⌈n/2⌉ = (n+1)//2) of
+    their group's nulls-excluded multiset — integer-rank order
+    statistics, so for integer inputs every quantity in the decision
+    (med, dev, MAD, the c·MAD cut) is an exact integer and the gate
+    hash-compares with no rounding anywhere. MAD is the textbook robust
+    scale estimator (Hampel 1974): mean/stddev cuts move with the very
+    outliers they're hunting (one 10^9-char document inflates σ until
+    nothing is an outlier), the median/MAD pair doesn't budge — the
+    right shape for curation rules like "drop per-language length
+    freaks".
+
+    Cost shape: TWO grouped selections (each: seed + one histogram job
+    per round + shared finish window — never a per-group sort exchange)
+    + two broadcast joins of G-row threshold tables + one filter scan.
+    The deviation pass reuses the first pass's broadcast join output, so
+    the corpus is scanned, not shuffled. ``sorted_path=True`` routes
+    both selections through grouped_kth_smallest_sorted for
+    high-G group columns (the max_groups contract of the banded path).
+
+    MAD_g = 0 (over half the group at the median) degrades exactly as
+    the textbook warns: every dev > 0 row is then an outlier; callers
+    who want a floor add one to ``c·MAD`` themselves — the operator
+    doesn't silently fudge the estimator.
+
+    Returns (group_col, id-and-value columns of ``df``…, med BIGINT,
+    mad BIGINT, dev BIGINT) for outlier rows only."""
+    if sorted_path:
+        def select_fn(frame: DataFrame, c_: str, g_: str) -> DataFrame:
+            return grouped_kth_smallest_sorted(frame, c_, g_, "array((n + 1) div 2)")
+    else:
+        def select_fn(frame: DataFrame, c_: str, g_: str) -> DataFrame:
+            return grouped_kth_smallest(frame, c_, g_, lambda n: [(n + 1) // 2])
+
+    base = df.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+    med = select_fn(
+        base.select(group_col, F.col(col).cast("double").alias(col)),
+        col, group_col,
+    ).select(group_col, F.col("value").cast("long").alias("med"))
+    dev = base.join(F.broadcast(med), group_col).withColumn(
+        "dev", F.abs(F.col(col).cast("long") - F.col("med"))
+    )
+    mad = select_fn(
+        dev.select(group_col, F.col("dev").cast("double").alias("dev")),
+        "dev", group_col,
+    ).select(group_col, F.col("value").cast("long").alias("mad"))
+    return dev.join(F.broadcast(mad), group_col).filter(
+        F.col("dev") > F.lit(c) * F.col("mad")
+    )

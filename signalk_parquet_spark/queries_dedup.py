@@ -328,6 +328,41 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_HSHINGLES_DD} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           CAST(len(a.sh) AS BIGINT) AS size_a,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-language set-containment pairs (C(a→b) = |A∩B|/|A| ≥
+    0.8) via the asymmetric prefix filter — quote/subset detection, the
+    question Jaccard can't ask (a short doc swallowed by a long one has
+    tiny Jaccard but containment ≈ 1; ordered pairs, a = contained side).
+    The oracle is the brute-force quadratic join, so the gate is the
+    differential proof that the probe-prefix × full-index candidate
+    generation loses nothing — the same exactness bar dedup_jaccard_prefix
+    sets for the symmetric filter. Rides the session's shared shingle
+    frame; containment is ONE IEEE division of exact integers, so the
+    value and the ≥ 0.8 cut are engine-stable
+    (operators/dedup.containment_pairs has the epsilon-ceil argument)."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", ["lang"], 0.8,
+        prepared=_shingled_docs(spark, sf).select("id", "lang", "shl"),
+    )
+
+
 # --- MinHash sketch-quality evaluation --------------------------------------------------
 def _dd_minhash_est_sql() -> str:
     # candidate CTEs shared with the LSH gate; add the per-position

@@ -378,6 +378,56 @@ def group_length_clip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "group_mad_outliers",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ), m AS (
+      SELECT lang, CAST(v AS BIGINT) AS med FROM (
+        SELECT lang, n_chars AS v,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM d) WHERE rn = (n + 1) // 2
+    ), dv AS (
+      SELECT d.doc_id, d.lang, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS dev
+      FROM d JOIN m USING (lang)
+    ), md AS (
+      SELECT lang, CAST(v AS BIGINT) AS mad FROM (
+        SELECT lang, dev AS v,
+               row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM dv) WHERE rn = (n + 1) // 2
+    )
+    SELECT dv.lang, dv.doc_id, dv.n_chars, dv.med, md.mad,
+           CAST(dv.dev AS BIGINT) AS dev
+    FROM dv JOIN md USING (lang)
+    WHERE dv.dev > 2 * md.mad
+    """,
+)
+def group_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language robust length outliers (|x − med| > 2·MAD) — the
+    second curation consumer of grouped selection
+    (operators/selection.grouped_mad_outliers): median and MAD are
+    LOWER-median order statistics from the banded path (seed + one
+    histogram job per round, never a per-group sort exchange — the
+    oracle pays TWO of those exchanges, one per statistic), applied with
+    two G-row broadcast joins. MAD is the estimator that doesn't move
+    with the outliers it hunts (a mean/σ rule dissolves against one
+    10^9-char doc); every decision quantity is an exact integer, so no
+    rounding anywhere. c=2 because the synthetic corpus is too
+    well-behaved for the textbook c=3 to fire at any SF (0 rows —
+    a vacuous gate proves nothing); 2·MAD yields a stable non-empty
+    outlier set at sf0.001/0.01/0.1."""
+    from .operators.selection import grouped_mad_outliers
+
+    d = load(spark, sf, "documents")
+    out = grouped_mad_outliers(d, "n_chars", "lang", c=2)
+    return out.select("lang", "doc_id", "n_chars", "med", "mad", "dev")
+
+
+@register(
     "corpus_shuffle_rank",
     """
     SELECT doc_id,

@@ -1054,3 +1054,91 @@ def test_hard_negatives_plan_shape(spark):
     )
     assert "broadcastnestedloopjoin" not in bplan
     assert "broadcasthashjoin" in bplan
+
+
+def _py_containment(rows, t, n=3):
+    """Brute-force containment truth over word n-gram shingle SETS."""
+    def sh(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(tx) for i, tx, *_ in rows}
+    out = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter / len(sa) >= t:
+                out[(a, b)] = (inter, len(sa))
+    return out
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    """The prefix-filtered candidate generation must reproduce the
+    quadratic truth exactly — including the planted quote case Jaccard
+    misses (short doc inside a long one) and the exact-boundary pair."""
+    from signalk_parquet_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 32))          # inside long_doc
+    half_in = " ".join(f"w{i}" for i in range(55, 70))        # straddles the end
+    rows = [
+        (1, long_doc),
+        (2, quote),                      # contained: C(2->1) = 1.0
+        (3, half_in),                    # partial overlap
+        (4, "a b"),                      # < 3 tokens -> empty shingle set
+        (5, quote + " tail0 tail1 tail2"),  # mostly contained in 1
+        (6, " ".join(f"z{i}" for i in range(30))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.8, 0.5):
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"])
+            for r in containment_pairs(df, "doc_id", "text", [], t).collect()
+        }
+        assert got == _py_containment(rows, t), f"t={t}"
+    # the asymmetry is real: 2->1 contained, 1->2 not
+    t08 = _py_containment(rows, 0.8)
+    assert (2, 1) in t08 and (1, 2) not in t08
+
+
+def test_containment_boundary_and_jaccard_blindspot(spark):
+    """(a) containment EXACTLY at the threshold is kept in both engines'
+    arithmetic (one division of exact ints vs the same literal); (b) the
+    kept quote pair has Jaccard far below any near-dup cut — the reason
+    this family exists."""
+    from signalk_parquet_spark.operators.dedup import containment_pairs
+
+    # doc 2 has 5 shingles, exactly 4 shared with doc 1 -> C = 0.8
+    base = "w0 w1 w2 w3 w4 w5"            # shingles: 4 trigrams
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(40))),
+        (2, base + " q0"),                # 5 shingles, 4 in doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", [], 0.8).collect()
+    }
+    assert got[(2, 1)] == 4 / 5
+    sa = {f"w{i} w{i+1} w{i+2}" for i in range(4)} | {"w4 w5 q0", "w3 w4 w5"}
+    sb = {f"w{i} w{i+1} w{i+2}" for i in range(38)}
+    jac = len(sa & sb) / len(sa | sb)
+    assert jac < 0.15  # invisible to the 0.5-Jaccard screens
+
+
+def test_containment_plan_shape(spark):
+    from signalk_parquet_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 50}" for j in range(25))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        containment_pairs(df, "doc_id", "text", [], 0.8)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloopjoin" not in plan
+    assert "batchevalpython" not in plan

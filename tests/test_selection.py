@@ -261,3 +261,73 @@ def test_small_groups_skip_histogram_rounds(spark) -> None:
     # own job, so the ceiling is 3 jobs per query + 1 — any histogram
     # round would add >= 2 more (measured: fast 7 vs slow 13)
     assert fast_jobs <= 7, fast_jobs
+
+
+def _py_mad_outliers(rows, c):
+    """Brute-force MAD truth: rows = [(id, group, value)]; lower medians."""
+    by_g = {}
+    for _id, g, v in rows:
+        if g is None or v is None:
+            continue
+        by_g.setdefault(g, []).append((_id, v))
+    out = {}
+    for g, items in by_g.items():
+        vals = sorted(v for _, v in items)
+        med = vals[(len(vals) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        for _id, v in items:
+            if abs(v - med) > c * mad:
+                out[(g, _id)] = (med, mad, abs(v - med))
+    return out
+
+
+def test_grouped_mad_outliers_matches_python_truth(spark):
+    """Both selection paths (banded + sorted) against a brute-force truth,
+    on groups engineered to hit the contract corners: an even-count group
+    (lower median, not interpolation), a MAD=0 group (over half the values
+    at the median -> every dev>0 row is an outlier, the documented
+    degradation), NULL values and NULL groups excluded."""
+    from signalk_parquet_spark.operators.selection import grouped_mad_outliers
+
+    rows = (
+        # en: clean group w/ an extreme outlier, even count
+        [(i, "en", 100 + i) for i in range(8)] + [(90, "en", 10_000)]
+        # de: MAD = 0 (6 of 9 at the median)
+        + [(100 + i, "de", 50) for i in range(6)]
+        + [(110, "de", 51), (111, "de", 49), (112, "de", 500)]
+        # fr: MAD = 1, every deviation <= 2*MAD -> never fires
+        + [
+            (200 + i, "fr", v)
+            for i, v in enumerate([70, 70, 70, 71, 71, 71, 72, 72, 73, 73])
+        ]
+        # nulls never count
+        + [(300, None, 1), (301, "en", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    want = _py_mad_outliers(rows, 2)
+    for sorted_path in (False, True):
+        got = {
+            (r["lang"], r["doc_id"]): (r["med"], r["mad"], r["dev"])
+            for r in grouped_mad_outliers(
+                df, "n_chars", "lang", c=2, sorted_path=sorted_path
+            ).collect()
+        }
+        assert got == want, f"sorted_path={sorted_path}"
+    # the MAD=0 group fired on every off-median row, nothing else
+    de = {k for k in want if k[0] == "de"}
+    assert de == {("de", 110), ("de", 111), ("de", 112)}
+    assert not any(k[0] == "fr" for k in want)
+
+
+def test_grouped_mad_outliers_sorted_plan_has_no_range_exchange(spark):
+    from signalk_parquet_spark.operators.selection import grouped_mad_outliers
+
+    rows = [(i, f"g{i % 5}", (i * 37) % 200) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    plan = (
+        grouped_mad_outliers(df, "n_chars", "lang", c=2, sorted_path=True)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "rangepartitioning" not in plan  # per-group sorts hash-partition
+    assert "cartesianproduct" not in plan
