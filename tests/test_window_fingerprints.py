@@ -36,6 +36,22 @@ def test_normalize_strips_session_noise():
     assert "<SF>" in a and "0x7f93" not in a and "rand()" in a and "randn()" in a
 
 
+def test_normalize_strips_lambda_counter():
+    """HOF lambda variables are named from a session-global counter
+    (lambda x_244#...) — allocation order, not semantics. The r12 lesson:
+    one new gate registered mid-order shifted the counter of every later
+    lambda-bearing plan and faked 19 EDITs."""
+    a = wc._normalize_plan(
+        "ArrayTransform(sh#12, lambdafunction(xxhash64(x_1#), x_1#), y_2#)", "/x"
+    )
+    b = wc._normalize_plan(
+        "ArrayTransform(sh#99, lambdafunction(xxhash64(x_244#), x_244#), y_245#)", "/x"
+    )
+    assert a == b and "x_244" not in b
+    # multi-letter names (real columns) are left alone
+    assert "len_" in wc._normalize_plan("len_7#3", "/x")
+
+
 def test_normalize_preserves_semantic_change():
     raw = "Aggregate [sum(v#45L) AS s#46L]"
     changed = "Aggregate [avg(v#45L) AS s#46L]"

@@ -81,6 +81,15 @@ def _normalize_plan(s: str, sf_dir: str) -> str:
 
     s = s.replace(sf_dir, "<SF>")
     s = _re.sub(r"#\d+", "#", s)
+    # HOF lambda variables (transform/filter/aggregate) are freshly named
+    # from a SESSION-GLOBAL counter — `lambda x_244#...` — so how many
+    # lambdas were analyzed EARLIER in the session leaks into every later
+    # plan string. Registering one new gate mid-order shifted the counter
+    # of every downstream lambda-bearing gate and faked 19 EDITs in r12;
+    # the counter is allocation order, never semantics. (Single-letter
+    # `x_N`/`y_N` is Catalyst's freshVarName shape; real columns in this
+    # repo never match it.)
+    s = _re.sub(r"\b([a-z])_\d+#", r"\1_#", s)
     # rand()/randn() embed a session-random seed in the plan; the seed is
     # not semantics (salting only affects grouping fan-out)
     s = _re.sub(r"\brand(n?)\(-?\d+\)", r"rand\1()", s)
