@@ -282,105 +282,88 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r11 window (7 new + 3 edited + 25 r07 + 15 r08 = 50), generated from
-#: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r10 union
-#: (the late corpus_shuffle_rank, true_wind_avg, bm25_topk,
-#: grouped_heavy_hitters and dedup_incremental_minhash displaced the
-#: last five r08 fill slots, and the scrub/redact orderBy-removal edits
-#: two more — ann_scalar_quant, asof_last_purchase, interval_join_pairs,
-#: distinct_and_stddev, object_component_agg, sessionize_30m and
-#: cube_returnflag_status, all r08-green and unchanged, lead the r12
-#: fill alongside dedup_minhash_lsh, whose oracle text was REFORMATTED
-#: in r11 — shared signature prelude with the incremental gate,
-#: semantics identical; window_check.HAND_QUEUED_EDITS ranks it EDIT
-#: for r12 since the manifest was refreshed after the edit).
-#: NEW: warc_dom_extract (the DOM extraction mode through the full WARC
-#: path vs hand-computed literals — r10 verdict Next #3),
-#: group_length_clip (per-language p99 length clip, the first curation
-#: consumer of grouped_kth_smallest — Next #5), and corpus_shuffle_rank
-#: (exact global shuffle positions as a hash exchange vs the oracle's
-#: global window sort), true_wind_avg (the SignalK derived-data
-#: computation on the angular exactness machinery), bm25_topk (BM25
-#: top-k retrieval — rational-idf micro-int mode, WindowGroupLimit-
-#: bounded top-k; operators/retrieval.py), grouped_heavy_hitters
-#: (per-language exact frequent tokens — the per-group MG 2-pass;
-#: operators/sketch.py), and dedup_incremental_minhash (cross-snapshot
-#: incremental near-dedup — new-slice-only band join;
-#: operators/dedup.py). EDITED
-#: (fingerprint-detected): scrub_duplicate_spans / decontaminate_redact
-#: (the final presentational orderBy(id) removed from gate AND oracle —
-#: a range exchange of doc-level results the order-insensitive hash
-#: compare never needed; plan_audit's RANGE allowlist trimmed to match)
-#: and group_kth_values
-#: — its oracle now states the nulls-excluded-GROUP contract explicitly
-#: (lang IS NOT NULL, ADVICE r10). Then the whole r07-stale cohort (led
-#: by spatial_bbox_meridian, which ceded its r10 slot) and the r08
-#: cohort with the dedup/ann families contiguous (shared session memo
-#: builds). After r11 no gate's evidence predates r8.
+#: r12 window (4 new + 2 edited + 25 r08 + 19 r09 = 50), generated from
+#: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r11 union.
+#: NEW: dedup_containment (asymmetric prefix-filtered set containment —
+#: quote/subset pairs Jaccard is blind to; operators/dedup.py),
+#: ann_hard_negatives (per-query top-k most-similar DIFFERENT-label
+#: vectors — DPR-style contrastive mining; operators/similarity.py),
+#: group_mad_outliers (per-language robust |x−med| > 2·MAD outliers on
+#: two banded grouped selections; operators/selection.py), and
+#: decontaminate_bm25 (retrieval-based decontamination rung — the
+#: contamination ledger over every eval query's exact BM25 top-10,
+#: oracle sharing bm25_topk's scoring CTE prelude). EDITED: bm25_topk
+#: (oracle base CTE gained WHERE text IS NOT NULL — the null-doc
+#: corpus-stats contract, ADVICE r11 — plus the shared-prelude
+#: refactor; the round's ONE true fingerprint diff after the
+#: lambda-counter normalizer fix) and dedup_minhash_lsh (r11's
+#: post-refresh oracle reformatting, ranked EDIT via
+#: window_check.HAND_QUEUED_EDITS). Then the whole r08 tail (led by
+#: ann_scalar_quant; unigram pair contiguous) and 19 of the r09 cohort
+#: (lm/quality family then the bucketed-aggregate family contiguous;
+#: angular_avg's siblings lead the r13 fill). After r12 no gate's
+#: evidence predates r9.
 #:
-#: approx_stats deliberately SPENDS a window slot despite having no
-#: oracle (sketches are engine-specific; its driver row is the weaker
-#: rows-only check, exactness evidence is its pytest differential) —
-#: same documented policy as bpe_train_merges in r10: the rotation
-#: refreshes EVERY stale gate's driver evidence, including rows-only
-#: ones, rather than letting no-oracle gates age out of the record.
+#: Bench-attribution notes for this order: dedup_containment now
+#: precedes the dedup cohort, so it is the session's first consumer of
+#: the shared shingle memo (charged its build — was
+#: dedup_incremental_minhash in r11's order); decontaminate_bm25
+#: precedes bm25_topk, so it is charged the memoized BM25 top-10 build.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- new this round (r11): DOM extraction gate + per-language p99 clip ---
-    "group_length_clip",
-    "warc_dom_extract",
-    "corpus_shuffle_rank",
-    "true_wind_avg",
+    # --- new this round (r12) ---
+    "dedup_containment",
+    "ann_hard_negatives",
+    "group_mad_outliers",
+    "decontaminate_bm25",
+    # --- edited: bm25 oracle null contract; minhash oracle reformat (r11) ---
     "bm25_topk",
-    "grouped_heavy_hitters",
-    "dedup_incremental_minhash",
-    # --- edited r11: group_kth_values oracle nulls-excluded-group contract ---
-    "group_kth_values",
-    "scrub_duplicate_spans",
-    "decontaminate_redact",
-    # --- stalest: the r07 cohort in suggestion order ---
-    "spatial_bbox_meridian",
-    "spatial_radius",
-    "spatial_semi_join",
-    "dist_traveled_km",
-    "glitch_speed_legs",
-    "proximity_pairs",
-    "threshold_transitions_gt50",
-    "topk_values",
-    "distinct_users",
-    "count_by_type",
-    "curation_hash_split",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "json_extract_props",
-    "text_bpe_tokens",
-    "length_quantiles",
-    "approx_stats",
-    "curation_quota",
-    "decontaminate_ngram",
-    "repetition_score",
-    "curation_diverse",
-    "multimodal_meta",
-    "unigram_seed_counts",
-    # --- fill to 50: the r08 cohort (dedup family then ann family
-    # contiguous — they share session memo builds; dedup_jaccard_prefix is
-    # the window's first shingle-memo consumer this round: see bench) ---
-    "dedup_jaccard_prefix",
-    "minhash_estimate_error",
-    "dedup_keep_longest",
-    "dedup_keep_corpus",
-    "dedup_substring_spans",
-    "dedup_winnowing",
-    "dedup_semantic",
-    "semdedup_recall",
-    "dedup_cluster_cc",
-    "ann_lsh_bucketed",
-    "embedding_neardup",
-    "ann_lsh_multitable",
-    "ann_recall",
-    "ann_ivf",
-    "ivf_recall",
+    "dedup_minhash_lsh",
+    # --- stalest: the r08 tail in suggestion order ---
+    "ann_scalar_quant",
+    "asof_last_purchase",
+    "interval_join_pairs",
+    "sessionize_30m",
+    "cube_returnflag_status",
+    "distinct_and_stddev",
+    "object_component_agg",
+    "scalar_subquery_acctbal",
+    "value_histogram",
+    "daily_activity",
+    "ranking_functions",
+    "cohort_retention",
+    "funnel_conversion",
+    "vector_centroid",
+    "tfidf_top_terms",
+    "window_funcs_extended",
+    "sample_stratified",
+    "pack_sequences",
+    "skew_salted_stats",
+    "intersect_buyers_clickers",
+    "ann_pq",
+    "position_rollup_1h",
+    "decontaminate_semantic",
+    "unigram_estep_counts",
+    "unigram_tokenize_stats",
+    # --- fill to 50: 19 of the r09 cohort in suggestion order ---
+    "ngram_novelty",
+    "ann_ivf_kmeans",
+    "ivf_kmeans_recall",
+    "cluster_balanced_sample",
+    "rate_of_change",
+    "pq_recall",
+    "lm_bigram_score",
+    "source_divergence",
+    "quality_classifier",
+    "doc_embed_hashed",
+    "dsir_weights",
+    "perplexity_buckets",
+    "tpch_q11",
+    "bucket_avg_1h",
+    "bucket_minmax_1h",
+    "bucket_first_last_1h",
+    "bucket_median_1h",
+    "bucket_middle_index_1h",
+    "angular_avg",
 )
 
 
