@@ -233,6 +233,7 @@ def containment_pairs(
     block_cols: list[str],
     threshold: float = 0.8,
     prepared: DataFrame | None = None,
+    rare_first: bool = True,
 ) -> DataFrame:
     """EXACT set-CONTAINMENT self-join: every ORDERED pair (a, b), a ≠ b,
     with |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ ``threshold`` —
@@ -246,10 +247,27 @@ def containment_pairs(
     et al. ICDE'06 — public algorithm).
 
     Prefix filter, containment form: only the PROBE side (a) explodes a
-    prefix — its first |A| − ⌈t·|A|⌉ + 1 hash-sorted shingles (if a ≥ t
-    fraction of A is in B, at least one of A's prefix tokens is — the
-    pigeonhole bound, same order both sides); the INDEX side (b)
-    explodes fully, because containment puts no upper bound on |B|. The
+    prefix — its first |A| − ⌈t·|A|⌉ + 1 shingles (if a ≥ t fraction of
+    A is in B, at least one of A's prefix tokens is: were the whole
+    prefix outside B, A∩B would fit in the |A|−prefix = ⌈t·|A|⌉−1
+    suffix — the pigeonhole bound, which holds for ANY per-doc order);
+    the INDEX side (b) explodes fully, because containment puts no
+    upper bound on |B|. Because the order is free, ``rare_first``
+    (default) spends one df-count pass + an id-keyed reorder join to
+    sort each probe set RAREST-shingle-first (classic AllPairs
+    ordering, Bayardo WWW'07): the prefix then holds the tokens least
+    likely to collide. Measured on a stopword-heavy corpus
+    (tools/containment_ramp.py): candidates collapse to essentially
+    the true pair count — 33.8k vs the hash order's 23.4M at 320k docs
+    (693x) — and candidate growth turns LINEAR where both hash-prefix
+    and full-probe grow quadratically with corpus heat. Honest local
+    wall: the reorder's extra shingle-stream shuffle costs more than
+    the avoided candidate join below ~10^6 docs on one box (16.8 s vs
+    13.5 s at 320k), the same exchange-volume-vs-local-wall trade as
+    the grouped-MG family — at cluster scale candidate volume IS the
+    exchange, which is why rare-first is the default;
+    ``rare_first=False`` keeps the zero-extra-pass hash order for
+    small or unique-shingle corpora. The
     ceil is epsilon-LOOSENED (⌈x − 1e-9⌉) so float rounding can only
     LENGTHEN the prefix (admit a spurious candidate for verify to
     discard), never shorten it below the bound — t·sz is inexact in
@@ -280,8 +298,26 @@ def containment_pairs(
         d.select("id", *block_cols, F.sort_array("shl").alias("shl"))
         .withColumn("sz", F.size("shl").cast("long"))
         .filter(F.col("sz") > 0)
-        .persist()
     )
+    if rare_first:
+        # reorder each set rarest-shingle-first: one df count over the
+        # shingle stream + one id-keyed join back. (df, tok) is a total
+        # order, so the result is deterministic; the pigeonhole bound is
+        # order-free, so exactness is untouched (ramp re-proves it).
+        ex = d.select("id", F.explode("shl").alias("tok"))
+        dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        order = (
+            ex.join(dfreq, "tok")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
+            .select("id", F.transform(F.col("_st"), lambda s: s["tok"]).alias("_shl_o"))
+        )
+        d = (
+            d.join(order, "id")
+            .withColumn("shl", F.col("_shl_o"))
+            .drop("_shl_o")
+        )
+    d = d.persist()
     # materialize once: feeds the probe prefix, the full index AND verify
     d.count()
     m_req = F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)).cast("long")
