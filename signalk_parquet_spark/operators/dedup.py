@@ -294,51 +294,104 @@ def containment_pairs(
             *[F.col(c) for c in block_cols],
             hashed_shingles(distinct_shingles(text_col)).alias("shl"),
         )
-    d = (
-        d.select("id", *block_cols, F.sort_array("shl").alias("shl"))
+    return containment_join(
+        d, d, threshold, block_cols=block_cols, rare_first=rare_first,
+        exclude_same_id=True,
+    )
+
+
+def containment_join(
+    probe: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    rare_first: bool = True,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Cross-frame containment: every (probe a, index b) pair with
+    |A∩B|/|A| ≥ ``threshold`` — the decontamination form of
+    :func:`containment_pairs` ("is this eval doc swallowed by some
+    training page"): the probe side is the small eval/new slice, the
+    index side the corpus, and probe×probe / index×index pairs are
+    structurally out of scope (the incremental-dedup shape). Both
+    inputs are (id, *block_cols, shl) frames; pass the SAME DataFrame
+    object twice (+ ``exclude_same_id``) for the self-join —
+    containment_pairs does — and the frame is prepared and persisted
+    once, not twice.
+
+    ``rare_first`` orders each probe set by INDEX-side document
+    frequency, rarest first: a probe token absent from the index sorts
+    first (df 0) and generates zero candidates, so prefix slots go to
+    the tokens that actually discriminate — strictly better than
+    self-corpus df for cross-frame probes, identical to it for the
+    self-join. Exactness is order-free (pigeonhole; see
+    containment_pairs). Returns (id_a = probe, id_b = index, inter,
+    size_a, containment)."""
+    bc = list(block_cols or [])
+    same = probe is index
+    p = (
+        probe.select("id", *bc, F.sort_array("shl").alias("shl"))
         .withColumn("sz", F.size("shl").cast("long"))
         .filter(F.col("sz") > 0)
     )
     if rare_first:
-        # reorder each set rarest-shingle-first: one df count over the
-        # shingle stream + one id-keyed join back. (df, tok) is a total
-        # order, so the result is deterministic; the pigeonhole bound is
-        # order-free, so exactness is untouched (ramp re-proves it).
-        ex = d.select("id", F.explode("shl").alias("tok"))
-        dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        # reorder each probe set rarest-shingle-first: one df count over
+        # the INDEX shingle stream + one id-keyed join back. (df, tok) is
+        # a total order, so the result is deterministic; the pigeonhole
+        # bound is order-free, so exactness is untouched (ramp re-proves
+        # it).
+        dfreq = (
+            index.select(F.explode("shl").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
         order = (
-            ex.join(dfreq, "tok")
+            p.select("id", F.explode("shl").alias("tok"))
+            .join(dfreq, "tok", "left")
+            .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
             .groupBy("id")
             .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
             .select("id", F.transform(F.col("_st"), lambda s: s["tok"]).alias("_shl_o"))
         )
-        d = (
-            d.join(order, "id")
+        p = (
+            p.join(order, "id")
             .withColumn("shl", F.col("_shl_o"))
             .drop("_shl_o")
         )
-    d = d.persist()
-    # materialize once: feeds the probe prefix, the full index AND verify
-    d.count()
+    p = p.persist()
+    # materialize once: feeds the probe prefix and the verify
+    p.count()
+    if same:
+        ix = p
+    else:
+        ix = (
+            index.select("id", *bc, "shl")
+            .withColumn("sz", F.size("shl").cast("long"))
+            .filter(F.col("sz") > 0)
+            .persist()
+        )
+        ix.count()
     m_req = F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)).cast("long")
-    probe = d.withColumn(
+    pre = p.withColumn(
         "pre", F.slice(F.col("shl"), 1, (F.col("sz") - m_req + 1).cast("int"))
     )
-    a = probe.select("id", *block_cols, "sz", F.explode("pre").alias("tok")).alias("a")
-    b = d.select("id", *block_cols, "sz", F.explode("shl").alias("tok")).alias("b")
+    a = pre.select("id", *bc, "sz", F.explode("pre").alias("tok")).alias("a")
+    b = ix.select("id", *bc, "sz", F.explode("shl").alias("tok")).alias("b")
     t_eps = threshold - 1e-9
-    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") != F.col("b.id"))
+    cond = (F.col("a.tok") == F.col("b.tok"))
+    if exclude_same_id:
+        cond = cond & (F.col("a.id") != F.col("b.id"))
     cond = cond & (F.col("b.sz") >= F.lit(t_eps) * F.col("a.sz"))
-    for c in block_cols:
+    for c in bc:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cand = (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    da = d.select(F.col("id").alias("id_a"), F.col("shl").alias("shl_a"),
+    da = p.select(F.col("id").alias("id_a"), F.col("shl").alias("shl_a"),
                   F.col("sz").alias("size_a"))
-    db = d.select(F.col("id").alias("id_b"), F.col("shl").alias("shl_b"))
+    db = ix.select(F.col("id").alias("id_b"), F.col("shl").alias("shl_b"))
     inter = F.size(F.array_intersect(F.col("shl_a"), F.col("shl_b"))).cast("long")
     return (
         cand.join(da, "id_a")

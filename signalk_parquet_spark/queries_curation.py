@@ -122,6 +122,37 @@ _SH8_DD = (
     f"list_transform(range(1, len({_TOKS_DD}) - {_NG - 2}), "
     f"i -> array_to_string(({_TOKS_DD})[i:i+{_NG - 1}], ' '))"
 )
+
+
+def _ngram_split_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, split, sh) — the hash-split corpus with distinct
+    xxhash64'd 8-gram shingle sets, val docs dropped (they join neither
+    side of any decontamination rung). The n-gram ladder's ONE expensive
+    pass, shared by the verbatim-overlap rung (decontaminate_ngram) and
+    the containment rung (decontaminate_containment). SessionMemo (not
+    an ad-hoc persist — judge finding, r5) materializes fully BEFORE any
+    consumer forks branches: the tr/te map stages run concurrently, and
+    racing an unbuilt cache recomputes the whole shingle pass per stage
+    with per-partition lock contention (measured 69 s vs 15 s at
+    30x sf0.1 — see SCALE.md engine ramp)."""
+    from .functions.text import shingles
+
+    def _build_split() -> DataFrame:
+        d = load(spark, sf, "documents")
+        hashed = F.array_distinct(
+            F.transform(
+                shingles(tokens("text"), _NG), lambda s: F.xxhash64(s)
+            )
+        )
+        return (
+            d.select("doc_id", hash_split().alias("split"), "text")
+            .filter(F.col("split") != "val")
+            .select("doc_id", "split", hashed.alias("sh"))
+        )
+
+    return _BLOOM_MEMO.get_or_build(spark, f"decon_ngram_split:{sf}", _build_split)
+
+
 @register(
     "decontaminate_ngram",
     f"""
@@ -154,27 +185,7 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     expensive shingle pass runs ONCE: val docs are dropped first (they join
     neither side) and the compact pre-explode (doc_id, split, sh) frame is
     persisted so the two join branches don't re-shingle the corpus."""
-    from .functions.text import shingles
-
-    def _build_split() -> DataFrame:
-        d = load(spark, sf, "documents")
-        hashed = F.array_distinct(
-            F.transform(
-                shingles(tokens("text"), _NG), lambda s: F.xxhash64(s)
-            )
-        )
-        return (
-            d.select("doc_id", hash_split().alias("split"), "text")
-            .filter(F.col("split") != "val")
-            .select("doc_id", "split", hashed.alias("sh"))
-        )
-
-    # SessionMemo (not an ad-hoc persist — judge finding, r5) materializes
-    # fully BEFORE the branches fork: the tr/te map stages run
-    # concurrently, and racing an unbuilt cache recomputes the whole
-    # shingle pass per stage with per-partition lock contention (measured
-    # 69 s vs 15 s at 30x sf0.1 — see SCALE.md engine ramp)
-    s = _BLOOM_MEMO.get_or_build(spark, f"decon_ngram_split:{sf}", _build_split)
+    s = _ngram_split_frame(spark, sf)
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
     )
@@ -185,6 +196,61 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
         te.join(tr, ["g"])
         .groupBy("test_doc", "train_doc")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+@register(
+    "decontaminate_containment",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split,
+             list_distinct({_SH8_DD}) AS sh
+      FROM documents
+    ), te AS (SELECT doc_id, sh FROM s WHERE split = 'test' AND len(sh) > 0),
+       tr AS (SELECT doc_id, sh FROM s WHERE split = 'train')
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+           CAST(len(list_intersect(te.sh, tr.sh)) AS BIGINT) AS inter,
+           CAST(len(te.sh) AS BIGINT) AS size_test,
+           CAST(len(list_intersect(te.sh, tr.sh)) AS DOUBLE) / len(te.sh)
+             AS containment
+    FROM te JOIN tr
+      ON CAST(len(list_intersect(te.sh, tr.sh)) AS DOUBLE) / len(te.sh) >= 0.8
+    """,
+)
+def decontaminate_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment rung of the decontamination ladder: test docs whose
+    8-gram shingle set is ≥ 80% inside some single train doc — "this
+    eval doc is swallowed by that training page", the asymmetric
+    question the verbatim-overlap rung (shares ANY 8-gram) and the
+    semantic rung (whole-doc embedding) both under- and over-ask. Same
+    shingle unit and split as decontaminate_ngram, SAME memoized
+    shingle pass (_ngram_split_frame — the corpus is shingled once for
+    both rungs); the join shape is the incremental-dedup one: the PROBE
+    side is the small eval slice (prefix-filtered, rarest-INDEX-shingle
+    first), train×train pairs structurally unreachable
+    (operators/dedup.containment_join). The oracle is the brute-force
+    quadratic join on raw shingle strings, so the gate doubles as the
+    hash-collision-freedom proof (Spark joins on xxhash64 keys) and the
+    prefix-loses-nothing differential. containment is one IEEE division
+    of exact ints — engine-stable, no rounding."""
+    from .operators.dedup import containment_join
+
+    s = _ngram_split_frame(spark, sf)
+    probe = s.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("id"), F.col("sh").alias("shl")
+    )
+    ix = s.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("id"), F.col("sh").alias("shl")
+    )
+    return containment_join(probe, ix, 0.8).select(
+        F.col("id_a").alias("test_doc"),
+        F.col("id_b").alias("train_doc"),
+        "inter",
+        F.col("size_a").alias("size_test"),
+        "containment",
     )
 
 

@@ -282,26 +282,31 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r12 window (4 new + 2 edited + 25 r08 + 19 r09 = 50), generated from
+#: r12 window (5 new + 2 edited + 25 r08 + 18 r09 = 50), generated from
 #: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r11 union.
 #: NEW: dedup_containment (asymmetric prefix-filtered set containment —
 #: quote/subset pairs Jaccard is blind to; operators/dedup.py),
 #: ann_hard_negatives (per-query top-k most-similar DIFFERENT-label
 #: vectors — DPR-style contrastive mining; operators/similarity.py),
 #: group_mad_outliers (per-language robust |x−med| > 2·MAD outliers on
-#: two banded grouped selections; operators/selection.py), and
+#: two banded grouped selections; operators/selection.py),
 #: decontaminate_bm25 (retrieval-based decontamination rung — the
 #: contamination ledger over every eval query's exact BM25 top-10,
-#: oracle sharing bm25_topk's scoring CTE prelude). EDITED: bm25_topk
+#: oracle sharing bm25_topk's scoring CTE prelude), and the late
+#: decontaminate_containment (cross-frame containment rung — eval docs
+#: swallowed by a train page, sharing decontaminate_ngram's memoized
+#: shingle pass; it took the last fill slot from angular_avg, which
+#: rejoins its angular family at the head of the r13 fill). EDITED:
+#: bm25_topk
 #: (oracle base CTE gained WHERE text IS NOT NULL — the null-doc
 #: corpus-stats contract, ADVICE r11 — plus the shared-prelude
 #: refactor; the round's ONE true fingerprint diff after the
 #: lambda-counter normalizer fix) and dedup_minhash_lsh (r11's
 #: post-refresh oracle reformatting, ranked EDIT via
 #: window_check.HAND_QUEUED_EDITS). Then the whole r08 tail (led by
-#: ann_scalar_quant; unigram pair contiguous) and 19 of the r09 cohort
+#: ann_scalar_quant; unigram pair contiguous) and 18 of the r09 cohort
 #: (lm/quality family then the bucketed-aggregate family contiguous;
-#: angular_avg's siblings lead the r13 fill). After r12 no gate's
+#: the angular family leads the r13 fill). After r12 no gate's
 #: evidence predates r9.
 #:
 #: Bench-attribution notes for this order: dedup_containment now
@@ -315,6 +320,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "ann_hard_negatives",
     "group_mad_outliers",
     "decontaminate_bm25",
+    "decontaminate_containment",
     # --- edited: bm25 oracle null contract; minhash oracle reformat (r11) ---
     "bm25_topk",
     "dedup_minhash_lsh",
@@ -344,7 +350,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "decontaminate_semantic",
     "unigram_estep_counts",
     "unigram_tokenize_stats",
-    # --- fill to 50: 19 of the r09 cohort in suggestion order ---
+    # --- fill to 50: 18 of the r09 cohort in suggestion order ---
     "ngram_novelty",
     "ann_ivf_kmeans",
     "ivf_kmeans_recall",
@@ -363,7 +369,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "bucket_first_last_1h",
     "bucket_median_1h",
     "bucket_middle_index_1h",
-    "angular_avg",
 )
 
 

@@ -1142,3 +1142,47 @@ def test_containment_plan_shape(spark):
     assert "cartesianproduct" not in plan
     assert "broadcastnestedloopjoin" not in plan
     assert "batchevalpython" not in plan
+
+
+def test_containment_join_cross_frame(spark):
+    """Probe-vs-index form: probe x probe pairs structurally unreachable,
+    index-side df ordering handles probe tokens ABSENT from the index
+    (df 0 — they sort into the prefix and generate zero candidates), and
+    results match the brute-force cross truth."""
+    from signalk_parquet_spark.operators.dedup import containment_join
+    from signalk_parquet_spark.functions.text import distinct_shingles, hashed_shingles
+
+    long_doc = " ".join(f"w{i}" for i in range(50))
+    probe_rows = [
+        (100, " ".join(f"w{i}" for i in range(10, 22))),   # inside the index doc
+        (101, " ".join(f"z{i}" for i in range(12))),       # all tokens absent
+        (102, " ".join(f"w{i}" for i in range(10, 20)) + " z0 z1"),  # partial
+    ]
+    index_rows = [(1, long_doc), (2, " ".join(f"y{i}" for i in range(30)))]
+
+    def prep(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            F.col("doc_id").alias("id"),
+            hashed_shingles(distinct_shingles("text")).alias("shl"),
+        )
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"])
+        for r in containment_join(prep(probe_rows), prep(index_rows), 0.6).collect()
+    }
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for a, ta in probe_rows:
+        sa = sh(ta)
+        for b, tb in index_rows:
+            inter = len(sa & sh(tb))
+            if sa and inter / len(sa) >= 0.6:
+                want[(a, b)] = (inter, len(sa))
+    assert got == want
+    assert (100, 1) in got            # the planted swallow
+    assert not any(k[0] == 101 for k in got)  # absent-token probe: nothing
