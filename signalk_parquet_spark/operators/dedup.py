@@ -156,6 +156,7 @@ def prefix_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     prepared: DataFrame | None = None,
+    rare_first: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin, Bayardo et al. WWW'07): finds EVERY pair with Jaccard ≥
@@ -193,7 +194,18 @@ def prefix_jaccard_pairs(
         )
     d = d.select(
         "id", *block_cols, F.sort_array("shl").alias("shl")
-    ).withColumn(
+    )
+    if rare_first:
+        # optional AllPairs canonical ordering (Bayardo WWW'07): a COMMON
+        # global (df, tok) order is all the symmetric prefix bound needs,
+        # so rarest-first is a free swap — prefixes then hold the least
+        # collision-prone shingles (693x candidate cut on the containment
+        # ramp's hot-shingle corpus; same mechanism). Default stays the
+        # zero-extra-pass hash order until the gate re-windows (r13) —
+        # flipping it mid-rotation would change a green gate's plan with
+        # no driver slot to re-check it.
+        d = _rare_first_order(d, d)
+    d = d.withColumn(
         "pre",
         F.slice(
             F.col("shl"),
@@ -300,6 +312,32 @@ def containment_pairs(
     )
 
 
+def _rare_first_order(p: DataFrame, index: DataFrame) -> DataFrame:
+    """Reorder each ``shl`` set of ``p`` by ascending INDEX-side document
+    frequency (rarest first), (df, tok) total-ordered so the result is
+    deterministic; tokens absent from the index get df 0 and sort first
+    (they can generate no candidates, so they cost nothing in a prefix).
+    One df count over the index shingle stream + one id-keyed join."""
+    dfreq = (
+        index.select(F.explode("shl").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    order = (
+        p.select("id", F.explode("shl").alias("tok"))
+        .join(dfreq, "tok", "left")
+        .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
+        .select("id", F.transform(F.col("_st"), lambda s: s["tok"]).alias("_shl_o"))
+    )
+    return (
+        p.join(order, "id")
+        .withColumn("shl", F.col("_shl_o"))
+        .drop("_shl_o")
+    )
+
+
 def containment_join(
     probe: DataFrame,
     index: DataFrame,
@@ -340,24 +378,7 @@ def containment_join(
         # a total order, so the result is deterministic; the pigeonhole
         # bound is order-free, so exactness is untouched (ramp re-proves
         # it).
-        dfreq = (
-            index.select(F.explode("shl").alias("tok"))
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("_df"))
-        )
-        order = (
-            p.select("id", F.explode("shl").alias("tok"))
-            .join(dfreq, "tok", "left")
-            .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
-            .groupBy("id")
-            .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
-            .select("id", F.transform(F.col("_st"), lambda s: s["tok"]).alias("_shl_o"))
-        )
-        p = (
-            p.join(order, "id")
-            .withColumn("shl", F.col("_shl_o"))
-            .drop("_shl_o")
-        )
+        p = _rare_first_order(p, index)
     p = p.persist()
     # materialize once: feeds the probe prefix and the verify
     p.count()

@@ -418,6 +418,14 @@ def test_prefix_jaccard_matches_bruteforce(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in
            prefix_jaccard_pairs(df, "doc_id", "text", ["lang"], 0.5).collect()}
+    # the rare-first AllPairs ordering is a different common total order —
+    # the symmetric prefix bound only needs SOME common order, so the
+    # answer must be identical
+    got_rare = {(r["id_a"], r["id_b"]) for r in
+                prefix_jaccard_pairs(
+                    df, "doc_id", "text", ["lang"], 0.5, rare_first=True
+                ).collect()}
+    assert got_rare == got
     # brute force over collected shingle sets
     from signalk_parquet_spark.functions.text import distinct_shingles, hashed_shingles
     sets = {r["doc_id"]: set(r["shl"]) for r in df.select(
