@@ -303,6 +303,149 @@ def streaming_neardup_minhash(
     )
 
 
+# --- streaming containment (quote/subset) dedup ---------------------------------------
+CONTAINMENT_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("contained_in", T.LongType()),
+        T.StructField("tok", T.LongType()),
+        T.StructField("inter", T.LongType()),
+        T.StructField("size_a", T.LongType()),
+        T.StructField("containment", T.DoubleType()),
+    ]
+)
+#: per-token state: kept doc ids + their FULL shingle sets ("|"-joined)
+_CONTAINMENT_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sets", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def make_containment_fn(threshold: float, max_bucket: int, ttl_s: float | None = None):
+    """applyInPandasWithState function for one shingle-token group of the
+    streaming containment twin.
+
+    The group IS one posting of a state-store inverted index: it holds
+    the full shingle sets of the first-seen docs containing this token.
+    An arriving PREFIX row (in_prefix) probes every kept set — exact
+    containment |A∩B|/|A| ≥ ``threshold`` emits a match (first kept
+    match in insertion order, deterministic) and the doc does NOT join
+    this group; non-prefix rows and non-matching docs insert (capped at
+    ``max_bucket`` — the winnowing max_df lesson: a stop-shingle group
+    would otherwise grow O(n) state and O(n²) compares). The per-group
+    insert decision is the same relaxation the minhash twin makes per
+    band: a doc matched in one group may still enter others — consumers
+    drop distinct doc_ids, and the batch twin remains the exact
+    arbiter."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in CONTAINMENT_MATCH_SCHEMA.fields])
+            return
+        ids, sets = state.get if state.exists else ([], [])
+        ids, sets = list(ids), list(sets)
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, sset, in_pre in zip(
+                pdf["doc_id"].tolist(), pdf["sset"].tolist(), pdf["in_prefix"].tolist()
+            ):
+                parts = sset.split("|")
+                a = set(parts)
+                size_a = len(parts)
+                hit = None
+                if in_pre:
+                    for kid, kset in zip(ids, sets):
+                        inter = len(a.intersection(kset.split("|")))
+                        if inter / size_a >= threshold:
+                            hit = (kid, inter)
+                            break
+                if hit is not None:
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "contained_in": int(hit[0]),
+                            "tok": int(key[0]),
+                            "inter": int(hit[1]),
+                            "size_a": int(size_a),
+                            "containment": hit[1] / size_a,
+                        }
+                    )
+                elif len(ids) < max_bucket and int(doc_id) not in ids:
+                    ids.append(int(doc_id))
+                    sets.append(sset)
+        state.update((ids, sets))
+        if ttl_s is not None:
+            state.setTimeoutDuration(int(ttl_s * 1000))
+        yield pd.DataFrame(out, columns=[f.name for f in CONTAINMENT_MATCH_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_containment(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming containment (quote/subset) detection ACROSS micro-batches
+    — the continuous-ingest twin of operators.dedup.containment_pairs:
+    an arriving doc ≥ ``threshold``-contained in any previously-kept doc
+    emits a match event instead of being kept. The state store plays the
+    inverted index: every kept doc lives in the group of EACH of its
+    shingle tokens (containment puts no bound on where inside the
+    container the overlap sits, so the index side cannot be pruned —
+    same asymmetry as the batch operator's full-explode index side);
+    arriving docs PROBE only their pigeonhole prefix's groups (hash
+    order — the zero-extra-pass common order; the prefix bound is
+    order-free, see the batch docstring), so probe traffic is the
+    prefix fraction, not the whole set. State cost is |sh| entries per
+    kept doc, capped per group by ``max_bucket`` and aged by ``ttl_s``
+    — the honest price of exact streaming containment, stated rather
+    than hidden. Emits (doc_id, contained_in, tok, inter, size_a,
+    containment); consumers drop distinct doc_ids (one event per
+    matching prefix group, like the minhash twin's per-band events)."""
+    from ..functions.text import distinct_shingles, hashed_shingles
+
+    shl = F.sort_array(hashed_shingles(distinct_shingles(text_col)))
+    base = stream.select(
+        F.col(id_col).alias("doc_id"), shl.alias("shl")
+    ).filter(F.size("shl") > 0)
+    sz = F.size("shl")
+    m_req = F.ceil(sz * F.lit(threshold) - F.lit(1e-9)).cast("int")
+    pre_len = sz - m_req + F.lit(1)
+    ex = (
+        base.withColumn("_pre_len", pre_len)
+        .select(
+            "doc_id",
+            "_pre_len",
+            F.array_join(
+                F.transform(F.col("shl"), lambda x: x.cast("string")), "|"
+            ).alias("sset"),
+            F.posexplode("shl"),
+        )
+        .withColumnsRenamed({"pos": "pos", "col": "tok"})
+        .withColumn("in_prefix", F.col("pos") < F.col("_pre_len"))
+        .drop("_pre_len", "pos")
+    )
+    return ex.groupBy("tok").applyInPandasWithState(
+        make_containment_fn(threshold, max_bucket, ttl_s),
+        CONTAINMENT_MATCH_SCHEMA,
+        _CONTAINMENT_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- streaming semantic (SemDeDup) dedup ----------------------------------------------
 SEMANTIC_MATCH_SCHEMA = T.StructType(
     [

@@ -925,3 +925,95 @@ def test_deltas_to_records_streaming(spark, tmp_path):
     assert [r["path"] for r in rows] == ["navigation.speedOverGround", "navigation.state"]
     assert rows[0]["value"] == 5.25 and rows[0]["source_label"] == "n2k.0"
     assert rows[1]["value_text"] == "sailing" and rows[1]["source_label"] == "gps"
+
+
+def test_streaming_containment_across_batches(spark, tmp_path):
+    """Containment twin: a batch-2 quote of a batch-1 document must emit a
+    match pointing at the earlier doc (the state-store inverted index
+    working across batches); a same-batch quote matches too (doc_id order
+    within the batch); disjoint docs never match. Values are exact
+    against a python shingle-set truth."""
+    from signalk_parquet_spark.streaming.stateful import streaming_containment
+
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    quote_b1 = " ".join(f"w{i}" for i in range(5, 17))    # 12 tokens of doc 1
+    quote_b2 = " ".join(f"w{i}" for i in range(20, 32))
+    batches = [
+        [(1, long_doc), (2, " ".join(f"y{i}" for i in range(25))), (5, quote_b1)],
+        [(10, quote_b2), (11, " ".join(f"z{i}" for i in range(25)))],
+    ]
+    src = str(tmp_path / "cont_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batches[1], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = streaming_containment(stream, threshold=0.8)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("containment_out")
+        .option("checkpointLocation", str(tmp_path / "cont_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM containment_out").collect()
+    got = {(r["doc_id"], r["contained_in"]) for r in rows}
+    assert got == {(5, 1), (10, 1)}
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    truth = {
+        5: (len(sh(quote_b1) & sh(long_doc)), len(sh(quote_b1))),
+        10: (len(sh(quote_b2) & sh(long_doc)), len(sh(quote_b2))),
+    }
+    for r in rows:
+        inter, size_a = truth[r["doc_id"]]
+        assert (r["inter"], r["size_a"]) == (inter, size_a)
+        assert r["containment"] == inter / size_a
+
+
+def test_streaming_containment_restart_from_checkpoint(spark, tmp_path):
+    """The inverted-index state must survive a query restart: batch 1's
+    kept doc is found by a quote that arrives only after the stream is
+    stopped and restarted from the same checkpoint."""
+    from signalk_parquet_spark.streaming.stateful import streaming_containment
+
+    long_doc = " ".join(f"v{i}" for i in range(40))
+    src = str(tmp_path / "contr_src")
+    ckpt = str(tmp_path / "contr_ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, long_doc)], schema).coalesce(1).write.parquet(src)
+
+    sink = str(tmp_path / "contr_sink")
+
+    def run_once():
+        # parquet sink: the memory sink cannot recover from a checkpoint
+        # (CLAUDE.md gotcha) — restart tests write files
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_containment(stream, threshold=0.8)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["contained_in"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    assert run_once() == set()
+    quote = " ".join(f"v{i}" for i in range(12, 24))
+    spark.createDataFrame([(20, quote)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert run_once() == {(20, 1)}
