@@ -204,7 +204,7 @@ def prefix_jaccard_pairs(
         # zero-extra-pass hash order until the gate re-windows (r13) —
         # flipping it mid-rotation would change a green gate's plan with
         # no driver slot to re-check it.
-        d = _rare_first_order(d, d)
+        d = _rare_first_order(d, d, same=True)
     d = d.withColumn(
         "pre",
         F.slice(
@@ -312,12 +312,45 @@ def containment_pairs(
     )
 
 
-def _rare_first_order(p: DataFrame, index: DataFrame) -> DataFrame:
+def _rare_first_order(
+    p: DataFrame, index: DataFrame, same: bool = False
+) -> DataFrame:
     """Reorder each ``shl`` set of ``p`` by ascending INDEX-side document
     frequency (rarest first), (df, tok) total-ordered so the result is
     deterministic; tokens absent from the index get df 0 and sort first
     (they can generate no candidates, so they cost nothing in a prefix).
-    One df count over the index shingle stream + one id-keyed join."""
+
+    Cross-frame: one df count over the index shingle stream + one
+    tok-keyed join. SELF-join (``same=True``, r12): the probe stream IS
+    the index stream, so the df count collapses into a
+    ``count(*) OVER (PARTITION BY tok)`` window on the one exploded
+    stream — the dfreq aggregate's exchange AND the tok join (which
+    re-shuffled the whole exploded stream against it) both disappear;
+    what remains is one exchange to the window and one groupBy(id)
+    exchange to rebuild the arrays. The non-probe columns ride the
+    groupBy as first() aggregates instead of a second id-keyed join back
+    to ``p`` — guide §2.4 (remove shuffles outright) twice over.
+    Exactness is untouched either way: the (df, tok) order is identical,
+    only where it is computed moves."""
+    other = [c for c in p.columns if c not in ("id", "shl")]
+    if same:
+        from pyspark.sql import Window
+
+        ex = p.select("id", *other, F.explode("shl").alias("tok"))
+        w = Window.partitionBy("tok")
+        return (
+            ex.withColumn("_df", F.count(F.lit(1)).over(w))
+            .groupBy("id")
+            .agg(
+                *[F.first(c).alias(c) for c in other],
+                F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"),
+            )
+            .select(
+                "id",
+                *other,
+                F.transform(F.col("_st"), lambda s: s["tok"]).alias("shl"),
+            )
+        )
     dfreq = (
         index.select(F.explode("shl").alias("tok"))
         .groupBy("tok")
@@ -367,18 +400,19 @@ def containment_join(
     size_a, containment)."""
     bc = list(block_cols or [])
     same = probe is index
+    # rare_first never materializes reordered ARRAYS (r12): the ordered
+    # set is only ever consumed as a prefix of the exploded stream, so
+    # the prefix is computed directly there (see below) and the persisted
+    # probe keeps its input arrays — the verify's array_intersect is
+    # order-insensitive. Only the hash-order path still needs sort_array
+    # (ITS prefix is a slice of the stored array, which must therefore be
+    # deterministically ordered).
+    shl0 = F.col("shl") if rare_first else F.sort_array("shl")
     p = (
-        probe.select("id", *bc, F.sort_array("shl").alias("shl"))
+        probe.select("id", *bc, shl0.alias("shl"))
         .withColumn("sz", F.size("shl").cast("long"))
         .filter(F.col("sz") > 0)
     )
-    if rare_first:
-        # reorder each probe set rarest-shingle-first: one df count over
-        # the INDEX shingle stream + one id-keyed join back. (df, tok) is
-        # a total order, so the result is deterministic; the pigeonhole
-        # bound is order-free, so exactness is untouched (ramp re-proves
-        # it).
-        p = _rare_first_order(p, index)
     p = p.persist()
     # materialize once: feeds the probe prefix and the verify
     p.count()
@@ -393,10 +427,45 @@ def containment_join(
         )
         ix.count()
     m_req = F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)).cast("long")
-    pre = p.withColumn(
-        "pre", F.slice(F.col("shl"), 1, (F.col("sz") - m_req + 1).cast("int"))
-    )
-    a = pre.select("id", *bc, "sz", F.explode("pre").alias("tok")).alias("a")
+    pre_len = F.col("sz") - m_req + 1
+    if rare_first:
+        # Rarest-INDEX-shingle-first prefix, computed ON the exploded
+        # stream: rank each probe's tokens by (index df, tok) and keep the
+        # first sz − ⌈t·sz⌉ + 1 — the identical token SET the former
+        # reorder-arrays-then-slice form produced (pigeonhole is
+        # order-free; (df, tok) is a total order so the pick is
+        # deterministic), with the groupBy(id)+collect_list+array_sort
+        # array rebuild, its persist, and the slice's second explode all
+        # gone (r12: that rebuild was ~4 s of the gate's wall — the whole
+        # reorder now costs one window more than the hash-order path).
+        # Self-joins get df as count() over the same stream (no index
+        # pass, no join); cross-frame keeps the df-table join.
+        from pyspark.sql import Window
+
+        ex = p.select("id", *bc, "sz", F.explode("shl").alias("tok"))
+        if same:
+            ex = ex.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+            )
+        else:
+            dfreq = (
+                index.select(F.explode("shl").alias("tok"))
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("_df"))
+            )
+            ex = ex.join(dfreq, "tok", "left").withColumn(
+                "_df", F.coalesce(F.col("_df"), F.lit(0))
+            )
+        rn = F.row_number().over(Window.partitionBy("id").orderBy("_df", "tok"))
+        a = (
+            ex.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= pre_len)
+            .select("id", *bc, "sz", "tok")
+            .alias("a")
+        )
+    else:
+        pre = p.withColumn("pre", F.slice(F.col("shl"), 1, pre_len.cast("int")))
+        a = pre.select("id", *bc, "sz", F.explode("pre").alias("tok")).alias("a")
     b = ix.select("id", *bc, "sz", F.explode("shl").alias("tok")).alias("b")
     t_eps = threshold - 1e-9
     cond = (F.col("a.tok") == F.col("b.tok"))

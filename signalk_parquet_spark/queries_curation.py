@@ -16,6 +16,7 @@ approximate per-lang score threshold before the exact window rank.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -613,6 +614,19 @@ def _bloom_test_shingles(s: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_te(spark: SparkSession, sf: str) -> DataFrame:
+    """Memoized (persisted) distinct test-shingle frame shared by the two
+    bloom gates: both need it twice (filter build + exact differential),
+    so without the memo the explode+distinct exchange ran four times per
+    session (r12 measurement: it was the dominant repeated stage of
+    bloom_fp_rate)."""
+    return _BLOOM_MEMO.get_or_build(
+        spark,
+        f"bloom_te:{sf}",
+        lambda: _bloom_test_shingles(_bloom_split(spark, sf)),
+    )
+
+
 def _bloom_filter_words(te: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
     return (
         _bloom_words(te, bits).groupBy("word").agg(F.bit_or("mask").alias("w"))
@@ -639,28 +653,101 @@ def build_bloom_filter(te: DataFrame, bits: int = _BLOOM_BITS) -> BloomFilter:
     return BloomFilter(_bloom_filter_words(te, bits), int(bits))
 
 
+#: widest filter the literal probe path will inline: 2^16 words = 2^21
+#: bits = 512 KB of plan literal. Under it the whole word table rides the
+#: task binary as ONE dense array literal and every probe is a pure
+#: codegen'd GetArrayItem — zero joins, zero broadcast builds. Above it
+#: the K-BroadcastHashJoin path takes over (plan literals that size slow
+#: analysis/serialization more than the joins cost).
+_LIT_WORD_CAP = 1 << 16
+
+
+def _bloom_dense_words(filt: DataFrame, bits: int) -> list[int]:
+    """Collect the (word, w) table into a DENSE word-indexed list (absent
+    word => 0). Driver traffic is bounded by construction: the table has
+    at most ceil(bits/32) rows, and callers gate on _LIT_WORD_CAP."""
+    n_words = (int(bits) + 31) // 32
+    dense = [0] * n_words
+    for r in filt.collect():
+        dense[int(r["word"])] = int(r["w"])
+    return dense
+
+
+#: session-scoped dense filter memo, the list twin of SessionMemo: the
+#: word-table build + collect is a ~1.3 s job chain at bench scale and
+#: both gates need the identical filter (same te frame), so the second
+#: build bought nothing (r12 phase timing). Keyed by applicationId like
+#: SessionMemo so a new session never sees a dead session's filter.
+_BLOOM_DENSE: dict[tuple[str, str], list[int]] = {}
+
+
+def _bloom_dense(spark: SparkSession, sf: str) -> list[int]:
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
+    if key not in _BLOOM_DENSE:
+        for stale in [k for k in _BLOOM_DENSE if k[0] != app]:
+            del _BLOOM_DENSE[stale]
+        _BLOOM_DENSE[key] = _bloom_dense_words(
+            _bloom_filter_words(_bloom_te(spark, sf)), _BLOOM_BITS
+        )
+    return _BLOOM_DENSE[key]
+
+
 def _with_bloom_hit(
-    probes: DataFrame, filt: DataFrame, bits: int = _BLOOM_BITS
+    probes: DataFrame,
+    filt: DataFrame,
+    bits: int = _BLOOM_BITS,
+    dense=None,
 ) -> DataFrame:
     """Add boolean `bloom_hit_b`: all K probe bits of `g` set in the
-    broadcast filter (absent word => bit unset => False).
+    filter (absent word => bit unset => False).
 
-    Shape: K broadcast HASH joins of the word table, one per probe
-    position — every stage is map-side (BroadcastHashJoin), no probe
-    shuffle, and lookups are O(1) regardless of filter size. Two earlier
-    cuts are worth recording: (a) explode-K-rows + groupBy(doc, g) to
-    count matches — a corpus-sized exchange that exists purely as an
-    implementation artifact; (b) the whole filter as a ONE-ROW map column
-    probed with element_at — correct and shuffle-free, but Spark MapType
-    lookups are a LINEAR SCAN of the entries array, so at a
-    deployment-sized m (2^23 bits = 262k words) the probe went
-    quadratic-ish: measured 151 s vs 9 s for this join form at 150k docs
-    (tools/bloom_ramp.py). BroadcastHashJoin is the hash-lookup Spark
-    actually gives you."""
+    Shape (r12): for filters up to _LIT_WORD_CAP words the dense word
+    table is inlined as ONE array literal and each of the K probes is
+    `element_at(lit, word + 1) & mask != 0` — a map-only expression with
+    no join at all, so the probe pass costs zero exchanges and zero
+    broadcast-relation builds at ANY corpus size (the probe side is the
+    corpus; the filter side is fixed). Wider filters keep the K
+    BroadcastHashJoins of the word table — still map-side, one per probe
+    position. Two earlier cuts are worth recording: (a) explode-K-rows +
+    groupBy(doc, g) to count matches — a corpus-sized exchange that
+    exists purely as an implementation artifact; (b) the whole filter as
+    a ONE-ROW map column probed with element_at — correct and
+    shuffle-free, but Spark MapType lookups are a LINEAR SCAN of the
+    entries array, so at a deployment-sized m (2^23 bits = 262k words)
+    the probe went quadratic-ish: measured 151 s vs 4.3 s at 150k docs
+    (tools/bloom_ramp.py). ARRAY element_at by index is a real O(1)
+    GetArrayItem, which is what makes the literal path safe where the
+    map-column form was not."""
+    pos_cols = _bloom_pos_cols(bits=bits)
+    n_words = (int(bits) + 31) // 32
+    # env override of the literal cap: the in-session A/B loop
+    # (tools/ab_bench.py) flips it to 0 to time the join path against the
+    # literal path on identical host conditions
+    cap = int(os.environ.get("SPARK_GRAFT_BLOOM_LIT_CAP", _LIT_WORD_CAP))
+    if n_words <= cap:
+        if callable(dense):
+            dense = dense()
+        lit = F.lit(dense if dense is not None else _bloom_dense_words(filt, bits))
+        # materialize each position once (word + mask both read it; no
+        # reliance on codegen CSE to dedup the md5/conv chain)
+        out = probes
+        hit = F.lit(True)
+        tmp = []
+        for i in range(_BLOOM_K):
+            p = f"_p{i}"
+            tmp.append(p)
+            out = out.withColumn(p, pos_cols[i])
+            word = F.floor(F.col(p) / 32).cast("int")
+            # SQL form: python F.shiftleft only takes a literal shift count
+            mask = F.expr(f"shiftleft(1L, cast({p} % 32 as int))")
+            hit = hit & (
+                F.element_at(lit, word + F.lit(1)).bitwiseAND(mask) != 0
+            )
+        return out.withColumn("bloom_hit_b", hit).drop(*tmp)
     out = probes
     hit = F.lit(True)
     tmp: list[str] = []
-    pos_cols = _bloom_pos_cols(bits=bits)
     for i in range(_BLOOM_K):
         p, w, fw = f"_p{i}", f"_w{i}", f"_f{i}"
         tmp += [p, w, fw]
@@ -744,14 +831,15 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     by construction). DuckDB replays the same bits relationally from the
     2048-row word table."""
     s = _bloom_split(spark, sf)
-    te = _bloom_test_shingles(s)
-    filt = _bloom_filter_words(te)
+    te = _bloom_te(spark, sf)
     tr = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), F.explode("sh").alias("g")
     )
     ex = te.withColumn("exact_hit", F.lit(1))
     return (
-        _with_bloom_hit(tr, filt)
+        _with_bloom_hit(
+            tr, _bloom_filter_words(te), dense=lambda: _bloom_dense(spark, sf)
+        )
         .join(F.broadcast(ex), "g", "left")
         .groupBy("train_doc")
         .agg(
@@ -817,8 +905,7 @@ def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
     CLAUDE.md rule 3); expected value is (1 - e^(-K*n/m))^K for n distinct
     test shingles, checked as a loose envelope in tests."""
     s = _bloom_split(spark, sf)
-    te = _bloom_test_shingles(s)
-    filt = _bloom_filter_words(te)
+    te = _bloom_te(spark, sf)
     trg = (
         s.filter(F.col("split") == "train")
         .select(F.explode("sh").alias("g"))
@@ -826,7 +913,9 @@ def bloom_fp_rate(spark: SparkSession, sf: str) -> DataFrame:
     )
     ex = te.withColumn("eh", F.lit(1))
     agg = (
-        _with_bloom_hit(trg, filt)
+        _with_bloom_hit(
+            trg, _bloom_filter_words(te), dense=lambda: _bloom_dense(spark, sf)
+        )
         .join(F.broadcast(ex), "g", "left")
         .agg(
             F.count(F.lit(1)).alias("n_probes"),

@@ -40,7 +40,10 @@ def get_spark(app_name: str = "signalk-parquet-spark") -> SparkSession:
                 "-XX:MetaspaceSize=1g -XX:MaxMetaspaceSize=3g",
             ),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver/bench sessions don't need it); the
+        # job-level profiling loop (tools/profile_query.py) flips it on via
+        # env to read per-job wall times from the REST API.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     )

@@ -499,15 +499,35 @@ def test_kmeans_ivf_gate_plan_clean(spark):
 
 
 def test_bloom_screen_is_all_broadcast_joins(spark):
-    """The bloom probe must stay map-only: K word-table lookups + the
-    exact-differential's te join all as BroadcastHashJoin — no
-    SortMergeJoin, no nested-loop, no cartesian anywhere."""
+    """The bloom probe must stay map-only. Since r12 the gate-sized filter
+    (2048 words <= _LIT_WORD_CAP) is inlined as ONE dense array literal,
+    so the probe itself has ZERO joins (pure GetArrayItem expressions);
+    the only join left is the exact-differential's te BroadcastHashJoin.
+    No SortMergeJoin, no nested-loop, no cartesian anywhere."""
     for name in ("decontaminate_bloom", "bloom_fp_rate"):
         plan = formatted_plan(registry.queries()[name](spark, SF))
-        assert plan.count("BroadcastHashJoin") >= 4, name
+        # te differential join (+ the memoized split subtree's own join at
+        # most): DOWN from the former 4+ (K probe joins are gone)
+        assert plan.count("BroadcastHashJoin") <= 2, name
+        assert "element_at" in plan, name  # the literal-array probe
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_wide_filter_keeps_broadcast_join_path(spark):
+    """Above _LIT_WORD_CAP words the probe must fall back to the K
+    word-table BroadcastHashJoins (a multi-MB plan literal would slow
+    analysis more than the joins cost)."""
+    from signalk_parquet_spark import queries_curation as qc
+
+    s = qc._bloom_split(spark, SF)
+    te = qc._bloom_test_shingles(s)
+    wide_bits = 32 * (qc._LIT_WORD_CAP + 1)
+    filt = qc._bloom_filter_words(te, bits=wide_bits)
+    tr = s.limit(10).select("doc_id", F.explode("sh").alias("g"))
+    plan = formatted_plan(qc._with_bloom_hit(tr, filt, bits=wide_bits))
+    assert plan.count("BroadcastHashJoin") >= qc._BLOOM_K
 
 
 def test_dsir_broadcasts_stats_and_totals(spark):
