@@ -564,7 +564,9 @@ def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", node_type), T.StructField("label", node_type)]
     )
-    return spark.createDataFrame([(n, find(n)) for n in sorted(nodes)], schema)
+    from ..localrel import local_frame
+
+    return local_frame(spark, [(n, find(n)) for n in sorted(nodes)], schema)
 
 
 def connected_components(

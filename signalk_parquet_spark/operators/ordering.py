@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_frame
+
 #: 16-bit key-prefix space the bucket function divides
 _PREFIX_SPACE = 1 << 16
 
@@ -80,7 +82,7 @@ def global_shuffle_rank(
     for b, n in counts:
         offsets.append((b, acc))
         acc += n
-    off = keyed.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
+    off = local_frame(keyed.sparkSession, offsets, "_bkt long, _off long")
     w = Window.partitionBy("_bkt").orderBy("_key", id_col)
     return (
         keyed.withColumn("_rn", F.row_number().over(w).cast("long"))

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_frame
+
 
 def _bucket_expr(col: Column, lo: float, width: float, buckets: int) -> Column:
     """Deterministic bucket index in [0, buckets): identical arithmetic on
@@ -101,7 +103,8 @@ def kth_smallest_values(
     c = F.col(col)
     base = df.filter(c.isNotNull()).select(F.lit(0).alias("g"), c.alias("v"))
     results = _selection_core(base, {0: list(ks)}, buckets, band_limit, max_rounds)
-    return df.sparkSession.createDataFrame(
+    return local_frame(
+        df.sparkSession,
         [(int(k), float(results[(0, k)])) for k in sorted(set(ks))],
         "k long, value double",
     )
@@ -163,7 +166,7 @@ def grouped_kth_smallest(
         (g, int(k), float(v))
         for (g, k), v in sorted(results.items(), key=lambda t: (str(t[0][0]), t[0][1]))
     ]
-    return df.sparkSession.createDataFrame(rows, [group_col, "k", "value"])
+    return local_frame(df.sparkSession, rows, [group_col, "k", "value"])
 
 
 def grouped_kth_smallest_sorted(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_frame
+
 from ..functions.vectors import as_double, dot, hyperplane_bits, make_planes, norm_sq
 
 
@@ -690,7 +692,7 @@ def pq_topk(
             luts.append([sum(int(a) * int(c) for a, c in zip(qsub, cv)) for _, cv, _ in cods[m]])
         lut_rows.append((int(r["id"]), *luts))
     lut_schema = "query_id long, " + ", ".join(f"lut{m} array<long>" for m in range(n_sub))
-    lut = spark.createDataFrame(lut_rows, lut_schema)
+    lut = local_frame(spark, lut_rows, lut_schema)
 
     score = None
     for m in range(n_sub):
@@ -912,7 +914,7 @@ def ivfpq_topk(
     lut_schema = "query_id long, probes array<long>, " + ", ".join(
         f"lut{m} array<long>" for m in range(n_sub)
     )
-    lut = spark.createDataFrame(lut_rows, lut_schema)
+    lut = local_frame(spark, lut_rows, lut_schema)
 
     score = None
     for m in range(n_sub):
@@ -1136,9 +1138,9 @@ def kmeans_centroids(
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(vecs)
     centers = [c.tolist() for c in model.clusterCenters()]
     spark = collection.sparkSession
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], ["cid", "cemb"]
-    ).withColumn("cemb", F.col("cemb").cast("array<double>"))
+    return local_frame(
+        spark, [(i, c) for i, c in enumerate(centers)], "cid bigint, cemb array<double>"
+    )
 
 
 def ivf_topk(

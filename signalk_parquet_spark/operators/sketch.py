@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from ..localrel import local_frame
+
 _SKETCH_SCHEMA = StructType(
     [StructField("token", StringType()), StructField("wt", LongType())]
 )
@@ -200,8 +202,8 @@ def frequent_tokens_exact(
     sketch_rows = sketch_df.collect()
     merged = mg_merge(_group_rows(sketch_rows), m)
     spark = df.sparkSession
-    cand = spark.createDataFrame(
-        [(t,) for t in sorted(merged)] or [(None,)], "token string"
+    cand = local_frame(
+        spark, [(t,) for t in sorted(merged)] or [(None,)], "token string"
     ).filter(F.col("token").isNotNull())
     toks = df.select(F.explode(F.split(F.col(text_col), jvm_sep)).alias("token"))
     total = df.select(
@@ -374,7 +376,7 @@ def grouped_frequent_tokens_exact(
     spark = df.sparkSession
     if not cand_rows:
         return spark.createDataFrame([], f"{group_col} string, token string, cnt long")
-    cand = spark.createDataFrame(cand_rows, f"{group_col} string, token string")
+    cand = local_frame(spark, cand_rows, f"{group_col} string, token string")
     gcol = F.col(group_col).cast("string").alias(group_col)
     toks = base.select(
         gcol, F.explode(F.split(F.col(text_col), jvm_sep)).alias("token")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_frame
+
 from .functions.text import shingles
 from .operators.bpe import train_bpe
 from .operators.tokenizer import word_freq
@@ -80,7 +82,7 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     merges = train_bpe(word_freq(d), N_MERGES, tiny=True)
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank int, left string, right string, merged string")
+    return local_frame(spark, rows, "rank int, left string, right string, merged string")
 
 
 #: unigram seed substring length cap for the gate (operators/unigram.py

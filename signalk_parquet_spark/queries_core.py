@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_frame
+
 from .functions.time import bucket_iso, bucket_start_ms, iso_utc
 from .operators.aggregate import bucketed_stats
 from .operators.align import align_pivot
@@ -1234,8 +1236,8 @@ def delta_ingest_records(spark: SparkSession, sf: str) -> DataFrame:
 
     from .sources.deltas import deltas_to_records
 
-    df = spark.createDataFrame(
-        [(_json.dumps(d),) for d in _DELTAS], "delta string"
+    df = local_frame(
+        spark, [(_json.dumps(d),) for d in _DELTAS], "delta string"
     )
     recs = deltas_to_records(
         df, value_columns={"latitude": "double", "longitude": "double"}

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_frame
+
 from .functions.text import tokens, shingles
 from .memo import SessionMemo
 from .registry import load, register
@@ -689,8 +691,8 @@ def _bm25_top10(spark: SparkSession, sf: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load(spark, sf, "documents")
-        queries = spark.createDataFrame(
-            _BM25_QUERIES, "query_id string, term string"
+        queries = local_frame(
+            spark, _BM25_QUERIES, "query_id string, term string"
         )
         return retrieval.bm25_topk(docs, queries, k=10, rational_idf=True).persist()
 
