@@ -69,8 +69,13 @@ def main() -> None:
             except Exception:
                 pass
         # spin up the Python/Arrow worker pool (first pandas-UDF query
-        # otherwise pays ~3 s of worker + Arrow-channel startup)
-        spark.range(32).mapInPandas(lambda it: it, "id long").count()
+        # otherwise pays ~3 s of worker + Arrow-channel startup) and
+        # pre-import the heavy executor-side modules in each worker
+        # (session.warm_worker_pool; first media Arrow stage otherwise
+        # blocks every task ~1.7 s on numpy/module imports)
+        from signalk_parquet_spark.session import warm_worker_pool
+
+        warm_worker_pool(spark)
 
     timings: dict[str, float] = {}
     # REGISTRATION order, not sorted(): the driver runs gates in

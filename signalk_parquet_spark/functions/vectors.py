@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .litfast import lit_array
+
 
 def as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -105,7 +107,7 @@ def hyperplane_bits(vec: Column, planes: list[list[int]], unroll: bool = False) 
                 if x != 0:
                     d = d + vec.getItem(i) * F.lit(float(x))
         else:
-            plane = F.array(*[F.lit(float(x)) for x in w])
+            plane = lit_array([float(x) for x in w], "double")
             d = dot(vec, plane)
         term = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term

@@ -57,6 +57,7 @@ def train_bpe(
     n_merges: int,
     tiny: bool = False,
     persist_every: int = 4,
+    local: bool | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from a (word, freq) table.
 
@@ -71,7 +72,22 @@ def train_bpe(
     partition first — right for a known-small lexicon (here: ~30 words),
     wrong at web scale where |V| ~ 10^7-10^8 rows should stay spread.
 
-    Deterministic: count DESC, pair ASC — a total order."""
+    ``local`` picks the iteration backend; the default (None) follows
+    ``tiny``. A tiny lexicon's bottleneck is not compute but ITERATION
+    LATENCY — one plan build + analysis + job per merge (measured r12:
+    the 20-merge gate spent 1.1 s in jobs and ~3 s building/analyzing 20
+    single-row-result plans) — so the tiny rung collects the word table
+    once and runs the same count-argmax-fold loop in Python, the exact
+    size-adaptive trade connected_components makes for <1M-edge graphs.
+    ``local=False`` forces the distributed loop at any size (the
+    differential tests pin local == distributed == the independent
+    pure-Python reference on the same inputs).
+
+    Deterministic: count DESC, pair ASC — a total order (Python string
+    comparison is code-point order and UTF-8 is order-preserving, so the
+    tie-break agrees with Spark's binary string ordering)."""
+    if tiny if local is None else local:
+        return _train_bpe_local(words, n_merges)
     state = words.select(F.split("word", "").alias("syms"), "freq")
     if tiny:
         state = state.coalesce(1)
@@ -106,19 +122,58 @@ def train_bpe(
     return merges
 
 
+def _train_bpe_local(words: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """Driver-local merge loop over a collected lexicon — identical
+    semantics to the distributed loop (adjacent-pair counts weighted by
+    freq; argmax by count DESC then space-joined pair ASC; left-to-right
+    non-overlapping fold), in exact integer arithmetic throughout, so the
+    two backends return the same list on any input (pinned by
+    tests/test_bpe.py's differentials)."""
+    from collections import Counter
+
+    state: dict[tuple[str, ...], int] = {}
+    for r in words.select("word", "freq").collect():
+        key = tuple(r["word"])
+        state[key] = state.get(key, 0) + int(r["freq"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        a, b = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[0]
+        merges.append((a, b))
+        new_state: dict[tuple[str, ...], int] = {}
+        for syms, f in state.items():
+            out = tuple(_encode_word_syms(list(syms), a, b))
+            new_state[out] = new_state.get(out, 0) + f
+        state = new_state
+    return merges
+
+
+def _encode_word_syms(syms: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right non-overlapping (a, b) fold — the Python twin of
+    tokenizer.merge_pair's JVM fold (and the inner step of _encode_word)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     syms = list(word)
     for a, b in merges:  # rank order, left-to-right non-overlapping
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _encode_word_syms(syms, a, b)
     return syms
 
 

@@ -9,11 +9,14 @@ for determinism (see SCALE.md).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..localrel import local_frame
 
+from ..functions.litfast import lit_array
 from ..functions.vectors import as_double, dot, hyperplane_bits, make_planes, norm_sq
 
 
@@ -250,26 +253,59 @@ def ann_topk_multitable(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _cell_dist_structs(cent_rows, emb: Column, dim: int | None = None) -> Column:
+def _cell_dist_structs(
+    cent_rows, emb: Column | str, dim: int | None = None
+) -> Column:
     """Array of (d, cid) structs over driver-collected centroid rows —
     the ONE construction cell_argmin_col and cell_probes_col both rank, so
     their probe-1 == argmin contract can't drift. d = |c|² − 2·e·c with
     |c|² accumulated on the driver in sequential IEEE order (same value as
     an oracle's list_dot_product(c, c)); ties resolve to the lowest cid
-    via struct ordering, matching a (d, cid) row_number sort."""
+    via struct ordering, matching a (d, cid) row_number sort.
+
+    Pass ``emb`` as a column NAME to build the whole K-struct array as ONE
+    parsed SQL expression: the Column form costs ~5 py4j round-trips per
+    centroid (2 HOF creations at ~18 ms each dominate — measured 0.87 s of
+    query-construction wall at K=16), the text form one call total. Both
+    parse to the identical tree (same aggregate/zip_with lambdas, same
+    literal doubles — functions/litfast rationale), so results and plans
+    match; a Column stays on the classic builder."""
+    if isinstance(emb, str) and os.environ.get("SPARK_GRAFT_LITFAST") != "0":
+        ecol = f"`{emb}`"
+        parts = []
+        for r in cent_rows:
+            cvec = [float(x) for x in r["cemb"]]
+            cn2 = 0.0
+            for x in cvec:  # sequential IEEE order == oracle's list_dot_product
+                cn2 += x * x
+            arr = "array(" + ",".join(f"{x!r}D" for x in cvec) + ")"
+            if dim is None:
+                d = (
+                    f"{cn2!r}D - 2.0D * aggregate(zip_with({ecol}, {arr},"
+                    " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+                )
+            else:
+                acc = "0.0D"
+                for i in range(dim):
+                    acc = f"({acc} + {ecol}[{i}] * {cvec[i]!r}D)"
+                d = f"{cn2!r}D - 2.0D * {acc}"
+            parts.append(f"struct({d} AS d, CAST({int(r['cid'])} AS BIGINT) AS cid)")
+        return F.expr("array(" + ",".join(parts) + ")")
+    if isinstance(emb, str):
+        emb = F.col(emb)
     choices = []
     for r in cent_rows:
         cvec = [float(x) for x in r["cemb"]]
         cn2 = 0.0
         for x in cvec:  # sequential IEEE order == oracle's list_dot_product
             cn2 += x * x
-        clit = F.array(*[F.lit(x) for x in cvec])
+        clit = lit_array(cvec, "double")
         d = F.lit(cn2) - F.lit(2.0) * dot(emb, clit, dim)
         choices.append(F.struct(d.alias("d"), F.lit(int(r["cid"])).cast("long").alias("cid")))
     return F.array(*choices)
 
 
-def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
+def cell_argmin_col(cent_rows, emb: Column | str, dim: int | None = None) -> Column:
     """Nearest-centroid cell id as a pure Column — the map-only assignment
     the SemDeDup family shares (see _cell_dist_structs for the distance and
     tie order). Per-row cost grows with K — the numpy fused assignment is
@@ -277,7 +313,7 @@ def cell_argmin_col(cent_rows, emb: Column, dim: int | None = None) -> Column:
     return F.array_min(_cell_dist_structs(cent_rows, emb, dim))["cid"]
 
 
-def cell_probes_col(cent_rows, emb: Column, n_probe: int, dim: int | None = None) -> Column:
+def cell_probes_col(cent_rows, emb: Column | str, n_probe: int, dim: int | None = None) -> Column:
     """The multi-probe sibling of :func:`cell_argmin_col`: the ``n_probe``
     nearest centroid cell ids as an ARRAY Column, nearest first. Both
     functions rank the SAME _cell_dist_structs array, so probe 1 always
@@ -439,7 +475,7 @@ def semantic_keep(
     # materialize the assignment once: it feeds BOTH sides of the self-join
     # plus the final keep-join, and a persisted frame must be fully built
     # before self-join reuse (CLAUDE.md: AQE + partial cache dropped pairs)
-    assign = e.withColumn("cid", cell_argmin_col(cent_rows, F.col("emb"), dim)).persist()
+    assign = e.withColumn("cid", cell_argmin_col(cent_rows, "emb", dim)).persist()
     assign.count()
     shard_a = shard_b = F.lit(0).cast("long")
     if max_cell is not None:
@@ -666,7 +702,7 @@ def pq_topk(
         sub = F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
         choices = [
             F.struct(
-                (F.lit(cc) - F.lit(2) * int_dot(sub, F.array(*[F.lit(int(c)) for c in cv])))
+                (F.lit(cc) - F.lit(2) * int_dot(sub, lit_array(cv, "int")))
                 .cast("long").alias("d"),
                 F.lit(cid).cast("long").alias("cid"),
                 F.lit(j).alias("j"),
@@ -846,7 +882,7 @@ def ivfpq_topk(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("emb"),
         int8_quantize(vec_col).alias("qv"),
-    ).withColumn("cell", cell_argmin_col(cent_rows, F.col("emb")))
+    ).withColumn("cell", cell_argmin_col(cent_rows, "emb"))
 
     # --- fine (code) quantizer: integer PQ encoding per subspace
     cw_rows = bounded_collect(
@@ -869,7 +905,7 @@ def ivfpq_topk(
         sub = F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
         choices = [
             F.struct(
-                (F.lit(cc) - F.lit(2) * int_dot(sub, F.array(*[F.lit(int(c)) for c in cv])))
+                (F.lit(cc) - F.lit(2) * int_dot(sub, lit_array(cv, "int")))
                 .cast("long").alias("d"),
                 F.lit(cid).cast("long").alias("cid"),
                 F.lit(j).alias("j"),

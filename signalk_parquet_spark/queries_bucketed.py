@@ -58,8 +58,26 @@ def ensure_bucketed_facts(spark: SparkSession, sf: str) -> tuple[str, str]:
         # pre-creatable by another local user (ADVICE r03).
         app_tag = re.sub(r"\W+", "_", app)
         base = os.path.join(tempfile.gettempdir(), f"skps_bucketed_{app_tag}")
-        write_bucketed(li, li_t, ["orderkey"], _N_BUCKETS, path=os.path.join(base, li_t))
-        write_bucketed(od, od_t, ["orderkey"], _N_BUCKETS, path=os.path.join(base, od_t))
+        # The two writes are independent jobs on disjoint tables: submit
+        # them from a 2-thread pool so the orders write back-fills the
+        # tail of the lineitem write's stage instead of waiting for it
+        # (guide §2.6 overlap-independent-jobs; measured 1.16 s + 0.85 s
+        # sequential write jobs at sf0.1). InheritableThread is the
+        # documented PySpark way to run driver threads (JVM thread-locals
+        # like the job group/description are inherited and cleaned up).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        @inheritable_thread_target
+        def _write(args) -> None:
+            df, table = args
+            write_bucketed(
+                df, table, ["orderkey"], _N_BUCKETS, path=os.path.join(base, table)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_write, [(li, li_t), (od, od_t)]))
         _READY.add(key)
     return li_t, od_t
 

@@ -29,6 +29,7 @@ from .functions.text import (
     tokens,
     type_token_ratio,
 )
+from .functions.litfast import lit_array
 from .functions.vectors import as_double as as_double_vec
 from .functions.vectors import dot as vec_dot
 from .functions.vectors import norm_sq as vec_norm_sq
@@ -728,7 +729,15 @@ def _with_bloom_hit(
     if n_words <= cap:
         if callable(dense):
             dense = dense()
-        lit = F.lit(dense if dense is not None else _bloom_dense_words(filt, bits))
+        # lit_array, not F.lit(list): py4j converts a Python list one
+        # element-add round-trip at a time (~2.4 s for 4096 ints); the SQL
+        # text parses JVM-side in one call. bigint deterministically —
+        # F.lit would infer int32 vs int64 from whether any word has bit
+        # 31 set, making the probe expression's dtype data-dependent.
+        lit = lit_array(
+            dense if dense is not None else _bloom_dense_words(filt, bits),
+            "bigint",
+        )
         # materialize each position once (word + mask both read it; no
         # reliance on codegen CSE to dedup the md5/conv chain)
         out = probes
@@ -1225,12 +1234,12 @@ def decontaminate_semantic_ivf(
         # column, not literals).
         train = e.filter(F.col("split") == "train").select(
             F.col("vec_id").alias("train_vec"), "emb", "n2",
-            cell_argmin_col(cent_rows, F.col("emb")).alias("cell"),
+            cell_argmin_col(cent_rows, "emb").alias("cell"),
         )
         test = e.filter(F.col("split") == "test").select(
             F.col("vec_id").alias("test_vec"), F.col("emb").alias("temb"),
             F.col("n2").alias("tn2"),
-            F.explode(cell_probes_col(cent_rows, F.col("emb"), n_probe)).alias("cell"),
+            F.explode(cell_probes_col(cent_rows, "emb", n_probe)).alias("cell"),
         )
     cos = vec_dot(F.col("temb"), F.col("emb")) / F.sqrt(F.col("tn2") * F.col("n2"))
     return (

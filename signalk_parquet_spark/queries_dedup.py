@@ -947,7 +947,7 @@ def semdedup_recall(spark: SparkSession, sf: str) -> DataFrame:
             "semdedup_recall centroid table",
         )
         return e.filter(F.col("vec_id") < _SEM_SLICE).withColumn(
-            "cid", cell_argmin_col(cent_rows, F.col("emb"))
+            "cid", cell_argmin_col(cent_rows, "emb")
         )
 
     # memo, not ad-hoc persist (r5 judge finding class): materialized

@@ -44,6 +44,14 @@ def get_spark(app_name: str = "signalk-parquet-spark") -> SparkSession:
         # job-level profiling loop (tools/profile_query.py) flips it on via
         # env to read per-job wall times from the REST API.
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # PySpark 4 captures the user call site for every wrapped
+        # DataFrame/Column API call when DataFrame debugging is on
+        # (pyspark/errors/utils.py walks the Python stack per call —
+        # measured ~6 ms each, ~1 s of query-CONSTRUCTION wall on
+        # literal-heavy gates). The capture only enriches error messages
+        # with a file:line; plans and results are unchanged. Static conf:
+        # must be set here, not via spark.conf.set.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     )
@@ -92,3 +100,36 @@ def ensure_query_confs(spark: SparkSession) -> None:
     floor = os.environ.get("SPARK_GRAFT_AQE_FLOOR", "off")
     if floor not in ("0", "off", ""):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", floor)
+
+
+def warm_worker_pool(spark: SparkSession) -> None:
+    """Spin up one Python/Arrow worker per core AND pre-import the heavy
+    executor-side modules (numpy + the media decode/fingerprint operators)
+    inside each worker.
+
+    The plain ``mapInPandas(lambda it: it)`` warmup only pays the worker
+    fork + pandas/pyarrow import; the FIRST Arrow stage that touches the
+    media operators then blocks every task ~1.7 s on numpy + module
+    imports with ~25 ms of JVM CPU (measured via /stages taskSummary:
+    runTime p50 1751 ms, cpuTime p50 29 ms, zero GC/scheduler delay —
+    pure Python-side setup). With worker reuse on (the default) one
+    import per worker serves the whole session, so the guide's §4.5
+    "initialise heavyweight state once" belongs here, in the pool warmup
+    every bench/tool session already runs untimed."""
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+
+        from signalk_parquet_spark.functions import mediagen  # noqa: F401
+        from signalk_parquet_spark.operators import (  # noqa: F401
+            audio,
+            jpeg,
+            multimodal,
+            raster,
+            video,
+        )
+
+        yield from batches
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n, numPartitions=n).mapInPandas(_warm, "id long").count()

@@ -558,7 +558,7 @@ def streaming_semantic_dedup(
 
     assigned = stream.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("emb")
-    ).withColumn("cell", cell_argmin_col(centroid_rows, F.col("emb")))
+    ).withColumn("cell", cell_argmin_col(centroid_rows, "emb"))
     return assigned.groupBy("cell").applyInPandasWithState(
         make_semantic_fn(tau, max_cell),
         SEMANTIC_MATCH_SCHEMA,

@@ -78,16 +78,23 @@ def test_merge_fold_matches_python_reference(spark):
 
 
 def test_trainer_differential_crafted(spark):
-    got = train_bpe(_spark_words(spark, list(CRAFTED.items())), 10, tiny=True)
+    # three-way: DISTRIBUTED loop (local=False) vs the engine's driver-local
+    # rung (tiny default since r12) vs the independent reference above
+    words = _spark_words(spark, list(CRAFTED.items()))
     want = _py_train(CRAFTED, 10)
-    assert got == want
+    assert train_bpe(words, 10, tiny=True, local=False) == want
+    assert train_bpe(words, 10, tiny=True) == want
 
 
 def test_trainer_differential_corpus(spark, sf_smoke):
     d = load(spark, sf_smoke, "documents")
     wf = {r["word"]: r["freq"] for r in word_freq(d).collect()}
-    got = train_bpe(word_freq(d), 12, tiny=True)
     want = _py_train(wf, 12)
+    # distributed and driver-local backends against the reference on the
+    # real table (the gate runs the local rung; the distributed loop stays
+    # pinned here so the backends can't drift apart)
+    assert train_bpe(word_freq(d), 12, tiny=True, local=False) == want
+    got = train_bpe(word_freq(d), 12, tiny=True)
     assert got == want
     # the trainer actually crossed into multi-char subwords
     assert any(len(a + b) > 2 for a, b in got)

@@ -33,7 +33,9 @@ def main() -> None:
             registry.load(spark, sf_dir, table)
         except Exception:
             pass
-    spark.range(32).mapInPandas(lambda it: it, "id long").count()
+    from signalk_parquet_spark.session import warm_worker_pool
+
+    warm_worker_pool(spark)
 
     qs = registry.queries()
     base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
