@@ -524,19 +524,19 @@ def dedup_corpus(
     )
 
 
-def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Solve CC on the driver with path-halving union-find and return the
-    (node, label=min-id) frame parallelized back out.
+def _local_union_find(spark, pdf, node_type, src: str, dst: str) -> DataFrame:
+    """Solve CC on the driver with path-halving union-find over an
+    already-collected (Arrow/pandas) edge frame and return the
+    (node, label=min-id) frame lifted back out as a LocalRelation.
 
     This is the broadcast-hash-join analogy applied to graph connectivity:
     the pair relation that survives a dedup screen is orders of magnitude
     smaller than the corpus (79 edges from 60k docs at sf0.1), and below a
     bounded edge count collecting it is cheaper than ANY number of
     distributed rounds — exactly like collecting a small join side instead
-    of shuffling the big one. The caller gates on an explicit edge-count
-    threshold; above it the O(log d) distributed loop runs instead."""
-    spark = edges.sparkSession
-    node_type = edges.schema[src].dataType
+    of shuffling the big one. connected_components gates on an explicit
+    edge-count threshold (its limit-probe collect IS this pdf); above it
+    the O(log d) distributed loop runs instead."""
     parent: dict = {}
 
     def find(x):
@@ -547,9 +547,6 @@ def _local_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # Arrow transfer, not row-object collect(): at the 1M-edge threshold
-    # this is the difference between ~1 s and ~10 s of driver-side work
-    pdf = edges.select(src, dst).toPandas()
     nodes = set()
     for a, b in zip(pdf[src].to_numpy().tolist(), pdf[dst].to_numpy().tolist()):
         nodes.add(a)
@@ -603,15 +600,25 @@ def connected_components(
     algorithms. Semantics stay exactly expressible as a recursive-CTE
     oracle.
     """
-    # materialize the pair relation ONCE (the screen that produced it is the
-    # expensive part), then pick the strategy from its measured size — the
-    # same runtime-statistics decision AQE makes for broadcast joins.
-    pairs = edges.select(src, dst).persist()
-    n_pairs = pairs.count()
-    if n_pairs <= local_threshold:
-        out = _local_union_find(pairs, src, dst)
-        pairs.unpersist()
-        return out
+    # ONE action both decides the strategy and — in the common small-graph
+    # case — already holds the complete edge list on the driver:
+    # limit(T+1) returns the WHOLE relation iff it has <= T rows, so the
+    # screen subtree is computed exactly once. The previous shape
+    # (persist + count to size it, then a second cached pass to collect)
+    # paid an extra job, the cache write, and the cache memory for the
+    # same information (guide §1.2: don't compute things you throw away).
+    # Union-find labels are edge-ORDER-independent, so which rows a
+    # too-large probe returns is immaterial — the distributed path below
+    # recomputes from the lineage. Driver memory stays bounded by T+1
+    # rows either way.
+    pairs = edges.select(src, dst)
+    probe = pairs.limit(local_threshold + 1).toPandas()
+    if len(probe) <= local_threshold:
+        return _local_union_find(
+            edges.sparkSession, probe, edges.schema[src].dataType, src, dst
+        )
+    pairs = pairs.persist()
+    pairs.count()
     # symmetrize in ONE traversal (explode, not self-union — a union would
     # recompute the upstream pair screen once per branch)
     sym = pairs.select(
