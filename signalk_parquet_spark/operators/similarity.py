@@ -1171,7 +1171,18 @@ def kmeans_centroids(
         F.col(id_col).alias("id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(vecs)
+    # cache the fit input for the duration of the fit: every Lloyd
+    # iteration (and the init sample) otherwise re-reads the parquet and
+    # re-runs the vector conversion — maxIter+1 redundant scans. Values
+    # are untouched: caching preserves each partition's contents and
+    # order, so MLlib's treeAggregate reduces in the identical order and
+    # the centroids are bit-for-bit the same (ivf_kmeans_recall depends
+    # on that). Freed immediately — nothing outlives the fit.
+    vecs = vecs.persist()
+    try:
+        model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(vecs)
+    finally:
+        vecs.unpersist()
     centers = [c.tolist() for c in model.clusterCenters()]
     spark = collection.sparkSession
     return local_frame(

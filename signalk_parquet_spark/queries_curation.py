@@ -247,7 +247,10 @@ def decontaminate_containment(spark: SparkSession, sf: str) -> DataFrame:
     ix = s.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("id"), F.col("sh").alias("shl")
     )
-    return containment_join(probe, ix, 0.8).select(
+    # materialize=False: both sides are projections of the session-cached
+    # _ngram_split_frame memo — re-deriving the split filter per consumer
+    # beats a second cache write + its materialization job (r12)
+    return containment_join(probe, ix, 0.8, materialize=False).select(
         F.col("id_a").alias("test_doc"),
         F.col("id_b").alias("train_doc"),
         "inter",

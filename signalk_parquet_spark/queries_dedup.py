@@ -325,6 +325,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_jaccard_pairs(
         load(spark, sf, "documents"), "doc_id", "text", ["lang"], 0.5,
         prepared=_shingled_docs(spark, sf).select("id", "lang", "shl"),
+        # prepared is the session-cached shingle memo (r12, see
+        # containment_pairs): consumers re-sort from cache, no 2nd cache
+        materialize=False,
     )
 
 
@@ -360,6 +363,9 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     return containment_pairs(
         load(spark, sf, "documents"), "doc_id", "text", ["lang"], 0.8,
         prepared=_shingled_docs(spark, sf).select("id", "lang", "shl"),
+        # prepared is the session-cached shingle memo: re-deriving the
+        # size/filter projection per consumer beats a second cache (r12)
+        materialize=False,
     )
 
 

@@ -1111,6 +1111,15 @@ def test_containment_pairs_matches_bruteforce(spark):
     # the asymmetry is real: 2->1 contained, 1->2 not
     t08 = _py_containment(rows, 0.8)
     assert (2, 1) in t08 and (1, 2) not in t08
+    # materialize=False (the gates' cached-memo path, r12) is a pure
+    # execution-strategy switch: identical output, no persist jobs
+    got_nomat = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"])
+        for r in containment_pairs(
+            df, "doc_id", "text", [], 0.8, materialize=False
+        ).collect()
+    }
+    assert got_nomat == t08
 
 
 def test_containment_boundary_and_jaccard_blindspot(spark):
