@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..functions.time import parse_iso
+from ..localrel import local_frame
 from ..schema import flatten_value, record_schema
 
 _NS = {"gpx": "http://www.topografix.com/GPX/1/1"}
@@ -143,7 +144,13 @@ def import_gpx_files(
     parses its files (binary read + ET parse) inside mapInPandas.
     ``derive_missing`` — see parse_gpx_bytes."""
     schema = record_schema({"latitude": T.DoubleType(), "longitude": T.DoubleType()})
-    files_df = spark.createDataFrame([(p,) for p in gpx_paths], "gpx_path string").repartition(
+    # LocalRelation lift (localrel.py): the classic createDataFrame(list)
+    # pickles the path list into a Python RDD whose scan stage forks
+    # defaultParallelism Python workers to ship a handful of strings —
+    # measured 1.7 s of the gate's 2.0 s wall for ~0 bytes of work. As a
+    # LocalRelation the scan is pure JVM; the repartition below spreads
+    # the files for the parse stage, the only Python eval left.
+    files_df = local_frame(spark, [(p,) for p in gpx_paths], "gpx_path string").repartition(
         min(len(gpx_paths), 32)
     )
     names = [f.name for f in schema.fields]
