@@ -127,7 +127,13 @@ def list_files(spark: SparkSession, root: str, seed_depth: int = 2) -> DataFrame
                 # more than one subtree's listing at once
                 yield pd.DataFrame(rows, columns=["rel_path", "size", "mtime_ms"])
 
-    seed_df = spark.createDataFrame(seeds, "path string, is_dir boolean")
+    # LocalRelation lift (localrel docstring): a handful of path strings
+    # scanned as a pickled RDD forked a Python worker per repartitioned
+    # task for ~0 bytes of work — the gpx_import_records class, −52%
+    # there; the mapInPandas walk below is the only Python eval left.
+    from ..localrel import local_frame
+
+    seed_df = local_frame(spark, seeds, "path string, is_dir boolean")
     n = max(1, min(len(seeds), target))
     return seed_df.repartition(n).mapInPandas(_walk, schema=_LIST_SCHEMA)
 
