@@ -151,7 +151,7 @@ def import_gpx_files(
     # LocalRelation the scan is pure JVM; the repartition below spreads
     # the files for the parse stage, the only Python eval left.
     files_df = local_frame(spark, [(p,) for p in gpx_paths], "gpx_path string").repartition(
-        min(len(gpx_paths), 32)
+        min(len(gpx_paths), spark.sparkContext.defaultParallelism)
     )
     names = [f.name for f in schema.fields]
 
