@@ -156,12 +156,21 @@ def prefix_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     prepared: DataFrame | None = None,
-    rare_first: bool = False,
+    rare_first: bool = True,
     materialize: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin, Bayardo et al. WWW'07): finds EVERY pair with Jaccard ≥
     ``threshold`` inside each block — no length-bucket recall trade.
+
+    ``rare_first`` (default since r13, when the gate's window slot landed
+    — the capability shipped r12 default-off to respect window rotation)
+    ranks each set's prefix by corpus document frequency, rarest first,
+    exactly like the containment family: prefix slots go to the tokens
+    least likely to collide, so candidate volume — the exchange at
+    cluster scale — collapses toward the true pair count on hot-token
+    corpora. ``rare_first=False`` keeps the zero-extra-window hash order
+    for small or unique-shingle corpora.
 
     Each document explodes only the first ``|S| - ceil(t·|S|) + 1``
     elements of its hash-sorted shingle set (the prefix); two sets with
@@ -197,33 +206,48 @@ def prefix_jaccard_pairs(
             *[F.col(c) for c in block_cols],
             hashed_shingles(distinct_shingles(text_col)).alias("shl"),
         )
-    d = d.select(
-        "id", *block_cols, F.sort_array("shl").alias("shl")
+    # rare_first keeps the INPUT arrays (the verify's Jaccard is
+    # order-insensitive and its prefix is computed on the exploded stream
+    # below); only the hash-order path still sorts, because ITS prefix is
+    # a slice of the stored array, which must be deterministically ordered.
+    shl0 = F.col("shl") if rare_first else F.sort_array("shl")
+    d = (
+        d.select("id", *block_cols, shl0.alias("shl"))
+        .withColumn("sz", F.size("shl"))
     )
-    if rare_first:
-        # optional AllPairs canonical ordering (Bayardo WWW'07): a COMMON
-        # global (df, tok) order is all the symmetric prefix bound needs,
-        # so rarest-first is a free swap — prefixes then hold the least
-        # collision-prone shingles (693x candidate cut on the containment
-        # ramp's hot-shingle corpus; same mechanism). Default stays the
-        # zero-extra-pass hash order until the gate re-windows (r13) —
-        # flipping it mid-rotation would change a green gate's plan with
-        # no driver slot to re-check it.
-        d = _rare_first_order(d, d, same=True)
-    d = d.withColumn(
-        "pre",
-        F.slice(
-            F.col("shl"),
-            1,
-            (F.size("shl") - F.ceil(F.size("shl") * F.lit(threshold)) + 1).cast("int"),
-        ),
-    ).withColumn("sz", F.size("shl"))
+    pre_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    if not rare_first:
+        d = d.withColumn("pre", F.slice(F.col("shl"), 1, pre_len))
     if materialize:
         d = d.persist()
-        # materialize once: the sorted/sliced frame feeds BOTH sides of the
+        # materialize once: the prepared frame feeds BOTH sides of the
         # candidate join and the verify step (three consumers)
         d.count()
-    ex = d.select("id", *block_cols, "sz", F.explode("pre").alias("tok"))
+    if rare_first:
+        # AllPairs canonical ordering (Bayardo WWW'07), stream form (r13 —
+        # the containment_join r12 rewrite applied to the symmetric join):
+        # a COMMON global (df, tok) total order is all the symmetric
+        # prefix bound needs, so rank each doc's exploded tokens by
+        # (corpus df, tok) and keep the first sz − ⌈t·sz⌉ + 1 — the same
+        # token SET the former reorder-arrays-then-slice form produced,
+        # without the groupBy+collect_list+array_sort array rebuild.
+        # Prefixes then hold the least collision-prone shingles (693x
+        # candidate cut on the containment ramp's hot-shingle corpus; at
+        # cluster scale candidate volume IS the exchange).
+        from pyspark.sql import Window
+
+        exf = d.select("id", *block_cols, "sz", F.explode("shl").alias("tok"))
+        exf = exf.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
+        rn = F.row_number().over(Window.partitionBy("id").orderBy("_df", "tok"))
+        ex = (
+            exf.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= pre_len)
+            .select("id", *block_cols, "sz", "tok")
+        )
+    else:
+        ex = d.select("id", *block_cols, "sz", F.explode("pre").alias("tok"))
     a, b = ex.alias("a"), ex.alias("b")
     # AllPairs length filter: jac >= t implies t*|A| <= |A∩B| <= min(|A|,|B|),
     # so both |B| >= t*|A| and |A| >= t*|B|. The epsilon loosens the bound by
@@ -317,65 +341,6 @@ def containment_pairs(
     return containment_join(
         d, d, threshold, block_cols=block_cols, rare_first=rare_first,
         exclude_same_id=True, materialize=materialize,
-    )
-
-
-def _rare_first_order(
-    p: DataFrame, index: DataFrame, same: bool = False
-) -> DataFrame:
-    """Reorder each ``shl`` set of ``p`` by ascending INDEX-side document
-    frequency (rarest first), (df, tok) total-ordered so the result is
-    deterministic; tokens absent from the index get df 0 and sort first
-    (they can generate no candidates, so they cost nothing in a prefix).
-
-    Cross-frame: one df count over the index shingle stream + one
-    tok-keyed join. SELF-join (``same=True``, r12): the probe stream IS
-    the index stream, so the df count collapses into a
-    ``count(*) OVER (PARTITION BY tok)`` window on the one exploded
-    stream — the dfreq aggregate's exchange AND the tok join (which
-    re-shuffled the whole exploded stream against it) both disappear;
-    what remains is one exchange to the window and one groupBy(id)
-    exchange to rebuild the arrays. The non-probe columns ride the
-    groupBy as first() aggregates instead of a second id-keyed join back
-    to ``p`` — guide §2.4 (remove shuffles outright) twice over.
-    Exactness is untouched either way: the (df, tok) order is identical,
-    only where it is computed moves."""
-    other = [c for c in p.columns if c not in ("id", "shl")]
-    if same:
-        from pyspark.sql import Window
-
-        ex = p.select("id", *other, F.explode("shl").alias("tok"))
-        w = Window.partitionBy("tok")
-        return (
-            ex.withColumn("_df", F.count(F.lit(1)).over(w))
-            .groupBy("id")
-            .agg(
-                *[F.first(c).alias(c) for c in other],
-                F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"),
-            )
-            .select(
-                "id",
-                *other,
-                F.transform(F.col("_st"), lambda s: s["tok"]).alias("shl"),
-            )
-        )
-    dfreq = (
-        index.select(F.explode("shl").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    order = (
-        p.select("id", F.explode("shl").alias("tok"))
-        .join(dfreq, "tok", "left")
-        .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_st"))
-        .select("id", F.transform(F.col("_st"), lambda s: s["tok"]).alias("_shl_o"))
-    )
-    return (
-        p.join(order, "id")
-        .withColumn("shl", F.col("_shl_o"))
-        .drop("_shl_o")
     )
 
 
@@ -631,13 +596,21 @@ def connected_components(
     # too-large probe returns is immaterial — the distributed path below
     # recomputes from the lineage. Driver memory stays bounded by T+1
     # rows either way.
-    pairs = edges.select(src, dst)
+    # Persist BEFORE the probe (r13): the probe's CollectLimit computes —
+    # and now caches — whatever partitions it touches, so the >T branch's
+    # count() below re-reads them from cache and computes only the REST:
+    # the screen subtree runs exactly once regardless of branch (the r12
+    # probe-only shape ran it twice on the large branch — once for the
+    # probe, once for the persist+count). The small branch still pays one
+    # job and discards a ≤T-row (~16 MB) cache write — negligible next to
+    # the screen it fronts.
+    pairs = edges.select(src, dst).persist()
     probe = pairs.limit(local_threshold + 1).toPandas()
     if len(probe) <= local_threshold:
+        pairs.unpersist()
         return _local_union_find(
             edges.sparkSession, probe, edges.schema[src].dataType, src, dst
         )
-    pairs = pairs.persist()
     pairs.count()
     # symmetrize in ONE traversal (explode, not self-union — a union would
     # recompute the upstream pair screen once per branch)

@@ -282,93 +282,82 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r12 window (5 new + 2 edited + 25 r08 + 18 r09 = 50), generated from
-#: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r11 union.
-#: NEW: dedup_containment (asymmetric prefix-filtered set containment —
-#: quote/subset pairs Jaccard is blind to; operators/dedup.py),
-#: ann_hard_negatives (per-query top-k most-similar DIFFERENT-label
-#: vectors — DPR-style contrastive mining; operators/similarity.py),
-#: group_mad_outliers (per-language robust |x−med| > 2·MAD outliers on
-#: two banded grouped selections; operators/selection.py),
-#: decontaminate_bm25 (retrieval-based decontamination rung — the
-#: contamination ledger over every eval query's exact BM25 top-10,
-#: oracle sharing bm25_topk's scoring CTE prelude), and the late
-#: decontaminate_containment (cross-frame containment rung — eval docs
-#: swallowed by a train page, sharing decontaminate_ngram's memoized
-#: shingle pass; it took the last fill slot from angular_avg, which
-#: rejoins its angular family at the head of the r13 fill). EDITED:
-#: bm25_topk
-#: (oracle base CTE gained WHERE text IS NOT NULL — the null-doc
-#: corpus-stats contract, ADVICE r11 — plus the shared-prelude
-#: refactor; the round's ONE true fingerprint diff after the
-#: lambda-counter normalizer fix) and dedup_minhash_lsh (r11's
-#: post-refresh oracle reformatting, ranked EDIT via
-#: window_check.HAND_QUEUED_EDITS). Then the whole r08 tail (led by
-#: ann_scalar_quant; unigram pair contiguous) and 18 of the r09 cohort
-#: (lm/quality family then the bucketed-aggregate family contiguous;
-#: the angular family leads the r13 fill). After r12 no gate's
-#: evidence predates r9.
+#: r13 window (26 edited + 24 r09 = 50), generated from
+#: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r12 union.
+#: No NEW gates (optimization round). EDITED, two cohorts: (a) the 25
+#: gates the r12 optimization sweep plan-changed while proving them
+#: value-identical (LocalRelation/litfast lifts, containment stream
+#: prefix, CC probe fusion, materialize=False, bloom inline probe, BPE
+#: local rung — driver_sim 175/175 exact at sf0.001+sf0.01 both rounds;
+#: GATE_FINGERPRINTS was deliberately left un-refreshed in r12 so
+#: --suggest would rank exactly these EDIT and hand them driver slots
+#: under their new plans), and (b) dedup_jaccard_prefix, edited THIS
+#: round: prefix_jaccard_pairs flipped to rare_first=True (the standing
+#: flip-on-re-window TODO) in the containment_join stream form. Fill to
+#: 50 with the 24 stalest r09 gates in suggestion order (angular family
+#: leads, then the rollup/smoothing cohort, then tpch; the last
+#: suggested fill, wordpiece_pair_scores, gave its slot to
+#: dedup_jaccard_prefix). After r13 no gate's evidence predates r9
+#: except wordpiece_pair_scores' cohort tail.
 #:
-#: Bench-attribution notes for this order: dedup_containment now
-#: precedes the dedup cohort, so it is the session's first consumer of
-#: the shared shingle memo (charged its build — was
-#: dedup_incremental_minhash in r11's order); decontaminate_bm25
-#: precedes bm25_topk, so it is charged the memoized BM25 top-10 build.
+#: Bench-attribution notes for this order: dedup_containment stays the
+#: shingle memo's first consumer; decontaminate_bm25 still precedes
+#: bm25_topk (charged the memoized BM25 top-10 build); the media
+#: decision gates and their CC labels now run inside the window.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # --- new this round (r12) ---
+    # --- edited r12/r13, suggestion order; jaccard_prefix slotted with
+    # --- its shingle-memo family (r13's one deliberate plan change) ---
     "dedup_containment",
-    "ann_hard_negatives",
     "group_mad_outliers",
     "decontaminate_bm25",
     "decontaminate_containment",
-    # --- edited: bm25 oracle null contract; minhash oracle reformat (r11) ---
+    "dedup_jaccard_prefix",
     "bm25_topk",
-    "dedup_minhash_lsh",
-    # --- stalest: the r08 tail in suggestion order ---
-    "ann_scalar_quant",
-    "asof_last_purchase",
-    "interval_join_pairs",
-    "sessionize_30m",
-    "cube_returnflag_status",
-    "distinct_and_stddev",
-    "object_component_agg",
-    "scalar_subquery_acctbal",
-    "value_histogram",
-    "daily_activity",
-    "ranking_functions",
-    "cohort_retention",
-    "funnel_conversion",
-    "vector_centroid",
-    "tfidf_top_terms",
-    "window_funcs_extended",
-    "sample_stratified",
-    "pack_sequences",
-    "skew_salted_stats",
-    "intersect_buyers_clickers",
-    "ann_pq",
-    "position_rollup_1h",
-    "decontaminate_semantic",
-    "unigram_estep_counts",
-    "unigram_tokenize_stats",
-    # --- fill to 50: 18 of the r09 cohort in suggestion order ---
-    "ngram_novelty",
     "ann_ivf_kmeans",
-    "ivf_kmeans_recall",
-    "cluster_balanced_sample",
-    "rate_of_change",
-    "pq_recall",
-    "lm_bigram_score",
-    "source_divergence",
-    "quality_classifier",
-    "doc_embed_hashed",
-    "dsir_weights",
-    "perplexity_buckets",
-    "tpch_q11",
-    "bucket_avg_1h",
-    "bucket_minmax_1h",
-    "bucket_first_last_1h",
-    "bucket_median_1h",
-    "bucket_middle_index_1h",
+    "dedup_keep_longest",
+    "dedup_keep_corpus",
+    "semdedup_recall",
+    "dedup_cluster_cc",
+    "group_kth_values",
+    "group_length_clip",
+    "corpus_shuffle_rank",
+    "global_kth_values",
+    "gpx_import_records",
+    "delta_ingest_records",
+    "heavy_hitters_2pass",
+    "grouped_heavy_hitters",
+    "decontaminate_bloom",
+    "bloom_fp_rate",
+    "bpe_train_merges",
+    "image_dedup_decisions",
+    "audio_dedup_decisions",
+    "video_dedup_decisions",
+    "image_dedup_decisions_phash",
+    # --- fill to 50: 24 of the r09 cohort in suggestion order ---
+    "angular_avg",
+    "weighted_reagg_1h",
+    "tier_rollup_stats_5m",
+    "tier_rollup_angular_1h",
+    "angular_reagg_3h",
+    "priority_dedup_1h",
+    "history_v2_blend",
+    "align_pivot_1h",
+    "episodes_error",
+    "sma_1h_w5",
+    "ema_1h_a02",
+    "ema_pathspec_a05",
+    "union_by_name",
+    "anti_join_users",
+    "rollup_incremental_1h",
+    "jsonl_source_records",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "semi_join_orders",
+    "rank_orders_per_customer",
+    "quality_c4",
+    "shard_plan",
 )
 
 

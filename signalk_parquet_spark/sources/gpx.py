@@ -150,8 +150,10 @@ def import_gpx_files(
     # measured 1.7 s of the gate's 2.0 s wall for ~0 bytes of work. As a
     # LocalRelation the scan is pure JVM; the repartition below spreads
     # the files for the parse stage, the only Python eval left.
+    # max(1, ...): an empty path list must yield an empty frame, not the
+    # opaque IllegalArgumentException repartition(0) raises (ADVICE r12)
     files_df = local_frame(spark, [(p,) for p in gpx_paths], "gpx_path string").repartition(
-        min(len(gpx_paths), spark.sparkContext.defaultParallelism)
+        max(1, min(len(gpx_paths), spark.sparkContext.defaultParallelism))
     )
     names = [f.name for f in schema.fields]
 

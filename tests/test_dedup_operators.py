@@ -166,6 +166,36 @@ def test_connected_components_long_chain(spark, thr):
     assert set(labels.values()) == {10} and len(labels) == 10
 
 
+def test_connected_components_screen_computed_once_large_branch(spark):
+    """r13 (VERDICT r12 what's-wrong #2): the >threshold branch must compute
+    the upstream pair screen exactly once. The r12 shape probed the UNCACHED
+    relation then persist+count'ed it — the large branch re-ran the whole
+    screen subtree. Now the persist fronts the probe, so the probe's
+    partitions land in cache and count() computes only the rest. The
+    accumulator counts screen-task executions: each of the 4 partitions
+    must be computed exactly once across probe + count + the CC loop."""
+    from signalk_parquet_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    ).repartition(4)
+
+    def screen(it):
+        acc.add(1)  # once per computed partition (task)
+        for pdf in it:
+            yield pdf
+
+    edges = base.mapInPandas(screen, "id_a long, id_b long")
+    # threshold 5 << 40 rows forces the distributed branch
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, local_threshold=5).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 41
+    assert acc.value == 4, f"screen partitions computed {acc.value}x, want 4 (once each)"
+
+
 def test_blocked_jaccard_boundary_straddle_recall(spark):
     """Two near-identical docs whose lengths straddle a length-bucket
     boundary (buckets differ by 1) MUST still pair — the ±1 adjacent-bucket
@@ -417,10 +447,12 @@ def test_prefix_jaccard_matches_bruteforce(spark):
         "lang", F.lit("xx")
     )
     got = {(r["id_a"], r["id_b"]) for r in
-           prefix_jaccard_pairs(df, "doc_id", "text", ["lang"], 0.5).collect()}
-    # the rare-first AllPairs ordering is a different common total order —
-    # the symmetric prefix bound only needs SOME common order, so the
-    # answer must be identical
+           prefix_jaccard_pairs(
+               df, "doc_id", "text", ["lang"], 0.5, rare_first=False
+           ).collect()}
+    # the rare-first AllPairs ordering (the default since r13) is a
+    # different common total order — the symmetric prefix bound only needs
+    # SOME common order, so the answer must be identical to the hash order
     got_rare = {(r["id_a"], r["id_b"]) for r in
                 prefix_jaccard_pairs(
                     df, "doc_id", "text", ["lang"], 0.5, rare_first=True

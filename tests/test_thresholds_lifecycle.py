@@ -225,6 +225,14 @@ def test_gpx_import(spark, tmp_path):
     assert sog["value"] == pytest.approx(11.12, abs=0.1)  # ~111m in 10s
 
 
+def test_gpx_import_empty_path_list(spark):
+    """ADVICE r12: an empty path list must yield an empty frame, not the
+    opaque IllegalArgumentException of repartition(0)."""
+    from signalk_parquet_spark.sources.gpx import import_gpx_files
+
+    assert import_gpx_files(spark, []).count() == 0
+
+
 GPX_TAGGED = b"""<?xml version="1.0"?>
 <gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
  <trk><trkseg>

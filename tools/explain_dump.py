@@ -1,9 +1,9 @@
-"""Dump explain("formatted") for named gate queries into plans/r12/.
+"""Dump explain("formatted") for named gate queries into plans/$SPARK_GRAFT_PLAN_DIR (default r13).
 
 Usage: python tools/explain_dump.py <suffix> name1,name2,... [sf_dir]
 
-Writes plans/r12/<name>_<suffix>.txt for each gate — the judge-facing
-plan evidence for OPTIMIZATION_r12.md claims (the judge cannot run Spark
+Writes plans/<round>/<name>_<suffix>.txt for each gate — the judge-facing
+plan evidence for OPTIMIZATION_r*.md claims (the judge cannot run Spark
 and checks plan claims against these files). Capture is via
 explain(mode="formatted") per CLAUDE.md (executedPlan().toString()
 truncates).
@@ -27,7 +27,9 @@ def main() -> None:
     names = sys.argv[2].split(",")
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump")

@@ -122,9 +122,9 @@ def compute_fingerprints(sf_dir: str = _FP_SF) -> dict[str, str]:
 #: gates edited AFTER the round's manifest refresh, so the fingerprint
 #: diff can no longer see them — hand-queued here so the next rotation
 #: stays mechanical. CLEAR an entry once its re-gated round lands.
-#: r11: dedup_minhash_lsh's oracle text was reformatted into the shared
-#: signature prelude (semantics identical) after the r11 refresh.
-HAND_QUEUED_EDITS: tuple[str, ...] = ("dedup_minhash_lsh",)
+#: (r13: dedup_minhash_lsh cleared — its CORRECTNESS_r12 row is green
+#: under the reformatted oracle, per the standing clear-once-landed rule.)
+HAND_QUEUED_EDITS: tuple[str, ...] = ()
 
 
 def edited_gates(repo_root: str) -> list[str]:
