@@ -282,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
 #: grants the module itself, kept visible because a dropped name can't be
 #: attributed: it might be the absent module's — or a typo).
 #:
-#: r13 window (26 edited + 24 r09 = 50), generated from
+#: r13 window (27 edited + 23 r09 = 50), generated from
 #: `tools/window_check.py --suggest` over the CORRECTNESS_r01-r12 union.
 #: No NEW gates (optimization round). EDITED, two cohorts: (a) the 25
 #: gates the r12 optimization sweep plan-changed while proving them
@@ -291,14 +291,19 @@ def oracle_sql() -> dict[str, str]:
 #: local rung — driver_sim 175/175 exact at sf0.001+sf0.01 both rounds;
 #: GATE_FINGERPRINTS was deliberately left un-refreshed in r12 so
 #: --suggest would rank exactly these EDIT and hand them driver slots
-#: under their new plans), and (b) dedup_jaccard_prefix, edited THIS
-#: round: prefix_jaccard_pairs flipped to rare_first=True (the standing
-#: flip-on-re-window TODO) in the containment_join stream form. Fill to
-#: 50 with the 24 stalest r09 gates in suggestion order (angular family
-#: leads, then the rollup/smoothing cohort, then tpch; the last
-#: suggested fill, wordpiece_pair_scores, gave its slot to
-#: dedup_jaccard_prefix). After r13 no gate's evidence predates r9
-#: except wordpiece_pair_scores' cohort tail.
+#: under their new plans), and (b) the two gates edited THIS round:
+#: dedup_jaccard_prefix (prefix_jaccard_pairs flipped to rare_first=True
+#: — the standing flip-on-re-window TODO — in the containment_join
+#: stream form) and ivf_kmeans_recall (the kmeans_centroids driver-local
+#: Lloyd rung changes this oracle-less gate's declared recall values;
+#: re-declared floor in test_ivf_kmeans_recall_floor — the VERDICT-r12
+#: #7 slot, consumed consciously; its oracle-exact twin ann_ivf_kmeans
+#: is centroid-independent by construction and sits beside it). Fill to
+#: 50 with the 23 stalest r09 gates in suggestion order (angular family
+#: leads, then the rollup/smoothing cohort, then tpch; the last two
+#: suggested fills, shard_plan and wordpiece_pair_scores, gave their
+#: slots to the this-round edits). After r13 no gate's evidence predates
+#: r9 except that cohort tail.
 #:
 #: Bench-attribution notes for this order: dedup_containment stays the
 #: shingle memo's first consumer; decontaminate_bm25 still precedes
@@ -314,6 +319,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     "bm25_topk",
     "ann_ivf_kmeans",
+    "ivf_kmeans_recall",
     "dedup_keep_longest",
     "dedup_keep_corpus",
     "semdedup_recall",
@@ -357,7 +363,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "semi_join_orders",
     "rank_orders_per_customer",
     "quality_c4",
-    "shard_plan",
 )
 
 

@@ -107,12 +107,87 @@ def test_ivf_operator_with_learned_and_stride_quantizers(spark):
     assert ivf_k2 == ivf_k
 
 
+def test_kmeans_local_rung_matches_python_reference(spark):
+    """r13: kmeans_centroids' driver-local Lloyd rung must implement the
+    declared algorithm exactly — same seeded init (k distinct input rows),
+    same argmin assignment with ties to the lowest centroid id, same
+    empty-cell-keeps-previous rule, id-sorted summation order — pinned by
+    an independent pure-Python reference (the BPE differential pattern)."""
+    import numpy as np
+    from signalk_parquet_spark.operators.similarity import kmeans_centroids
+
+    rng_data = np.random.default_rng(3)
+    x = rng_data.normal(size=(80, 6))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cid"]: r["cemb"]
+        for r in kmeans_centroids(emb, "vec_id", "embedding", k=5, seed=7).collect()
+    }
+
+    # independent reference: plain-Python loops, same rules
+    rng = np.random.default_rng(7)
+    cents = [list(x[int(i)]) for i in rng.choice(80, size=5, replace=False)]
+    for _ in range(5):
+        assign = []
+        for v in x:
+            best, best_d = 0, None
+            for ci, c in enumerate(cents):
+                d = sum(cc * cc for cc in c) - 2.0 * sum(a * b for a, b in zip(v, c))
+                if best_d is None or d < best_d:
+                    best, best_d = ci, d
+            assign.append(best)
+        for ci in range(5):
+            members = [v for v, a in zip(x, assign) if a == ci]
+            if members:
+                cents[ci] = [
+                    sum(m[j] for m in members) / len(members) for j in range(6)
+                ]
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    for ci in range(5):
+        assert np.allclose(got[ci], cents[ci], rtol=0, atol=1e-9), (
+            f"centroid {ci}: {got[ci]} != {cents[ci]}"
+        )
+
+
+def test_kmeans_both_rungs_serve_ivf(spark):
+    """The distributed MLlib rung (local_threshold=0) and the driver-local
+    rung produce different-but-valid quantizers: both must carry the IVF
+    operator to the exact answer on clean two-cluster data."""
+    from signalk_parquet_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids, knn_topk,
+    )
+
+    rows = [(i, [10.0 + 0.01 * i, 0.0, 0.0, 1.0]) for i in range(6)] + [
+        (i, [-10.0 - 0.01 * i, 5.0, 0.0, 1.0]) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin(0, 6))
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_topk(emb, q, "vec_id", "embedding", k=3).collect()
+    }
+    for thr in (100_000, 0):  # local rung, then forced-distributed MLlib
+        cents = kmeans_centroids(
+            emb, "vec_id", "embedding", k=2, seed=7, local_threshold=thr
+        )
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(
+                emb, q, cents, "vec_id", "embedding", k=3, n_probe=1
+            ).collect()
+        }
+        assert got == exact, f"local_threshold={thr}"
+
+
 def test_ivf_kmeans_recall_floor(spark, sf_smoke):
     """The learned-quantizer gate pair: ann_ivf_kmeans is oracle-exact (all
     cells probed), so this pins the other half — approximate-probe recall
-    must clear a floor on real testdata (measured 0.57-0.65 mean across
-    sf0.001/0.01/0.1; floor set with margin). This is the measured-quality
-    gate the no-oracle ivf_kmeans_recall query points at."""
+    must clear a floor on real testdata (r13 re-declaration for the
+    driver-local Lloyd rung: measured 0.51-0.58 mean across
+    sf0.001/0.01/0.1, vs 0.57-0.65 under the MLlib fit; floor set with
+    margin). This is the measured-quality gate the no-oracle
+    ivf_kmeans_recall query points at."""
     from signalk_parquet_spark.queries_similarity import ivf_kmeans_recall
 
     rows = ivf_kmeans_recall(spark, sf_smoke).collect()
